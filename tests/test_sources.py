@@ -1,0 +1,67 @@
+"""Source/sink tests: CSV parity with the reference reader
+(``'|'``-delimited, headerless, explicit schema — reference
+``src/reader.rs:142-145``, test ``tests/lib.rs:370-394``), plus the
+Parquet source/sink the reference lacks."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from df_spark import Df
+
+
+CSV_SCHEMA = T.StructType([
+    T.StructField("bool", T.BooleanType()),
+    T.StructField("int", T.LongType()),
+    T.StructField("float", T.DoubleType()),
+    T.StructField("string", T.StringType()),
+])
+
+
+def test_read_csv(spark, tmp_path):
+    p = tmp_path / "mixed.csv"
+    p.write_text("true|1|1.0|hello world\nfalse|4|1.2|fOObAr\n")
+    df = Df.from_csv(spark, str(p), CSV_SCHEMA)
+    assert [tuple(r) for r in df.order_by("int").collect()] == [
+        (True, 1, 1.0, "hello world"),
+        (False, 4, 1.2, "fOObAr"),
+    ]
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "boolean", "bigint", "double", "string"]
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    src = tmp_path / "src.csv"
+    src.write_text("true|1|1.5|abc\nfalse|2|2.5|def\n")
+    df = Df.from_csv(spark, str(src), CSV_SCHEMA)
+    out = tmp_path / "out_csv"
+    df.write_csv(str(out))
+    back = Df.from_csv(spark, str(out), CSV_SCHEMA)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(tuple(r) for r in df.collect())
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    df = Df.from_vecs(spark, [("k", [1, 2, 3]), ("s", ["a", "b", "c"])])
+    out = tmp_path / "out_parquet"
+    df.write_parquet(str(out))
+    back = Df.from_parquet(spark, str(out))
+    assert sorted(tuple(r) for r in back.collect()) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_parquet_partitioned_sink(spark, tmp_path):
+    df = Df.from_vecs(spark, [("k", [1, 1, 2]), ("s", ["a", "b", "c"])])
+    out = tmp_path / "part_parquet"
+    df.write_parquet(str(out), partition_by=["k"])
+    back = Df.from_parquet(spark, str(out))
+    assert back.count() == 3
+    assert sorted(back.columns) == ["k", "s"]
+
+
+def test_testdata_tables_load(spark, sf_dir):
+    from df_spark.sources.tables import TABLES, load_table
+
+    for table in TABLES:
+        df = load_table(spark, sf_dir, table)
+        assert df.count() > 0
+    events = load_table(spark, sf_dir, "events")
+    assert dict((f.name, f.dataType.simpleString()) for f in events.schema.fields)["ts"] == "timestamp"
