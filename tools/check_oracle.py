@@ -1,0 +1,111 @@
+"""Local stand-in for the driver's correctness gate: runs every
+``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB
+over the same parquet tables, then compares row count, column names,
+and the order-insensitive multiset of values (columns sorted by name).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from df_spark.session import get_spark  # noqa: E402
+from df_spark.sources.tables import TABLES  # noqa: E402
+
+
+def canon(val):
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "NaN"
+        return val
+    if isinstance(val, bytes):
+        return val.hex()
+    if hasattr(val, "isoformat"):
+        return val.isoformat()
+    if isinstance(val, list):
+        return tuple(canon(x) for x in val)
+    return val
+
+
+def to_multiset(rows, names):
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("check_oracle", master="local[16]", shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_names = sdf.columns
+            spark_rows = sdf.collect()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"okR  {name}: rows-only check, {len(spark_rows)} rows "
+                  f"({time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            duck_names = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        problems = []
+        if sorted(spark_names) != sorted(duck_names):
+            problems.append(f"columns spark={sorted(spark_names)} duck={sorted(duck_names)}")
+        if len(spark_rows) != len(duck_rows):
+            problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
+        if not problems:
+            ms_s = to_multiset([tuple(r) for r in spark_rows], spark_names)
+            ms_d = to_multiset(duck_rows, duck_names)
+            if ms_s != ms_d:
+                n_bad = sum(1 for a, b in zip(ms_s, ms_d) if a != b)
+                problems.append(f"values differ in {n_bad}/{len(ms_s)} rows")
+                for a, b in zip(ms_s, ms_d):
+                    if a != b:
+                        problems.append(f"  spark={a}")
+                        problems.append(f"  duck ={b}")
+                        break
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems[:1]))
+            for p in problems[1:]:
+                print(p)
+            failures.append(name)
+        else:
+            print(f"ok   {name}: {len(spark_rows)} rows match ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(queries) - len(failures)}/{len(queries)} queries pass")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
