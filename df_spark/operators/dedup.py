@@ -1,0 +1,237 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+Four families, all shuffle-conscious and UDF-free (JVM-side expressions
+only — higher-order array functions + hash aggregates):
+
+- **exact**: hash-groupBy on a normalized-content fingerprint. One
+  shuffle on the fingerprint; at 100 TB this is the standard
+  "dedup by content hash" pass (fingerprints are uniform → no skew).
+- **MinHash + LSH**: shingle → h32 → K permutations → per-doc
+  signature; signatures cut into bands; docs sharing a band bucket are
+  candidate near-dup pairs. Cost: one explode of distinct shingles
+  (map-side), one groupBy(doc) for signatures, one groupBy(band bucket)
+  self-join for candidates. The band join is the only pairwise step and
+  touches only colliding buckets — the classic sub-quadratic near-dup
+  design (Broder '97; Spark MLlib's MinHashLSH is the same idea, this
+  one is oracle-reproducible).
+- **SimHash**: per-token h32 → per-bit ±1 votes → 32-bit signature via
+  one hash aggregate; near-dups share signature prefixes (bucket on
+  the top bits).
+- **n-gram Jaccard**: exact set similarity on blocked candidate pairs
+  (block on cheap keys first; only in-block pairs are compared).
+
+The reference has no dedup surface (SURVEY §2) — these are the
+north-star extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MINHASH_A, NUM_HASHES, h32, h32_sql, minhash_perm, minhash_perm_sql
+from ..functions.text import (
+    char_shingles,
+    char_shingles_sql,
+    fingerprint_md5,
+    fingerprint_md5_sql,
+    normalized,
+    normalized_sql,
+)
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per distinct content fingerprint: the id to keep (min)
+    and the number of copies."""
+    return (
+        docs.select(F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def exact_dedup_stats_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+    SELECT {fingerprint_md5_sql(text_col)} AS fp,
+           MIN({id_col}) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM {table}
+    GROUP BY 1
+    """
+
+
+def drop_exact_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id representative of each content fingerprint.
+    Implemented as min-id-per-fingerprint + semi-join (two shuffles on
+    uniform keys; no window over the full corpus needed)."""
+    fp = docs.withColumn("__fp", fingerprint_md5(F.col(text_col)))
+    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, [ "__fp", id_col], "left_semi").drop("__fp")
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(text_col: Column, k: int = 3) -> list[Column]:
+    """K minhash values: min over distinct shingles of perm_i(h32(s)).
+    Stays inside one projection (transform + array_min per permutation)."""
+    shingles = char_shingles(text_col, k)
+
+    def one(i: int) -> Column:
+        # single-arg lambda: a 2-arg lambda would make F.transform pass
+        # the element index as the second argument
+        return F.array_min(F.transform(shingles, lambda s: minhash_perm(h32(s), i)))
+
+    return [one(i) for i in range(NUM_HASHES)]
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bands: int = 4, rows_per_band: int = 4,
+) -> DataFrame:
+    """Per-doc signature digest + band bucket keys."""
+    assert bands * rows_per_band == NUM_HASHES
+    # docs with no shingles (len < k) have no signature — dropped here
+    # exactly like the oracle's unnest/inner-group semantics
+    docs = docs.filter(F.length(normalized(F.col(text_col))) >= 3)
+    sig = minhash_signature(F.col(text_col))
+    out = docs.select(F.col(id_col), *[sig[i].alias(f"m{i}") for i in range(NUM_HASHES)])
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"m{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat_ws(",", *parts)).alias(f"band{b}"))
+    sig_digest = F.md5(F.concat_ws(",", *[F.col(f"m{i}").cast("string") for i in range(NUM_HASHES)]))
+    return out.select(F.col(id_col), sig_digest.alias("sig_md5"), *band_cols)
+
+
+def minhash_signatures_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    bands: int = 4, rows_per_band: int = 4,
+) -> str:
+    mins = ",\n        ".join(
+        f"MIN({minhash_perm_sql(h32_sql('s'), i)}) AS m{i}" for i in range(NUM_HASHES)
+    )
+    band_exprs = ",\n      ".join(
+        "md5(concat_ws(','"
+        + "".join(f", CAST(m{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band))
+        + f")) AS band{b}"
+        for b in range(bands)
+    )
+    sig_all = "concat_ws(','" + "".join(f", CAST(m{i} AS VARCHAR)" for i in range(NUM_HASHES)) + ")"
+    return f"""
+    WITH sh AS (
+      SELECT {id_col}, unnest({char_shingles_sql(text_col)}) AS s
+      FROM {table}
+    ), sig AS (
+      SELECT {id_col},
+        {mins}
+      FROM sh GROUP BY {id_col}
+    )
+    SELECT {id_col}, md5({sig_all}) AS sig_md5,
+      {band_exprs}
+    FROM sig
+    """
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = 4
+) -> DataFrame:
+    """Distinct id pairs sharing ≥1 band bucket. The self-join is per
+    band bucket (hash-partitioned on the bucket key), never all-pairs."""
+    buckets = None
+    for b in range(bands):
+        part = signatures.select(F.col(id_col), F.col(f"band{b}").alias("bucket"),
+                                 F.lit(b).alias("band_idx"))
+        buckets = part if buckets is None else buckets.unionByName(part)
+    left = buckets.select(F.col(id_col).alias("id_a"), "bucket", "band_idx")
+    right = buckets.select(F.col(id_col).alias("id_b"), "bucket", "band_idx")
+    pairs = left.join(right, ["bucket", "band_idx"]).filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select("id_a", "id_b").distinct()
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over distinct words: per-bit ±1 votes summed in a
+    single hash aggregate (explode → groupBy(id) → 32 conditional sums)."""
+    words = F.array_distinct(F.split(normalized(F.col(text_col)), " "))
+    tok = docs.select(F.col(id_col), F.explode(words).alias("w")).filter(F.col("w") != "")
+    tok = tok.select(id_col, h32(F.col("w")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    votes = ",\n        ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(f"(CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(SIMHASH_BITS))
+    return f"""
+    WITH tok AS (
+      SELECT {id_col}, {h32_sql('w')} AS h FROM (
+        SELECT {id_col},
+               unnest(list_distinct(string_split({normalized_sql(text_col)}, ' '))) AS w
+        FROM {table}
+      ) WHERE w <> ''
+    ), votes AS (
+      SELECT {id_col},
+        {votes}
+      FROM tok GROUP BY {id_col}
+    )
+    SELECT {id_col}, CAST({sig} AS BIGINT) AS simhash
+    FROM votes
+    """
+
+
+# ---------------------------------------------------------------------------
+# blocked n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    block_cols: list[str] | None = None, k: int = 3, min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard similarity of k-shingle sets for candidate pairs
+    inside blocks (equi-join on block keys — never a full cross join)."""
+    block_cols = block_cols or ["lang"]
+    base = docs.select(
+        F.col(id_col), *[F.col(c) for c in block_cols],
+        char_shingles(F.col(text_col), k).alias("sh"),
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"), *[F.col(c) for c in block_cols], F.col("sh").alias("sh_a")
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), *[F.col(c) for c in block_cols], F.col("sh").alias("sh_b")
+    )
+    pairs = a.join(b, block_cols).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.round(inter / union, 6)
+    out = pairs.select("id_a", "id_b", jac.alias("jaccard"))
+    if min_jaccard > 0.0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out

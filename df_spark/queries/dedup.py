@@ -1,0 +1,74 @@
+"""Dedup queries over ``documents``: exact, MinHash signatures,
+LSH candidate pairs, SimHash, blocked n-gram Jaccard — each with an
+exact DuckDB oracle built from the same SQL-twin helpers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import char_shingles_sql
+from ..operators import dedup as D
+from ..sources.tables import load_sdf
+from . import register
+
+
+@register("dedup_exact", sql=D.exact_dedup_stats_sql("documents"))
+def dedup_exact(spark, sf_dir):
+    docs = load_sdf(spark, sf_dir, "documents")
+    return D.exact_dedup_stats(docs)
+
+
+@register("minhash_signatures", sql=D.minhash_signatures_sql("documents"))
+def minhash_signatures(spark, sf_dir):
+    docs = load_sdf(spark, sf_dir, "documents")
+    return D.minhash_signatures(docs)
+
+
+@register(
+    "minhash_lsh_pairs",
+    sql=f"""
+    WITH sig AS ({D.minhash_signatures_sql('documents')}),
+    buckets AS (
+      SELECT doc_id, band0 AS bucket, 0 AS band_idx FROM sig
+      UNION ALL SELECT doc_id, band1, 1 FROM sig
+      UNION ALL SELECT doc_id, band2, 2 FROM sig
+      UNION ALL SELECT doc_id, band3, 3 FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.bucket = b.bucket AND a.band_idx = b.band_idx AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_pairs(spark, sf_dir):
+    docs = load_sdf(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs)
+    return D.lsh_candidate_pairs(sigs)
+
+
+@register("simhash", sql=D.simhash_sql("documents"))
+def simhash(spark, sf_dir):
+    docs = load_sdf(spark, sf_dir, "documents")
+    return D.simhash(docs)
+
+
+@register(
+    "ngram_jaccard",
+    sql=f"""
+    WITH sh AS (
+      SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+             {char_shingles_sql('text')} AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    """,
+)
+def ngram_jaccard(spark, sf_dir):
+    docs = load_sdf(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.expr("n_chars div 100")
+    )
+    return D.ngram_jaccard_pairs(docs, block_cols=["lang", "len_bucket"])

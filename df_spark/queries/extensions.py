@@ -1,0 +1,176 @@
+"""Extension queries beyond the reference surface (SURVEY §7 Phase 3):
+window functions, running aggregates, scalar function library,
+cube/rollup grouping sets, pivot. Each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators.windows import top_k_per_group, with_running_agg
+from ..sources.tables import load_sdf, load_table
+from . import register
+
+
+@register(
+    "window_topk",
+    sql="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def window_topk(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        top_k_per_group(
+            orders,
+            ["o_orderpriority"],
+            [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+            k=3,
+        )
+        .to_spark()
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "window_running",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS running_total,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS order_seq
+    FROM orders
+    """,
+)
+def window_running(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    df = with_running_agg(
+        orders,
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+        F.col("o_totalprice").cast("decimal(18,2)"),
+        out="running_total",
+    )
+    return (
+        df.to_spark()
+        .withColumn("order_seq", F.row_number().over(w))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("running_total").cast("double").alias("running_total"),
+            "order_seq",
+        )
+    )
+
+
+@register(
+    "window_lag_lead",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           LAG(o_orderkey, 1) OVER w AS prev_order,
+           LEAD(o_orderkey, 1) OVER w AS next_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead(spark, sf_dir):
+    orders = load_sdf(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey", 1).over(w).alias("prev_order"),
+        F.lead("o_orderkey", 1).over(w).alias("next_order"),
+    )
+
+
+@register(
+    "scalar_funcs",
+    sql="""
+    SELECT o_orderkey,
+           upper(o_orderpriority) AS pri_upper,
+           length(o_orderpriority) AS pri_len,
+           substr(o_orderpriority, 1, 1) AS pri_code,
+           strftime(o_orderdate, '%Y-%m') AS order_month,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           round(o_totalprice / 1000.0, 1) AS price_k,
+           abs(o_totalprice - 100000.0) AS price_dist,
+           concat(o_orderstatus, '/', o_orderpriority) AS status_pri
+    FROM orders
+    """,
+)
+def scalar_funcs(spark, sf_dir):
+    # string/date/math scalar library — absent from the reference
+    # (SURVEY §2: arithmetic only); all JVM-side built-ins
+    orders = load_sdf(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("pri_upper"),
+        F.length("o_orderpriority").cast("long").alias("pri_len"),
+        F.substring("o_orderpriority", 1, 1).alias("pri_code"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.round(F.col("o_totalprice") / 1000.0, 1).alias("price_k"),
+        F.abs(F.col("o_totalprice") - 100000.0).alias("price_dist"),
+        F.concat_ws("/", "o_orderstatus", "o_orderpriority").alias("status_pri"),
+    )
+
+
+@register(
+    "cube_agg",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_agg(spark, sf_dir):
+    # grouping sets / cube — multi-dimensional rollup in one pass
+    # (partial aggregation per grouping set, single shuffle)
+    orders = load_sdf(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+@register(
+    "pivot_status",
+    sql="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status(spark, sf_dir):
+    orders = load_sdf(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("status_f"),
+            F.coalesce("O", F.lit(0)).alias("status_o"),
+            F.coalesce("P", F.lit(0)).alias("status_p"),
+        )
+    )

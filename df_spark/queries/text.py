@@ -1,0 +1,103 @@
+"""Text-analysis queries over the ``documents`` table (north-star
+LLM-pipeline extensions): per-document stats, token counts, language
+ID, quality scores, content fingerprints. All exact-match against the
+DuckDB oracle (same formulas, string ops and rational arithmetic only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+from ..sources.tables import load_sdf
+from . import register
+
+
+@register(
+    "text_stats",
+    sql=f"""
+    SELECT doc_id,
+           len(text)::BIGINT AS n_chars,
+           {X.word_count_sql('text')} AS n_words,
+           {X.bpe_token_count_sql('text')} AS n_tokens,
+           len({X.char_shingles_sql('text')})::BIGINT AS n_shingles,
+           {X.quality_score_sql('text')} AS quality
+    FROM documents
+    """,
+)
+def text_stats(spark, sf_dir):
+    docs = load_sdf(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        X.word_count(F.col("text")).alias("n_words"),
+        X.bpe_token_count(F.col("text")).alias("n_tokens"),
+        F.size(X.char_shingles(F.col("text"))).cast("long").alias("n_shingles"),
+        X.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@register(
+    "lang_id",
+    sql=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           {X.lang_id_sql('text')} AS detected_lang
+    FROM documents
+    """,
+)
+def lang_id(spark, sf_dir):
+    docs = load_sdf(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        X.lang_id(F.col("text")).alias("detected_lang"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    sql=f"""
+    SELECT doc_id,
+           {X.fingerprint_md5_sql('text')} AS fp,
+           substr({X.fingerprint_md5_sql('text')}, 1, 4) AS fp_bucket
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    docs = load_sdf(spark, sf_dir, "documents")
+    fp = X.fingerprint_md5(F.col("text"))
+    return docs.select(
+        "doc_id",
+        fp.alias("fp"),
+        F.substring(fp, 1, 4).alias("fp_bucket"),
+    )
+
+
+@register(
+    "lang_quality_rollup",
+    sql=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM({X.word_count_sql('text')}) AS BIGINT) AS total_words,
+           round(SUM({X.quality_score_sql('text')}) / COUNT(*), 6) AS avg_quality
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def lang_quality_rollup(spark, sf_dir):
+    # corpus-level rollup: the shape of a 100 TB per-language quality
+    # report — single hash aggregate over derived columns
+    docs = load_sdf(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            X.word_count(F.col("text")).alias("words"),
+            X.quality_score(F.col("text")).alias("q"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("words").alias("total_words"),
+            F.round(F.sum("q") / F.count(F.lit(1)), 6).alias("avg_quality"),
+        )
+    )

@@ -1,0 +1,103 @@
+"""Unit tests for the text-analysis functions and dedup operators
+(planted fixtures with known answers; the oracle queries cover the
+synthetic-corpus scale)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from df_spark.functions import text as X
+from df_spark.operators import dedup as D
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_normalize_and_fingerprint(spark):
+    df = docs_df(spark, [(1, "  Hello   World "), (2, "hello world"), (3, "other")])
+    out = df.select("doc_id", X.fingerprint_md5(F.col("text")).alias("fp")).collect()
+    fps = {r.doc_id: r.fp for r in out}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_word_and_token_counts(spark):
+    df = docs_df(spark, [(1, "one two  three"), (2, "a1b2, c!")])
+    out = {r.doc_id: (r.w, r.t) for r in df.select(
+        "doc_id",
+        X.word_count(F.col("text")).alias("w"),
+        X.bpe_token_count(F.col("text")).alias("t"),
+    ).collect()}
+    assert out[1] == (3, 3)
+    # "a1b2, c!" → a,1,b,2,",",c,"!" = 7 BPE-ish tokens, 2 words
+    assert out[2] == (2, 7)
+
+
+def test_char_shingles_short_text(spark):
+    df = docs_df(spark, [(1, "ab"), (2, "abcd"), (3, "")])
+    out = {r.doc_id: r.sh for r in df.select(
+        "doc_id", X.char_shingles(F.col("text")).alias("sh")).collect()}
+    assert out[1] == []
+    assert sorted(out[2]) == ["abc", "bcd"]
+    assert out[3] == []
+
+
+def test_lang_id_markers(spark):
+    df = docs_df(spark, [
+        (1, "the cat and the dog of the house"),
+        (2, "der hund und die katze und der vogel"),
+        (3, "le chien et la maison et le chat"),
+    ])
+    out = {r.doc_id: r.lang for r in df.select(
+        "doc_id", X.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr"}
+
+
+def test_quality_score_bounds(spark):
+    df = docs_df(spark, [(1, "good plain text with words " * 20), (2, "!!! ??? ***"), (3, "x")])
+    out = {r.doc_id: r.q for r in df.select(
+        "doc_id", X.quality_score(F.col("text")).alias("q")).collect()}
+    assert all(0.0 <= q <= 1.0 for q in out.values())
+    assert out[1] > out[2]  # punctuation-only text scores lower
+
+
+def test_exact_dedup(spark):
+    df = docs_df(spark, [(1, "Same  Text"), (2, "same text"), (3, "different")])
+    stats = {r.keep_id: r.n_copies for r in D.exact_dedup_stats(df).collect()}
+    assert stats == {1: 2, 3: 1}
+    kept = sorted(r.doc_id for r in D.drop_exact_dups(df).collect())
+    assert kept == [1, 3]
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    df = docs_df(spark, [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+                         (3, "completely different content here")])
+    sigs = {r.doc_id: r.sig_md5 for r in D.minhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2] != sigs[3]
+
+
+def test_lsh_pairs_catch_identical(spark):
+    df = docs_df(spark, [(1, "aaa bbb ccc ddd eee fff"), (2, "aaa bbb ccc ddd eee fff"),
+                         (3, "zzz yyy xxx www vvv uuu")])
+    pairs = {(r.id_a, r.id_b) for r in
+             D.lsh_candidate_pairs(D.minhash_signatures(df)).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_similarity_structure(spark):
+    df = docs_df(spark, [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+                         (3, "omega psi chi phi")])
+    out = {r.doc_id: r.simhash for r in D.simhash(df).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    assert all(0 <= v < 2 ** 32 for v in out.values())
+
+
+def test_ngram_jaccard_values(spark):
+    df = docs_df(spark, [(1, "abcdef"), (2, "abcdef"), (3, "abcxyz")]).withColumn(
+        "b", F.lit(1))
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             D.ngram_jaccard_pairs(df, block_cols=["b"]).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.0 < pairs[(1, 3)] < 1.0

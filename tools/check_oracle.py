@@ -38,7 +38,8 @@ def canon(val):
 
 def to_multiset(rows, names):
     order = sorted(range(len(names)), key=lambda i: names[i])
-    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    # sort key is repr: rows may mix None with ints/floats
+    return sorted((tuple(canon(r[i]) for i in order) for r in rows), key=repr)
 
 
 def main() -> int:
