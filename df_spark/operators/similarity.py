@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, both UDF-free (higher-order functions compile to JVM
+expressions inside whole-stage codegen):
+
+- **brute-force cosine top-k**: broadcast the (small) query set, score
+  every candidate, keep top-k per query with a window. O(Q·N) work but
+  embarrassingly parallel and shuffle-free until the final top-k — the
+  correct baseline at any scale when Q is small.
+- **LSH-bucketed ANN**: 8 fixed random-hyperplane signs → 256 buckets;
+  queries only score candidates in their own bucket (~N/256 of the
+  corpus). The bucket join is a hash equi-join on the signature — the
+  scale path for large Q. Planes are ±1 vectors derived from md5 so
+  the DuckDB oracle reproduces them exactly.
+
+Dot products fold left-to-right in double precision — verified
+bit-identical between Spark's ``aggregate``/``zip_with`` and DuckDB's
+``list_sum``/``list_transform``/``list_zip``.
+
+Embeddings arrive as float32; elements are cast to double before
+multiplication (float32→double is exact; the product of two former
+floats fits double's mantissa exactly — only the fold order matters,
+and both engines fold sequentially).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+DIM = 64
+
+
+def _plane_sign(j: int, d: int) -> int:
+    """Deterministic ±1 from md5 — reproducible in any engine/language."""
+    h = hashlib.md5(f"plane_{j}_{d}".encode()).hexdigest()
+    return 1 if int(h[0], 16) % 2 == 0 else -1
+
+
+PLANES: list[list[int]] = [[_plane_sign(j, d) for d in range(DIM)] for j in range(N_PLANES)]
+
+
+# ---------------------------------------------------------------------------
+# column builders (+ SQL twins)
+# ---------------------------------------------------------------------------
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}),"
+        f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def l2_norm_sql(a: str) -> str:
+    return f"sqrt({dot_sql(a, a)})"
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return f"{dot_sql(a, b)} / ({l2_norm_sql(a)} * {l2_norm_sql(b)})"
+
+
+def lsh_bucket(a: Column) -> Column:
+    """Signature string of N_PLANES sign bits ('10110100')."""
+    bits = []
+    for j in range(N_PLANES):
+        plane = F.array(*[F.lit(s) for s in PLANES[j]])
+        proj = dot(a, plane)
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_bucket_sql(a: str) -> str:
+    parts = []
+    for j in range(N_PLANES):
+        plane = "[" + ", ".join(str(s) for s in PLANES[j]) + "]"
+        parts.append(f"(CASE WHEN {dot_sql(a, plane)} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# operators
+# ---------------------------------------------------------------------------
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k neighbors for each query vector (self excluded).
+    The query side is broadcast → no shuffle of the corpus."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    cand = emb.select(F.col(id_col), F.col(vec_col))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(cand)
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            cosine(F.col("__qvec"), F.col(vec_col)).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cos_sim", "rank")
+    )
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed ANN: score only same-bucket candidates. Recall < 1
+    by design; the bucket equi-join replaces the cross join."""
+    bucketed = emb.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col)).alias("bucket")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        lsh_bucket(F.col(vec_col)).alias("bucket"),
+    )
+    scored = (
+        q.join(bucketed, "bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            cosine(F.col("__qvec"), F.col(vec_col)).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cos_sim", "rank")
+    )
+
+
+def near_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by LSH bucket
+    (only same-bucket pairs are scored — sub-quadratic)."""
+    b = emb.select(F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col)).alias("bucket"))
+    left = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "bucket")
+    right = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "bucket")
+    pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

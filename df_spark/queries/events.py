@@ -1,0 +1,158 @@
+"""Event-time window queries over ``events`` (batch twins of the
+streaming operators in ``df_spark.streaming``): tumbling and sliding
+windows, gap-based sessionization. Timestamps are emitted as epoch
+microseconds / formatted strings so oracle comparison is precision-safe
+(events.ts is nanosecond parquet, truncated to µs identically on both
+engines — see ``sources.tables``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_sdf
+from . import register
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
+
+
+@register(
+    "events_tumbling",
+    sql="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling(spark, sf_dir):
+    # F.window is the same operator Structured Streaming uses — batch
+    # here, identical code path with readStream + watermark in
+    # df_spark.streaming.windows
+    ev = load_sdf(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sliding",
+    sql="""
+    SELECT strftime(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+                      - TO_MICROSECONDS(CAST(k AS BIGINT) * 15 * 60 * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
+    GROUP BY 1
+    """,
+)
+def events_sliding(spark, sf_dir):
+    # 1-hour window sliding every 15 minutes: each event lands in 4
+    # overlapping windows (Spark expands this internally; the oracle
+    # expands it with an explicit offset cross join)
+    ev = load_sdf(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sessions",
+    sql=f"""
+    WITH o AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ), brk AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN prev_us IS NULL OR ts_us - prev_us > {_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM o
+    ), sess AS (
+      SELECT user_id, event_id, ts_us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM brk
+    )
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) - MIN(ts_us) AS duration_us
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+)
+def events_sessions(spark, sf_dir):
+    # gap-based sessionization: lag → new-session flag → cumulative sum
+    # (the classic gaps-and-islands plan; one shuffle on user_id, both
+    # windows reuse the same partitioning)
+    ev = load_sdf(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > _GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.withColumn("session_seq", F.sum("is_new").over(wrun))
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )
+
+
+@register(
+    "events_type_stats",
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_type_stats(spark, sf_dir):
+    ev = load_sdf(spark, sf_dir, "events")
+    dec_sum = F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        dec_sum.alias("total_value"),
+        (dec_sum / F.count(F.lit(1))).alias("avg_value"),
+    )

