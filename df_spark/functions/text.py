@@ -67,6 +67,15 @@ def bpe_token_count_sql(expr: str) -> str:
     return f"len(regexp_extract_all(lower({expr}), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT"
 
 
+def char_shingles_of_normalized(t: Column, k: int = 3) -> Column:
+    """Shingles of an ALREADY-normalized column. Pass a plain attribute
+    (materialized behind a barrier) — passing a computed expression here
+    re-evaluates it once per array element inside the HOF lambda."""
+    idx = F.sequence(F.lit(1), F.length(t) - (k - 1))
+    shingles = F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, k)))
+    return F.when(F.length(t) >= k, shingles).otherwise(F.array().cast("array<string>"))
+
+
 def char_shingles(col: Column, k: int = 3) -> Column:
     """Distinct k-character shingles of the normalized text (JVM-side:
     sequence + transform + array_distinct; no UDF).

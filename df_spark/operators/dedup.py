@@ -81,33 +81,90 @@ def drop_exact_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
 def minhash_signature(text_col: Column, k: int = 3) -> list[Column]:
     """K minhash values: min over distinct shingles of perm_i(h32(s)).
     Stays inside one projection (transform + array_min per permutation)."""
-    shingles = char_shingles(text_col, k)
+    # hash each shingle ONCE (md5 is the expensive step), then apply the
+    # 16 cheap arithmetic permutations to the precomputed hash array
+    hashes = F.transform(char_shingles(text_col, k), lambda s: h32(s))
 
     def one(i: int) -> Column:
         # single-arg lambda: a 2-arg lambda would make F.transform pass
         # the element index as the second argument
-        return F.array_min(F.transform(shingles, lambda s: minhash_perm(h32(s), i)))
+        return F.array_min(F.transform(hashes, lambda h: minhash_perm(h, i)))
 
     return [one(i) for i in range(NUM_HASHES)]
+
+
+def shingle_arrays(
+    docs: DataFrame, keep_cols: list[str], text_col: str = "text", k: int = 3,
+    out: str = "sh", parallelism: int | None = None,
+) -> DataFrame:
+    """Distinct k-shingle ARRAY per doc, with the normalized text
+    materialized behind a repartition barrier (see ``shingle_hashes``
+    for why the barrier is load-bearing). Rows with len < k keep an
+    empty array."""
+    import os
+
+    p = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    norm = docs.select(
+        *[F.col(c) for c in keep_cols], normalized(F.col(text_col)).alias("__t")
+    ).repartition(p)
+    idx = F.sequence(F.lit(1), F.length("__t") - (k - 1))
+    shingles = F.array_distinct(F.transform(idx, lambda i: F.substring(F.col("__t"), i, k)))
+    guarded = F.when(F.length("__t") >= k, shingles).otherwise(F.array().cast("array<string>"))
+    return norm.select(*[F.col(c) for c in keep_cols], guarded.alias(out))
+
+
+def shingle_hashes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """(id, h) rows: one 32-bit hash per distinct k-shingle per doc.
+
+    Plan shape matters here: the normalized text is materialized as a
+    real column behind a repartition barrier BEFORE shingling, because
+    Catalyst inlines cheap-looking aliases into HOF lambdas — without
+    the barrier the regex normalization re-evaluates once per array
+    element (O(len²) per doc). The repartition also spreads small
+    single-file inputs across all cores; at 100 TB the input is already
+    many splits and the barrier cost is one narrow shuffle of (id,
+    normalized_text)."""
+    import os
+
+    p = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    norm = docs.select(
+        F.col(id_col), normalized(F.col(text_col)).alias("__t")
+    ).filter(F.length("__t") >= k).repartition(p)
+    idx = F.sequence(F.lit(1), F.length("__t") - (k - 1))
+    shingled = norm.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.transform(idx, lambda i: F.substring(F.col("__t"), i, k)))
+        ).alias("__s"),
+    )
+    return shingled.select(F.col(id_col), h32(F.col("__s")).alias("h"))
 
 
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     bands: int = 4, rows_per_band: int = 4,
 ) -> DataFrame:
-    """Per-doc signature digest + band bucket keys."""
+    """Per-doc signature digest + band bucket keys.
+
+    Explode → hash → single hash-aggregate with 16 MIN columns (the
+    md5 per shingle is computed exactly once; permutations are cheap
+    arithmetic inside the aggregate). Same shape as the SQL oracle.
+    Docs with no shingles (len < k) have no signature — dropped,
+    matching the oracle's unnest/inner-group semantics."""
     assert bands * rows_per_band == NUM_HASHES
-    # docs with no shingles (len < k) have no signature — dropped here
-    # exactly like the oracle's unnest/inner-group semantics
-    docs = docs.filter(F.length(normalized(F.col(text_col))) >= 3)
-    sig = minhash_signature(F.col(text_col))
-    out = docs.select(F.col(id_col), *[sig[i].alias(f"m{i}") for i in range(NUM_HASHES)])
+    hashes = shingle_hashes(docs, id_col, text_col)
+    sig = hashes.groupBy(id_col).agg(
+        *[F.min(minhash_perm(F.col("h"), i)).alias(f"m{i}") for i in range(NUM_HASHES)]
+    )
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"m{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
         band_cols.append(F.md5(F.concat_ws(",", *parts)).alias(f"band{b}"))
     sig_digest = F.md5(F.concat_ws(",", *[F.col(f"m{i}").cast("string") for i in range(NUM_HASHES)]))
-    return out.select(F.col(id_col), sig_digest.alias("sig_md5"), *band_cols)
+    return sig.select(F.col(id_col), sig_digest.alias("sig_md5"), *band_cols)
 
 
 def minhash_signatures_sql(
@@ -217,19 +274,21 @@ def ngram_jaccard_pairs(
     """Exact Jaccard similarity of k-shingle sets for candidate pairs
     inside blocks (equi-join on block keys — never a full cross join)."""
     block_cols = block_cols or ["lang"]
-    base = docs.select(
-        F.col(id_col), *[F.col(c) for c in block_cols],
-        char_shingles(F.col(text_col), k).alias("sh"),
-    )
+    base = shingle_arrays(docs, [id_col, *block_cols], text_col, k, out="sh")
+    # arrays are already distinct: |A ∪ B| = |A| + |B| - |A ∩ B| — one
+    # hash-set build per pair instead of two
+    base = base.withColumn("n_sh", F.size("sh"))
     a = base.select(
-        F.col(id_col).alias("id_a"), *[F.col(c) for c in block_cols], F.col("sh").alias("sh_a")
+        F.col(id_col).alias("id_a"), *[F.col(c) for c in block_cols],
+        F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a"),
     )
     b = base.select(
-        F.col(id_col).alias("id_b"), *[F.col(c) for c in block_cols], F.col("sh").alias("sh_b")
+        F.col(id_col).alias("id_b"), *[F.col(c) for c in block_cols],
+        F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b"),
     )
     pairs = a.join(b, block_cols).filter(F.col("id_a") < F.col("id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    union = (F.col("n_a") + F.col("n_b")).cast("double") - inter
     jac = F.round(inter / union, 6)
     out = pairs.select("id_a", "id_b", jac.alias("jaccard"))
     if min_jaccard > 0.0:

@@ -62,7 +62,7 @@ def simhash(spark, sf_dir):
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+                 / (CAST(len(a.s) + len(b.s) AS DOUBLE) - len(list_intersect(a.s, b.s))), 6) AS jaccard
     FROM sh a JOIN sh b
       ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
     """,

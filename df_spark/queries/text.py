@@ -26,13 +26,20 @@ from . import register
     """,
 )
 def text_stats(spark, sf_dir):
+    # normalized text materialized behind a repartition barrier so the
+    # shingle HOF reads an attribute, not a re-evaluated regex (see
+    # operators.dedup.shingle_hashes), and the single small input file
+    # fans out across cores
     docs = load_sdf(spark, sf_dir, "documents")
-    return docs.select(
+    base = docs.select(
+        "doc_id", "text", X.normalized(F.col("text")).alias("__t")
+    ).repartition(32)
+    return base.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
         X.word_count(F.col("text")).alias("n_words"),
         X.bpe_token_count(F.col("text")).alias("n_tokens"),
-        F.size(X.char_shingles(F.col("text"))).cast("long").alias("n_shingles"),
+        F.size(X.char_shingles_of_normalized(F.col("__t"))).cast("long").alias("n_shingles"),
         X.quality_score(F.col("text")).alias("quality"),
     )
 
