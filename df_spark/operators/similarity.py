@@ -32,15 +32,22 @@ from pyspark.sql import functions as F
 
 N_PLANES = 8
 DIM = 64
+N_TABLES = 4  # multi-table LSH: candidate = same bucket in ANY table
 
 
-def _plane_sign(j: int, d: int) -> int:
+def _plane_sign(j: int, d: int, table: int = 0) -> int:
     """Deterministic ±1 from md5 — reproducible in any engine/language."""
-    h = hashlib.md5(f"plane_{j}_{d}".encode()).hexdigest()
+    tag = f"plane_{j}_{d}" if table == 0 else f"plane_t{table}_{j}_{d}"
+    h = hashlib.md5(tag.encode()).hexdigest()
     return 1 if int(h[0], 16) % 2 == 0 else -1
 
 
-PLANES: list[list[int]] = [[_plane_sign(j, d) for d in range(DIM)] for j in range(N_PLANES)]
+def _planes_for(table: int) -> list[list[int]]:
+    return [[_plane_sign(j, d, table) for d in range(DIM)] for j in range(N_PLANES)]
+
+
+PLANES: list[list[int]] = _planes_for(0)
+TABLE_PLANES: list[list[list[int]]] = [_planes_for(t) for t in range(N_TABLES)]
 
 
 # ---------------------------------------------------------------------------
@@ -79,20 +86,23 @@ def cosine_sql(a: str, b: str) -> str:
     return f"{dot_sql(a, b)} / ({l2_norm_sql(a)} * {l2_norm_sql(b)})"
 
 
-def lsh_bucket(a: Column) -> Column:
-    """Signature string of N_PLANES sign bits ('10110100')."""
+def lsh_bucket(a: Column, table: int = 0) -> Column:
+    """Signature string of N_PLANES sign bits ('10110100') for one
+    hash table."""
+    planes = TABLE_PLANES[table] if table < N_TABLES else _planes_for(table)
     bits = []
     for j in range(N_PLANES):
-        plane = F.array(*[F.lit(s) for s in PLANES[j]])
+        plane = F.array(*[F.lit(s) for s in planes[j]])
         proj = dot(a, plane)
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
 
-def lsh_bucket_sql(a: str) -> str:
+def lsh_bucket_sql(a: str, table: int = 0) -> str:
+    planes = TABLE_PLANES[table] if table < N_TABLES else _planes_for(table)
     parts = []
     for j in range(N_PLANES):
-        plane = "[" + ", ".join(str(s) for s in PLANES[j]) + "]"
+        plane = "[" + ", ".join(str(s) for s in planes[j]) + "]"
         parts.append(f"(CASE WHEN {dot_sql(a, plane)} >= 0 THEN '1' ELSE '0' END)")
     return " || ".join(parts)
 
@@ -158,6 +168,44 @@ def ann_lsh_topk(
             id_col,
             cosine(F.col("__qvec"), F.col(vec_col)).alias("cos_sim"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cos_sim", "rank")
+    )
+
+
+def ann_multi_lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_tables: int = N_TABLES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table LSH ANN: candidates collide in ANY of ``n_tables``
+    independent hash tables (OR-amplification — recall rises from
+    p^bits to 1-(1-p^bits)^L for true neighbors at unchanged per-table
+    join cost). Candidate pairs are deduped before scoring so each
+    cosine is computed once."""
+    cand = None
+    for t in range(n_tables):
+        b = emb.select(F.col(id_col), lsh_bucket(F.col(vec_col), t).alias("bucket"),
+                       F.lit(t).alias("tbl"))
+        q = queries.select(F.col(id_col).alias("query_id"),
+                           lsh_bucket(F.col(vec_col), t).alias("bucket"),
+                           F.lit(t).alias("tbl"))
+        part = q.join(b, ["bucket", "tbl"]).select("query_id", id_col)
+        cand = part if cand is None else cand.unionByName(part)
+    cand = cand.filter(F.col(id_col) != F.col("query_id")).distinct()
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    ev = emb.select(F.col(id_col), F.col(vec_col))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(ev, id_col)
+        .select("query_id", id_col, cosine(F.col("__qvec"), F.col(vec_col)).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     return (

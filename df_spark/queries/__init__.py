@@ -47,7 +47,7 @@ def load_registry() -> dict[str, Query]:
     # import for side effect of registration
     from . import core  # noqa: F401
 
-    for mod in ("extensions", "text", "dedup", "similarity", "events", "multimodal"):
+    for mod in ("extensions", "text", "dedup", "similarity", "events", "multimodal", "advanced"):
         try:
             __import__(f"{__name__}.{mod}")
         except ImportError:

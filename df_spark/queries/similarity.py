@@ -84,6 +84,43 @@ def ann_lsh_topk(spark, sf_dir):
     return S.ann_lsh_topk(emb, queries, k=_K)
 
 
+_BUCKET_COLS = ",\n             ".join(
+    f"{S.lsh_bucket_sql('embedding', t)} AS b{t}" for t in range(S.N_TABLES)
+)
+_OR_JOIN = " OR ".join(f"q.b{t} = e.b{t}" for t in range(S.N_TABLES))
+
+
+@register(
+    "ann_multi_lsh",
+    sql=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_BUCKET_COLS}
+      FROM embeddings
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, e.vec_id
+      FROM b q JOIN b e ON ({_OR_JOIN}) AND e.vec_id <> q.vec_id
+      WHERE q.vec_id < {_QUERY_IDS}
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT c.query_id, c.vec_id,
+             {S.cosine_sql('q.embedding', 'e.embedding')} AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.query_id
+               ORDER BY {S.cosine_sql('q.embedding', 'e.embedding')} DESC, c.vec_id
+             ) AS rank
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings e ON e.vec_id = c.vec_id
+    ) WHERE rank <= {_K}
+    """,
+)
+def ann_multi_lsh(spark, sf_dir):
+    emb = load_sdf(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _QUERY_IDS)
+    return S.ann_multi_lsh_topk(emb, queries, k=_K)
+
+
 @register(
     "embed_near_dup",
     sql=f"""

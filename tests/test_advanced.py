@@ -1,0 +1,74 @@
+"""Tests for as-of join, range join, and multi-table LSH recall."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from df_spark.operators.joins import asof_join, range_join
+from df_spark.operators import similarity as S
+
+
+def ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_asof_join_basic(spark):
+    trades = spark.createDataFrame(
+        [(1, ts(10, 30), 100.0), (1, ts(11, 30), 101.0), (2, ts(10, 15), 50.0)],
+        "sym long, t timestamp, px double")
+    quotes = spark.createDataFrame(
+        [(1, ts(10, 0), 99.0), (1, ts(11, 0), 100.5), (2, ts(12, 0), 51.0)],
+        "sym long, t timestamp, bid double")
+    out = asof_join(trades, quotes, on="sym", left_time="t", right_time="t",
+                    right_cols=["bid"])
+    got = {(r.sym, r.px): r.bid_asof for r in out.collect()}
+    assert got == {
+        (1, 100.0): 99.0,    # 10:30 sees the 10:00 quote
+        (1, 101.0): 100.5,   # 11:30 sees the 11:00 quote
+        (2, 50.0): None,     # 10:15 has no prior quote (12:00 is later)
+    }
+
+
+def test_asof_join_simultaneous_right_visible(spark):
+    left = spark.createDataFrame([(1, ts(10), 1.0)], "k long, t timestamp, x double")
+    right = spark.createDataFrame([(1, ts(10), 42.0)], "k long, t timestamp, y double")
+    out = asof_join(left, right, on="k", left_time="t", right_time="t",
+                    right_cols=["y"]).collect()
+    assert out[0].y_asof == 42.0  # ties: right row at the same instant counts
+
+
+def test_range_join(spark):
+    fact = spark.createDataFrame([(1, 5.0), (2, 15.0), (3, 25.0)], "id long, v double")
+    bands = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 10.0, 20.0)], "band string, lo double, hi double")
+    got = {(r.id): r.band for r in range_join(fact, bands, "v").collect()}
+    assert got == {1: "a", 2: "b"}  # 25.0 falls outside all bands
+
+
+def test_multi_table_lsh_improves_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 30)
+    bf = {(r.query_id, r.vec_id) for r in S.cosine_topk(emb, q, k=3).collect()}
+    single = {(r.query_id, r.vec_id) for r in S.ann_lsh_topk(emb, q, k=3).collect()}
+    multi = {(r.query_id, r.vec_id) for r in S.ann_multi_lsh_topk(emb, q, k=3).collect()}
+    # OR-amplification can only widen the candidate set
+    assert len(multi & bf) >= len(single & bf)
+    assert len(multi) >= len(single)
+
+
+def test_lsh_exact_duplicate_always_found(spark):
+    # a vector identical to a query lands in the same bucket in EVERY
+    # table → guaranteed candidate
+    import pyspark.sql.types as T
+    base = [0.1 * ((i % 7) - 3) for i in range(64)]
+    rows = [(1, base), (2, base), (3, [-x for x in base])]
+    emb = spark.createDataFrame(rows, T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType()))]))
+    q = emb.filter(F.col("vec_id") == 1)
+    got = {(r.query_id, r.vec_id): r.cos_sim for r in
+           S.ann_multi_lsh_topk(emb, q, k=5).collect()}
+    assert (1, 2) in got
+    assert abs(got[(1, 2)] - 1.0) < 1e-9
