@@ -63,6 +63,33 @@ def asof_join(
     return out
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the skewed left side gets a random salt
+    in [0, salt), the right side is replicated ``salt`` times, and the
+    join key becomes (key, salt) — hot keys spread across ``salt``
+    tasks. Use when one key dominates and AQE's skew-join split isn't
+    enough (e.g. a null-heavy or power-law FK). Row multiplicity is
+    unchanged: each left row joins exactly its one replica set."""
+    l_salted = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    r_replicated = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    joined = l_salted.join(
+        r_replicated,
+        (l_salted[left_on] == r_replicated[right_on])
+        & (l_salted["__salt"] == r_replicated["__salt"]),
+        how,
+    )
+    return joined.drop("__salt")
+
+
 def range_join(
     fact: DataFrame,
     bands: DataFrame,

@@ -72,3 +72,16 @@ def test_lsh_exact_duplicate_always_found(spark):
            S.ann_multi_lsh_topk(emb, q, k=5).collect()}
     assert (1, 2) in got
     assert abs(got[(1, 2)] - 1.0) < 1e-9
+
+
+def test_salted_join_preserves_multiplicity(spark):
+    from df_spark.operators.joins import salted_join
+    # skewed left: key 1 dominates
+    left = spark.createDataFrame([(1, i) for i in range(100)] + [(2, -1)],
+                                 "k long, x long")
+    right = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "none")],
+                                  "j long, tag string")
+    out = salted_join(left, right, "k", "j", salt=4)
+    assert out.count() == 101  # every left row matched exactly once
+    tags = {r.tag for r in out.collect()}
+    assert tags == {"hot", "cold"}
