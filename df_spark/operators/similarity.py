@@ -190,16 +190,25 @@ def ann_multi_lsh_topk(
     p^bits to 1-(1-p^bits)^L for true neighbors at unchanged per-table
     join cost). Candidate pairs are deduped before scoring so each
     cosine is computed once."""
-    cand = None
-    for t in range(n_tables):
-        b = emb.select(F.col(id_col), lsh_bucket(F.col(vec_col), t).alias("bucket"),
-                       F.lit(t).alias("tbl"))
-        q = queries.select(F.col(id_col).alias("query_id"),
-                           lsh_bucket(F.col(vec_col), t).alias("bucket"),
-                           F.lit(t).alias("tbl"))
-        part = q.join(b, ["bucket", "tbl"]).select("query_id", id_col)
-        cand = part if cand is None else cand.unionByName(part)
-    cand = cand.filter(F.col(id_col) != F.col("query_id")).distinct()
+    # all table buckets in ONE projection over the corpus (a per-table
+    # union would rescan and rehash the corpus once per table), exploded
+    # to (tbl, bucket) rows for a single equi-join
+    def bucketed(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(
+                F.array(*[lsh_bucket(F.col(vec_col), t) for t in range(n_tables)])
+            ).alias("tbl", "bucket"),
+        )
+
+    b = bucketed(emb, id_col)
+    q = bucketed(queries, "query_id")
+    cand = (
+        q.join(b, ["bucket", "tbl"])
+        .select("query_id", id_col)
+        .filter(F.col(id_col) != F.col("query_id"))
+        .distinct()
+    )
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
     ev = emb.select(F.col(id_col), F.col(vec_col))
     scored = (
