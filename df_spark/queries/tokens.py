@@ -1,0 +1,105 @@
+"""Corpus-scale token pipelines: global term frequencies and TF-IDF
+top terms — the classic word-count / feature-weighting passes of an
+LLM-data pipeline (explode → hash aggregate; one shuffle on the term).
+
+IDF uses the rational form N/df instead of ln(N/df): libm logarithm
+rounding is not guaranteed identical across engines, division is —
+keeps the oracle exact. Rankings are unaffected (monotone transform).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized, normalized_sql
+from ..sources.tables import load_sdf
+from . import register
+
+_TOPN = 100
+_PER_DOC = 3
+_DOC_LIMIT = 20
+
+
+def _tokens_sdf(spark, sf_dir):
+    docs = load_sdf(spark, sf_dir, "documents")
+    base = docs.select("doc_id", normalized(F.col("text")).alias("__t")).repartition(32)
+    return base.select(
+        "doc_id", F.explode(F.split(F.col("__t"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+
+
+_TOKENS_SQL = f"""
+      SELECT doc_id, unnest(string_split({normalized_sql('text')}, ' ')) AS token
+      FROM documents
+"""
+
+
+@register(
+    "token_freq",
+    sql=f"""
+    WITH tok AS ({_TOKENS_SQL})
+    SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+    FROM tok WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT {_TOPN}
+    """,
+)
+def token_freq(spark, sf_dir):
+    tok = _tokens_sdf(spark, sf_dir)
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"), F.count_distinct("doc_id").alias("n_docs"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(_TOPN)
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    sql=f"""
+    WITH tok AS ({_TOKENS_SQL}),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM tok WHERE token <> '' GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok WHERE token <> '' GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(CAST(tf.tf AS DOUBLE) * n.n_docs / df.df, 6) AS tfidf
+      FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+      WHERE tf.doc_id < {_DOC_LIMIT}
+    )
+    SELECT doc_id, token, tfidf, rank FROM (
+      SELECT doc_id, token, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+      FROM scored
+    ) WHERE rank <= {_PER_DOC}
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    # tf and df from one token table; df (small) broadcast back onto tf;
+    # per-doc top terms via window
+    tok = _tokens_sdf(spark, sf_dir)
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = load_sdf(spark, sf_dir, "documents").count()
+    scored = (
+        tf.filter(F.col("doc_id") < _DOC_LIMIT)
+        .join(F.broadcast(df), "token")
+        .select(
+            "doc_id",
+            "token",
+            F.round(F.col("tf").cast("double") * n_docs / F.col("df"), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PER_DOC)
+        .select("doc_id", "token", "tfidf", "rank")
+    )
