@@ -26,7 +26,7 @@ Semantic deltas from the reference (deliberate, documented):
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Mapping, Sequence
+from typing import Any, Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,7 +34,6 @@ from pyspark.sql import types as T
 
 from .expr import (
     Aggregator,
-    Alias,
     EngineError,
     Expr,
     Predicate,
@@ -367,6 +366,30 @@ class Df:
 
     # ---- extensions beyond the reference surface ----------------------
 
+    def explode(self, column: str, out: str = "value", keep: Sequence[str] | None = None) -> "Df":
+        """Flatten an array column to one row per element (positional
+        index in ``{out}_pos``)."""
+        base = self._resolved()
+        keep_cols = list(keep) if keep else [c for c in base._sdf.columns if c != column]
+        sdf = base._sdf.select(
+            *keep_cols, F.posexplode(column).alias(f"{out}_pos", out)
+        )
+        return base._child(sdf, f"explode:{column}")
+
+    def cube(self, *keys: str) -> "GroupedDf":
+        return GroupedDf(self._resolved(), list(keys), "cube")
+
+    def rollup(self, *keys: str) -> "GroupedDf":
+        return GroupedDf(self._resolved(), list(keys), "rollup")
+
+    def pivot(self, group_key: str, pivot_col: str, values: Sequence[str],
+              agg_col: str, agg: "Aggregator") -> "Df":
+        """Wide-format aggregation: one output column per pivot value."""
+        base = self._resolved()
+        grouped = base._sdf.groupBy(group_key).pivot(pivot_col, list(values))
+        sdf = grouped.agg(agg.apply(F.col(agg_col)))
+        return base._child(sdf, f"pivot:{pivot_col}:{values}")
+
     def with_column(self, name: str, expr: Expr | Column) -> "Df":
         base = self._resolved()
         col = expr.compile(base._sdf.schema) if isinstance(expr, Expr) else expr
@@ -451,6 +474,27 @@ class Df:
     def unpersist(self) -> "Df":
         self._resolved()._sdf.unpersist()
         return self
+
+
+class GroupedDf:
+    """Multi-dimensional grouping handle (cube/rollup) — terminal
+    ``aggregate`` applies one aggregator per named column."""
+
+    def __init__(self, parent: Df, keys: list[str], kind: str) -> None:
+        self._parent = parent
+        self._keys = keys
+        self._kind = kind
+
+    def aggregate(self, aggregators: Mapping[str, Aggregator]) -> Df:
+        sdf = self._parent.to_spark()
+        grouped = sdf.cube(*self._keys) if self._kind == "cube" else sdf.rollup(*self._keys)
+        aggs = [agg.apply(F.col(name)).alias(name) for name, agg in aggregators.items()]
+        return Df(
+            grouped.agg(*aggs),
+            fingerprint=fingerprint_op(
+                self._parent.fingerprint, f"{self._kind}:{self._keys}:{dict(aggregators)!r}"
+            ),
+        )
 
 
 def _apply_to_list(agg: Aggregator, name: str, field_type: T.DataType) -> Column:

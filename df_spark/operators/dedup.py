@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import MINHASH_A, NUM_HASHES, h32, h32_sql, minhash_perm, minhash_perm_sql
+from ..functions.hashing import NUM_HASHES, h32, h32_sql, minhash_perm, minhash_perm_sql
 from ..functions.text import (
     char_shingles,
     char_shingles_sql,

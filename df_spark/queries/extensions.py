@@ -126,6 +126,77 @@ def scalar_funcs(spark, sf_dir):
 
 
 @register(
+    "scalar_funcs2",
+    sql="""
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_day,
+           datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_95,
+           CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow, -- duckdb 0=Sun; spark 1=Sun
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS padded_key,
+           reverse(o_orderpriority) AS pri_rev,
+           replace(o_orderpriority, '-', '_') AS pri_snake,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'med'
+                ELSE 'small' END AS size_class
+    FROM orders
+    """,
+)
+def scalar_funcs2(spark, sf_dir):
+    # date arithmetic, null handling, string library round 2 — all
+    # codegen'd builtins
+    orders = load_sdf(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias("due_day"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("long").alias("days_since_95"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias("status_label"),
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("padded_key"),
+        F.reverse("o_orderpriority").alias("pri_rev"),
+        F.replace("o_orderpriority", F.lit("-"), F.lit("_")).alias("pri_snake"),
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 100000, "med")
+        .otherwise("small")
+        .alias("size_class"),
+    )
+
+
+@register(
+    "rollup_agg",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_agg(spark, sf_dir):
+    orders = load_sdf(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@register(
+    "explode_arrays",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, string_split(source, 'c') AS parts FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, parts[CAST(i AS INT)] AS part
+    FROM t, unnest(generate_series(1, len(parts))) AS g(i)
+    """,
+)
+def explode_arrays(spark, sf_dir):
+    # array construction + positional explode (lateral view)
+    docs = load_sdf(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split("source", "c")).alias("pos", "part"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "part")
+
+
+@register(
     "cube_agg",
     sql="""
     SELECT o_orderstatus, o_orderpriority,

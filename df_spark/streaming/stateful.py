@@ -10,7 +10,7 @@ per-group and Arrow-batched.
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Iterator
+from typing import Any, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame

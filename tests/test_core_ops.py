@@ -304,3 +304,34 @@ def test_count_take(spark):
     df = bool_int(spark)
     assert df.count() == 3
     assert len(df.take(2)) == 2
+
+
+# --- cube / rollup / pivot / explode on the fluent surface ------------------
+
+
+def test_fluent_cube_rollup(spark):
+    df = Df.from_vecs(spark, [("a", ["x", "x", "y"]), ("b", ["p", "q", "p"]),
+                              ("v", [1, 2, 4])])
+    cube = df.cube("a", "b").aggregate({"v": Aggregator.SUM})
+    assert len(cube.collect()) == 8  # 3 observed combos + 2 + 2 + 1 grand total
+    rollup = df.rollup("a", "b").aggregate({"v": Aggregator.SUM})
+    rows = {(r.a, r.b): r.v for r in rollup.collect()}
+    assert rows[(None, None)] == 7
+    assert rows[("x", None)] == 3
+
+
+def test_fluent_explode(spark):
+    from pyspark.sql import functions as F
+    base = Df.from_vecs(spark, [("id", [1, 2]), ("s", ["a,b", "c"])])
+    arr = base.with_column("parts", F.split(F.col("s"), ","))
+    out = arr.select("id", "parts").explode("parts", out="part")
+    assert sorted(tuple(r) for r in out.collect()) == [
+        (1, 0, "a"), (1, 1, "b"), (2, 0, "c")]
+
+
+def test_fluent_pivot(spark):
+    df = Df.from_vecs(spark, [("g", ["a", "a", "b"]), ("p", ["x", "y", "x"]),
+                              ("v", [1, 2, 4])])
+    out = df.pivot("g", "p", ["x", "y"], "v", Aggregator.SUM)
+    rows = {r.g: (r.x, r.y) for r in out.collect()}
+    assert rows == {"a": (1, 2), "b": (4, None)}
