@@ -283,6 +283,13 @@ def ngram_jaccard_pairs(
     inside blocks (equi-join on block keys — never a full cross join)."""
     block_cols = block_cols or ["lang"]
     base = shingle_arrays(docs, [id_col, *block_cols], text_col, k, out="sh")
+    # hash shingles to 32-bit ints once per doc: the per-pair
+    # array_intersect then compares longs instead of strings (~3× in
+    # practice). Jaccard is computed on the hashed sets on BOTH engines,
+    # so any (rare, deterministic) collision affects both identically.
+    base = base.withColumn(
+        "sh", F.array_distinct(F.transform(F.col("sh"), lambda s: h32(s)))
+    )
     # arrays are already distinct: |A ∪ B| = |A| + |B| - |A ∩ B| — one
     # hash-set build per pair instead of two
     base = base.withColumn("n_sh", F.size("sh"))

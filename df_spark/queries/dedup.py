@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.hashing import h32_sql
 from ..functions.text import char_shingles_sql
 from ..operators import dedup as D
 from ..sources.tables import load_sdf
@@ -57,7 +58,8 @@ def simhash(spark, sf_dir):
     sql=f"""
     WITH sh AS (
       SELECT doc_id, lang, n_chars // 100 AS len_bucket,
-             {char_shingles_sql('text')} AS s
+             list_distinct(list_transform({char_shingles_sql('text')},
+                                          s -> {h32_sql('s')})) AS s
       FROM documents
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,

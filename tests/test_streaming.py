@@ -87,3 +87,32 @@ def test_stateful_user_profiles(spark, sf_dir):
         assert row.n_events == n
         assert row.last_seen_us == ls
         assert row.total_value > 0
+
+
+def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
+    from df_spark.streaming.sinks import foreach_batch_parquet
+
+    stream = SW.read_events_stream(spark, sf_dir)
+    agg = SW.tumbling_counts(stream)
+    out = str(tmp_path / "out")
+    q = foreach_batch_parquet(agg, out, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    written = spark.read.parquet(out)
+    assert written.count() > 0
+    assert "batch_id" in written.columns  # partition column surfaced
+    # windows in the sink match the memory-sink run of the same query
+    _, mem = SW.run_stream_to_memory(SW.tumbling_counts(SW.read_events_stream(spark, sf_dir)))
+    assert written.count() == mem.count()
+
+
+def test_rate_source_smoke(spark):
+    # rate source: synthetic unbounded stream (the "is streaming wired
+    # at all" probe without any file dependency)
+    stream = (spark.readStream.format("rate").option("rowsPerSecond", "100").load())
+    q = (stream.writeStream.format("memory").queryName("rate_out")
+         .trigger(processingTime="200 milliseconds").start())
+    import time
+    time.sleep(2.5)
+    q.stop()
+    n = spark.sql("SELECT count(*) AS n FROM rate_out").collect()[0].n
+    assert n >= 0  # query ran and terminated cleanly
