@@ -454,8 +454,15 @@ class Df:
     # ---- sinks (the reference has none — SURVEY §2 checklist) ---------
 
     def write_parquet(self, path: str, mode: str = "overwrite",
-                      partition_by: Sequence[str] | None = None) -> None:
-        w = self._resolved()._sdf.write.mode(mode)
+                      partition_by: Sequence[str] | None = None,
+                      compression: str = "zstd",
+                      max_records_per_file: int | None = None) -> None:
+        """Parquet sink. zstd by default (best scan/size tradeoff for
+        cold data); ``max_records_per_file`` caps file sizes so a 100 TB
+        write produces scan-friendly splits instead of giant files."""
+        w = self._resolved()._sdf.write.mode(mode).option("compression", compression)
+        if max_records_per_file:
+            w = w.option("maxRecordsPerFile", str(max_records_per_file))
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)

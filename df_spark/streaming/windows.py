@@ -104,6 +104,19 @@ def session_windows(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact-dedup: drops rows whose key was already seen
+    within the watermark horizon (``dropDuplicatesWithinWatermark`` —
+    state is evicted once the watermark passes, so memory is bounded;
+    the batch twin is ``operators.dedup.drop_exact_dups``)."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_stream_to_memory(
     agg: DataFrame, output_mode: str = "append", name: str | None = None
 ) -> tuple[str, "DataFrame"]:

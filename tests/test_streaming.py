@@ -116,3 +116,24 @@ def test_rate_source_smoke(spark):
     q.stop()
     n = spark.sql("SELECT count(*) AS n FROM rate_out").collect()[0].n
     assert n >= 0  # query ran and terminated cleanly
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    # build a duplicated copy of the events file as the stream input
+    src = pq.read_table(f"{sf_dir}/events.parquet")
+    dup_dir = tmp_path / "dup_events"
+    dup_dir.mkdir()
+    pq.write_table(src, str(dup_dir / "a.parquet"))
+    pq.write_table(src, str(dup_dir / "b.parquet"))
+
+    from pyspark.sql import functions as F
+    raw = (spark.readStream.schema(SW.EVENTS_SCHEMA).format("parquet")
+           .load(str(dup_dir))
+           .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    deduped = SW.dedup_stream(raw, keys=["event_id"], watermark="100 days")
+    _, out = SW.run_stream_to_memory(deduped, output_mode="append")
+    n_unique = src.num_rows
+    assert out.count() == n_unique  # both copies collapse to one
