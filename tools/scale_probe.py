@@ -1,0 +1,122 @@
+"""Scale probe: runs flagship operators at ~1× and ~10× sf0.1 (the 10×
+corpus is synthesized in-memory by unioning id-shifted copies — no
+files written) and prints per-op times plus the scaling exponent
+log10(t10/t1). An exponent near 1.0 = linear scaling (shuffle-bound ops
+should sit slightly above 1 from the n·log n sort terms; anything ≥1.5
+indicates a quadratic term that would not survive 1000×).
+
+Usage: python tools/scale_probe.py [copies]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from df_spark.session import get_spark  # noqa: E402
+from df_spark.operators import dedup as D  # noqa: E402
+from df_spark.operators import similarity as S  # noqa: E402
+from df_spark.sources.tables import load_sdf  # noqa: E402
+
+
+def replicate(
+    df: DataFrame, id_col: str, copies: int, stride: int, perturb_text: bool = False
+) -> DataFrame:
+    """Union id-shifted copies. ``perturb_text`` appends the copy index
+    to the text so replicas are NOT near-duplicates of each other —
+    otherwise every doc gains (copies-1) planted near-dups and the
+    pair-output of dedup ops grows quadratically BY CONSTRUCTION (the
+    output really is that big), which measures the data, not the
+    algorithm."""
+    out = None
+    for i in range(copies):
+        part = df.withColumn(id_col, F.col(id_col) + F.lit(i * stride))
+        if perturb_text and i > 0:
+            part = part.withColumn(
+                "text", F.concat(F.col("text"), F.lit(f" variant{i} " * 8))
+            )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def timed(label: str, df: DataFrame) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    print(f"  {label}: {dt:.2f}s")
+    return dt
+
+
+def main() -> None:
+    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("scale_probe")
+    sfd = "/root/testdata/sf0.1"
+
+    li1 = load_sdf(spark, sfd, "lineitem")
+    docs1 = load_sdf(spark, sfd, "documents")
+    emb1 = load_sdf(spark, sfd, "embeddings")
+    liN = replicate(li1, "l_orderkey", copies, 10_000_000)
+    docsN = replicate(docs1, "doc_id", copies, 10_000_000, perturb_text=True)
+    embN = replicate(emb1, "vec_id", copies, 10_000_000)
+    print(f"rows 1x: lineitem={li1.count():,} docs={docs1.count():,} emb={emb1.count():,}")
+    print(f"rows {copies}x: lineitem={liN.count():,} docs={docsN.count():,} emb={embN.count():,}")
+
+    def q1(li: DataFrame) -> DataFrame:
+        return (
+            li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq"),
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")).alias("sd"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    results: dict[str, tuple[float, float]] = {}
+
+    def probe(name: str, f1: DataFrame, fN: DataFrame) -> None:
+        print(f"{name}:")
+        t1 = timed("1x", f1)
+        tN = timed(f"{copies}x", fN)
+        results[name] = (t1, tN)
+
+    # warm up the Python UDF workers so the first pandas-UDF probe
+    # doesn't pay worker-spawn cost
+    S.ann_multi_lsh_topk(emb1.limit(50), emb1.limit(5)).write.format("noop").mode("overwrite").save()
+
+    probe("q1_agg", q1(li1), q1(liN))
+    probe("minhash_signatures", D.minhash_signatures(docs1), D.minhash_signatures(docsN))
+    probe(
+        "ann_multi_lsh",
+        S.ann_multi_lsh_topk(emb1, emb1.filter(F.col("vec_id") < 5)),
+        S.ann_multi_lsh_topk(embN, embN.filter(F.col("vec_id") < 5)),
+    )
+    probe("exact_dedup", D.exact_dedup_stats(docs1), D.exact_dedup_stats(docsN))
+
+    # LSH candidates are OUTPUT-bound on this corpus: the synthetic
+    # vocabulary is ~30 words, so random doc pairs have Jaccard ~0.3-0.5
+    # and the candidate-pair count itself grows ~quadratically — that's
+    # the data's true near-dup structure, not an algorithmic term. The
+    # honest throughput metric is emitted pairs/sec.
+    print("lsh_pairs (output-bound):")
+    for label, docs in [("1x", docs1), (f"{copies}x", docsN)]:
+        pairs = D.lsh_candidate_pairs(D.minhash_signatures(docs))
+        t0 = time.time()
+        n = pairs.count()
+        dt = time.time() - t0
+        print(f"  {label}: {n:,} pairs in {dt:.2f}s -> {n / dt:,.0f} pairs/s")
+
+    print("\nscaling exponents (1.0 = linear):")
+    for name, (t1, tN) in results.items():
+        exp = math.log(tN / t1) / math.log(copies) if t1 > 0 else float("nan")
+        print(f"  {name}: {exp:.2f}  ({t1:.2f}s -> {tN:.2f}s at {copies}x)")
+
+
+if __name__ == "__main__":
+    main()
