@@ -220,6 +220,77 @@ def lsh_candidate_pairs(
     return pairs.select("id_a", "id_b").distinct()
 
 
+def minhash_near_dups(
+    docs: DataFrame,
+    min_jaccard: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The canonical near-dedup pipeline end-to-end: MinHash → LSH
+    banding → candidate pairs → EXACT Jaccard verification ≥ threshold.
+
+    LSH prunes the pair space (only band-colliding pairs are verified);
+    the verification join fetches each doc's hashed shingle set once and
+    computes exact set overlap. At scale: candidates ∝ true near-dups
+    (not n²), verification is an equi-join on id."""
+    sigs = minhash_signatures(docs, id_col, text_col)
+    cand = lsh_candidate_pairs(sigs, id_col)
+    sets = shingle_arrays(docs, [id_col], text_col, out="sh")
+    sets = sets.withColumn(
+        "sh", F.array_distinct(F.transform(F.col("sh"), lambda s: h32(s)))
+    ).withColumn("n_sh", F.size("sh"))
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"),
+                    F.col("n_sh").alias("n_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"),
+                    F.col("n_sh").alias("n_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.col("n_a") + F.col("n_b")).cast("double") - inter
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def minhash_near_dups_sql(table: str = "documents", min_jaccard: float = 0.6,
+                          id_col: str = "doc_id", text_col: str = "text") -> str:
+    from .similarity import N_PLANES  # noqa: F401  (doc cross-ref only)
+
+    sig_sql = minhash_signatures_sql(table, id_col, text_col)
+    shingle_hashed = (
+        f"list_distinct(list_transform({char_shingles_sql(text_col)}, s -> {h32_sql('s')}))"
+    )
+    return f"""
+    WITH sig AS ({sig_sql}),
+    buckets AS (
+      SELECT {id_col}, band0 AS bucket, 0 AS band_idx FROM sig
+      UNION ALL SELECT {id_col}, band1, 1 FROM sig
+      UNION ALL SELECT {id_col}, band2, 2 FROM sig
+      UNION ALL SELECT {id_col}, band3, 3 FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.bucket = b.bucket AND a.band_idx = b.band_idx
+       AND a.{id_col} < b.{id_col}
+    ),
+    sets AS (
+      SELECT {id_col}, {shingle_hashed} AS sh FROM {table}
+    )
+    SELECT id_a, id_b,
+           round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE)
+                    - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+    FROM cand
+    JOIN sets sa ON sa.{id_col} = cand.id_a
+    JOIN sets sb ON sb.{id_col} = cand.id_b
+    WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                / (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE)
+                   - len(list_intersect(sa.sh, sb.sh))), 6) >= {min_jaccard}
+    """
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -74,3 +74,11 @@ def ngram_jaccard(spark, sf_dir):
         "len_bucket", F.expr("n_chars div 100")
     )
     return D.ngram_jaccard_pairs(docs, block_cols=["lang", "len_bucket"])
+
+
+@register("minhash_near_dups", sql=D.minhash_near_dups_sql("documents", 0.6))
+def minhash_near_dups(spark, sf_dir):
+    # the full near-dedup pipeline: LSH candidates verified by exact
+    # Jaccard >= 0.6
+    docs = load_sdf(spark, sf_dir, "documents")
+    return D.minhash_near_dups(docs, min_jaccard=0.6)

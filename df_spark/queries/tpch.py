@@ -133,3 +133,41 @@ def q6_revenue_forecast(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "q18_large_orders",
+    sql="""
+    SELECT c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_name, o_orderkey, o_orderdate
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 180
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    # TPC-H Q18 shape: HAVING over a grouped fact + dim joins + top-N
+    cust = load_sdf(spark, sf_dir, "customer")
+    orders = load_sdf(spark, sf_dir, "orders")
+    li = load_sdf(spark, sf_dir, "lineitem")
+    qty = F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg(qty.alias("__qty"))
+        .filter(F.col("__qty") > 180)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            F.col("__qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
