@@ -128,3 +128,83 @@ def test_reference_client_runs_unchanged(server, small_csv):
            .aggregate({"int": ref.Aggregator.AVERAGE})
            .collect())
     assert out == {"int": {"Float": [2.0]}}
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists("/root/reference/client.py"),
+    reason="reference checkout not present")
+def test_reference_client_q1_pipeline(server, spark, tmp_path_factory):
+    """The reference client's hand-built TPC-H Q1 (client.py:259-331)
+    through the wire — filter on string dates, Float-constant arithmetic,
+    group_by → order_by → aggregate over the grouped (List) frame —
+    checked against the same computation done natively in Spark."""
+    import importlib.util
+
+    pytest.importorskip("requests")
+    from pyspark.sql import functions as F
+
+    # export sf0.001 lineitem in the reference's 16-column '|' CSV shape
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    csv_df = li.select(
+        F.col("l_orderkey"), F.col("l_partkey"), F.col("l_suppkey"),
+        F.col("l_linenumber"),
+        F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount"),
+        F.col("l_tax"), F.col("l_returnflag"), F.col("l_linestatus"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        F.lit("1995-01-01").alias("commit_date"),
+        F.lit("1995-01-08").alias("receipt_date"),
+        F.lit("NONE").alias("ship_instructions"),
+        F.lit("MAIL").alias("ship_mode"),
+        F.lit("no comment").alias("comment"),
+    )
+    out_dir = tmp_path_factory.mktemp("li_csv")
+    csv_df.coalesce(1).write.mode("overwrite").option("delimiter", "|").csv(str(out_dir / "li"))
+
+    spec = importlib.util.spec_from_file_location("ref_client2", "/root/reference/client.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+    ref.URI = URI
+    schema = ref.Schema([
+        ("order_key", ref.Type.INT), ("part_key", ref.Type.INT),
+        ("supplier_key", ref.Type.INT), ("line_number", ref.Type.INT),
+        ("quantity", ref.Type.FLOAT), ("extended_price", ref.Type.FLOAT),
+        ("discount", ref.Type.FLOAT), ("tax", ref.Type.FLOAT),
+        ("return_flag", ref.Type.STRING), ("line_status", ref.Type.STRING),
+        ("ship_date", ref.Type.STRING), ("commit_date", ref.Type.STRING),
+        ("receipt_date", ref.Type.STRING), ("ship_instructions", ref.Type.STRING),
+        ("ship_mode", ref.Type.STRING), ("comment", ref.Type.STRING)])
+    c, Value = ref.c, ref.Value
+    blocks = (ref.Df.from_csv(str(out_dir / "li"), schema)
+        .filter("ship_date", ref.Predicate(ref.Comparator.LESS_THAN_OR_EQ, Value("1998-09-02")))
+        .select([
+            c("return_flag"), c("line_status"),
+            c("quantity").alias("sum_qty"),
+            c("extended_price").alias("sum_base_price"),
+            ((c(Value(1.0)) - c("discount")) * c("extended_price")).alias("sum_disc_price"),
+            (((c(Value(1.0)) + c("tax")) * (c(Value(1.0)) - c("discount"))) * c("extended_price")).alias("sum_charge"),
+            c("quantity").alias("avg_quantity"),
+            c("extended_price").alias("avg_price"),
+            c("discount").alias("avg_discount"),
+            c("order_key").alias("count_order")])
+        .group_by(["return_flag", "line_status"])
+        .order_by(["return_flag", "line_status"])
+        .aggregate({"sum_qty": ref.Aggregator.SUM,
+                    "sum_base_price": ref.Aggregator.SUM,
+                    "sum_disc_price": ref.Aggregator.SUM,
+                    "sum_charge": ref.Aggregator.SUM,
+                    "avg_quantity": ref.Aggregator.AVERAGE,
+                    "avg_price": ref.Aggregator.AVERAGE,
+                    "avg_discount": ref.Aggregator.AVERAGE,
+                    "count_order": ref.Aggregator.COUNT})
+        .collect())
+
+    # expected, computed natively on the exported CSV rows
+    exp = (li.filter(F.date_format("l_shipdate", "yyyy-MM-dd") <= "1998-09-02")
+           .groupBy("l_returnflag", "l_linestatus")
+           .agg(F.sum("l_quantity").alias("sq"), F.count(F.lit(1)).alias("n"))
+           .orderBy("l_returnflag", "l_linestatus").collect())
+    assert blocks["return_flag"]["String"] == [r.l_returnflag for r in exp]
+    assert blocks["line_status"]["String"] == [r.l_linestatus for r in exp]
+    assert blocks["count_order"]["Int"] == [r.n for r in exp]
+    for got, want in zip(blocks["sum_qty"]["Float"], [r.sq for r in exp]):
+        assert abs(got - want) < 1e-6
