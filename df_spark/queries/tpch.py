@@ -171,3 +171,34 @@ def q18_large_orders(spark, sf_dir):
         .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
         .limit(20)
     )
+
+
+@register(
+    "q4_order_priority",
+    sql="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_quantity > 49.0
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    # TPC-H Q4 shape: EXISTS correlated subquery → Catalyst rewrites to
+    # a left-semi join (shown in PLANS.md); written via spark.sql to
+    # exercise the subquery path end-to-end
+    load_sdf(spark, sf_dir, "orders").createOrReplaceTempView("orders_q4")
+    load_sdf(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q4")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders_q4
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem_q4
+          WHERE l_orderkey = o_orderkey AND l_quantity > 49.0
+        )
+        GROUP BY o_orderpriority
+        """
+    )
