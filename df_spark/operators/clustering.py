@@ -1,0 +1,89 @@
+"""Connected components over a pair graph — the dedup-clustering step
+that turns near-dup PAIRS into dedup GROUPS (keep one doc per
+component).
+
+Iterative min-label propagation: every node starts labeled with its own
+id; each round, a node takes the minimum label among itself and its
+neighbors; converged when no label changes. Rounds needed ≈ graph
+diameter (≤ log n with the large-star/small-star variants; plain
+propagation is fine for the shallow diameters of near-dup graphs).
+
+This is the engine's iterative-algorithm pattern: the DATA stays
+distributed (each round is two hash joins + an aggregate); only the
+convergence CHECK (a count) touches the driver, and the loop count is
+O(diameter), independent of data size. Labels are persisted per round
+and the previous round unpersisted — bounded memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) with component = min node id reachable.
+    ``edges`` is undirected (each pair listed once, either order)."""
+    # symmetric edge list (a->b and b->a) so propagation is undirected.
+    # MUST be persisted: every iteration joins against it, and without
+    # the cut each round would re-run the entire upstream pair pipeline
+    # (e.g. MinHash+LSH) — measured minutes instead of seconds.
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    labels = nodes.withColumn("comp", F.col("node")).persist()
+    labels.count()  # materialize round 0
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = labels.join(neighbor_min, labels.node == neighbor_min.u, "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
+        )
+        # localCheckpoint TRUNCATES the lineage — persist alone caches
+        # data but Catalyst still re-analyzes the ever-deepening plan
+        # each round (measured: per-iteration time grows 2s → 20s by
+        # round 3 without this)
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_groups(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full dedup grouping: every doc gets a group id (= min doc id of
+    its near-dup component; singletons are their own group), plus the
+    keep/drop decision."""
+    comps = connected_components(pairs)
+    out = (
+        all_ids.select(F.col(id_col))
+        .join(comps, all_ids[id_col] == comps.node, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("comp"), F.col(id_col)).alias("group_id"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("group_id"))
+    )
+    return out

@@ -82,3 +82,37 @@ def minhash_near_dups(spark, sf_dir):
     # Jaccard >= 0.6
     docs = load_sdf(spark, sf_dir, "documents")
     return D.minhash_near_dups(docs, min_jaccard=0.6)
+
+
+@register(
+    "dedup_clusters",
+    sql=f"""
+    WITH RECURSIVE pairs AS MATERIALIZED (
+      {D.minhash_near_dups_sql('documents', 0.6).replace(chr(10), chr(10) + '      ')}
+    ),
+    sym AS MATERIALIZED (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, node) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT r.src, s.v FROM reach r JOIN sym s ON r.node = s.u
+    ),
+    comp AS (
+      SELECT src AS node, MIN(node) AS comp FROM reach GROUP BY src
+    )
+    SELECT d.doc_id,
+           COALESCE(c.comp, d.doc_id) AS group_id,
+           d.doc_id = COALESCE(c.comp, d.doc_id) AS keep
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    # pairs → connected components (iterative min-label propagation) →
+    # per-doc group id + keep/drop; the oracle uses a recursive CTE
+    from ..operators.clustering import dedup_groups
+
+    docs = load_sdf(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dups(docs, min_jaccard=0.6)
+    return dedup_groups(pairs, docs)

@@ -1,0 +1,32 @@
+"""Connected-components / dedup-grouping tests (known graphs)."""
+
+from __future__ import annotations
+
+from df_spark.operators.clustering import connected_components, dedup_groups
+
+
+def test_components_basic(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (10, 11), (11, 12), (12, 13)],
+        "id_a long, id_b long")
+    comps = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_components_chain_diameter(spark):
+    # a long chain stresses the iteration count (diameter = n-1)
+    n = 12
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], "id_a long, id_b long")
+    comps = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert set(comps.values()) == {0}
+    assert len(comps) == n + 1
+
+
+def test_dedup_groups_with_singletons(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 4)], "id_a long, id_b long")
+    all_ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5]], "doc_id long")
+    out = {r.doc_id: (r.group_id, r.keep) for r in dedup_groups(pairs, all_ids).collect()}
+    assert out == {
+        1: (1, True), 2: (1, False), 4: (1, False),  # one component, keep min
+        3: (3, True), 5: (5, True),                  # singletons keep themselves
+    }
