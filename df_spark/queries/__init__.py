@@ -47,7 +47,7 @@ def load_registry() -> dict[str, Query]:
     # import for side effect of registration
     from . import core  # noqa: F401
 
-    for mod in ("extensions", "text", "dedup", "similarity", "events", "multimodal", "advanced", "tpch", "json_props", "tokens"):
+    for mod in ("extensions", "text", "dedup", "similarity", "events", "multimodal", "advanced", "tpch", "json_props", "tokens", "pipeline_q"):
         try:
             __import__(f"{__name__}.{mod}")
         except ImportError:
