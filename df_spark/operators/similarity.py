@@ -266,6 +266,105 @@ def ann_multi_lsh_topk(
     )
 
 
+def _make_nearest_cells_udf(centroids: list[tuple[int, list[float]]], nprobe: int):
+    """Vectorized coarse quantizer for IVF: per input vector, the ids of
+    the ``nprobe`` nearest centroids by cosine, nearest first.
+
+    Accumulates dot products dimension-by-dimension (d = 0..DIM-1) with
+    one vectorized add per dim, so every score is the exact left-to-right
+    double fold the SQL oracle computes — assignments are bit-identical,
+    and ties break toward the lower centroid id (stable argsort)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    cids = np.array([c[0] for c in centroids], dtype="int64")
+    cmat = np.array([c[1] for c in centroids], dtype="float64")  # k × DIM
+    cnorm = np.zeros(cmat.shape[0])
+    for d in range(cmat.shape[1]):
+        cnorm += cmat[:, d] * cmat[:, d]
+    cnorm = np.sqrt(cnorm)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def nearest_cells(v: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(x, dtype="float64") for x in v])  # n × DIM
+        dots = np.zeros((mat.shape[0], cmat.shape[0]))
+        vnorm = np.zeros(mat.shape[0])
+        for d in range(mat.shape[1]):  # sequential over dims = fold order
+            dots += mat[:, d : d + 1] * cmat[:, d]
+            vnorm += mat[:, d] * mat[:, d]
+        cos = dots / (np.sqrt(vnorm)[:, None] * cnorm[None, :])
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([cids[row].tolist() for row in order])
+
+    return nearest_cells
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse quantizer assigns every corpus
+    vector to its nearest of ``n_cells`` centroids; each query probes its
+    ``nprobe`` nearest cells and scores only those candidates (~nprobe/
+    n_cells of the corpus).
+
+    Scale path: centroids are a bounded-small driver-side list (the
+    standard IVF coarse-quantizer shape — Spark ML's KMeans holds
+    centers on the driver too), so cell assignment is a shuffle-free
+    Arrow-batched map over the corpus; the probe→cell match is a hash
+    equi-join on the cell id. No window/shuffle touches the full corpus
+    except the final per-query top-k.
+
+    Centroid selection is deterministic (the vectors with the lowest
+    ``n_cells`` ids) so any engine reproduces it; swap in k-means
+    refinement via the iterative-batch pattern in
+    ``operators/clustering.py`` when recall matters more than oracle
+    reproducibility. Fills the reference's similarity-search gap
+    (angelini/df has no vector ops at all — src/value.rs:84-90 caps
+    types at scalars + one List level)."""
+    centroids = [
+        (r[0], list(r[1]))
+        for r in emb.select(id_col, vec_col)
+        .filter(F.col(id_col) < n_cells)
+        .orderBy(id_col)
+        .collect()
+    ]
+    assign_udf = _make_nearest_cells_udf(centroids, 1)
+    probe_udf = _make_nearest_cells_udf(centroids, nprobe)
+
+    cells = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        assign_udf(F.col(vec_col))[0].alias("cell"),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(probe_udf(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(cells, "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            cosine(F.col("__qvec"), F.col(vec_col)).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cos_sim", "rank")
+    )
+
+
 def near_dup_pairs(
     emb: DataFrame,
     threshold: float,

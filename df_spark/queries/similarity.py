@@ -121,6 +121,54 @@ def ann_multi_lsh(spark, sf_dir):
     return S.ann_multi_lsh_topk(emb, queries, k=_K)
 
 
+_N_CELLS = 16
+_NPROBE = 4
+
+
+@register(
+    "ann_ivf_topk",
+    sql=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_N_CELLS}
+    ), assign AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {S.cosine_sql('e.embedding', 'c.cvec')} DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {S.cosine_sql('e.embedding', 'c.cvec')} DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+        WHERE e.vec_id < {_QUERY_IDS}
+      ) WHERE rn <= {_NPROBE}
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT p.query_id, a.vec_id,
+             {S.cosine_sql('q.embedding', 'a.embedding')} AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.query_id
+               ORDER BY {S.cosine_sql('q.embedding', 'a.embedding')} DESC, a.vec_id
+             ) AS rank
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+      JOIN embeddings q ON q.vec_id = p.query_id
+    ) WHERE rank <= {_K}
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    emb = load_sdf(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _QUERY_IDS)
+    return S.ivf_topk(emb, queries, k=_K, n_cells=_N_CELLS, nprobe=_NPROBE)
+
+
 @register(
     "embed_near_dup",
     sql=f"""

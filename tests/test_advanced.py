@@ -74,6 +74,34 @@ def test_lsh_exact_duplicate_always_found(spark):
     assert abs(got[(1, 2)] - 1.0) < 1e-9
 
 
+def test_ivf_exact_duplicate_always_found(spark):
+    # an identical vector shares the query's nearest centroid, so it is
+    # always in a probed cell (nprobe >= 1)
+    import pyspark.sql.types as T
+    rows = []
+    for i in range(8):
+        rows.append((i, [0.1 * ((d + i) % 7 - 3) for d in range(64)]))
+    rows.append((100, rows[5][1]))  # exact dup of vec 5
+    emb = spark.createDataFrame(rows, T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType()))]))
+    q = emb.filter(F.col("vec_id") == 5)
+    got = {(r.query_id, r.vec_id): r.cos_sim for r in
+           S.ivf_topk(emb, q, k=5, n_cells=4, nprobe=2).collect()}
+    assert (5, 100) in got
+    assert abs(got[(5, 100)] - 1.0) < 1e-9
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 30)
+    bf = {(r.query_id, r.vec_id) for r in S.cosine_topk(emb, q, k=3).collect()}
+    ivf = {(r.query_id, r.vec_id) for r in
+           S.ivf_topk(emb, q, k=3, n_cells=16, nprobe=4).collect()}
+    # probing 4/16 cells must still recover a solid share of true top-3
+    assert len(ivf & bf) >= 0.5 * len(bf)
+
+
 def test_salted_join_preserves_multiplicity(spark):
     from df_spark.operators.joins import salted_join
     # skewed left: key 1 dominates
