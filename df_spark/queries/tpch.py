@@ -174,6 +174,124 @@ def q18_large_orders(spark, sf_dir):
 
 
 @register(
+    "q12_priority_class",
+    sql="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag
+    """,
+)
+def q12_priority_class(spark, sf_dir):
+    # TPC-H Q12 shape (adapted: synthetic lineitem has no shipmode, so
+    # the class column is l_returnflag): conditional CASE aggregation
+    # after a fact-to-fact join. orders is projected to 2 columns before
+    # the broadcast so only ~1/8 of its bytes ship to executors.
+    li = load_sdf(spark, sf_dir, "lineitem")
+    orders = load_sdf(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    sql="""
+    SELECT CAST((100.0 * promo_revenue) / total_revenue AS DOUBLE) AS promo_pct,
+           promo_revenue, total_revenue
+    FROM (
+      SELECT CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))
+                                 ELSE CAST(0 AS DECIMAL(28,10)) END), 2) AS DOUBLE) AS promo_revenue,
+             CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 2)
+                  AS DOUBLE) AS total_revenue
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+    )
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    # TPC-H Q14 shape: promo-share of revenue — conditional vs total sum
+    # in ONE pass over the joined fact (no second scan for the ratio's
+    # denominator); part broadcasts. Decimal sums → round → double ratio
+    # keeps both engines bit-identical.
+    li = load_sdf(spark, sf_dir, "lineitem")
+    part = load_sdf(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
+    zero = F.lit(0).cast("decimal(28,10)")
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)), 2)
+            .cast("double")
+            .alias("promo_revenue"),
+            F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        ((F.lit(100.0) * F.col("promo_revenue")) / F.col("total_revenue")).alias("promo_pct"),
+        "promo_revenue",
+        "total_revenue",
+    )
+
+
+@register(
+    "q19_brand_quantity",
+    sql="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 2)
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_brand_quantity(spark, sf_dir):
+    # TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    # bands across the join. Catalyst extracts the common implied
+    # constraints and pushes the l_quantity range into the parquet scan;
+    # the cross-table OR evaluates post-join in codegen.
+    li = load_sdf(spark, sf_dir, "lineitem")
+    part = load_sdf(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+
+    def band(brand, size_hi, q_lo, q_hi):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(
+            band("Brand#12", 5, 1, 11)
+            | band("Brand#23", 10, 10, 20)
+            | band("Brand#34", 15, 20, 30)
+        )
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
     "q4_order_priority",
     sql="""
     SELECT o_orderpriority, COUNT(*) AS order_count
