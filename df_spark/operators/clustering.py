@@ -36,34 +36,39 @@ def connected_components(
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
     nodes = sym.select(F.col("u").alias("node")).distinct()
-    labels = nodes.withColumn("comp", F.col("node")).persist()
-    labels.count()  # materialize round 0
+    labels = nodes.withColumn("comp", F.col("node")).localCheckpoint(eager=True)
 
+    # Each round is ONE join + hash-min: a node's new label is the min
+    # over {its own label} ∪ {neighbor labels}, expressed as a union fed
+    # into a single aggregate (the union of the self-labels replaces a
+    # second left-join back onto the old labels). Convergence check
+    # exploits monotonicity — min-labels only ever decrease — so labels
+    # changed iff sum(comp) decreased: one cheap aggregate on the
+    # checkpointed result instead of a join+count against the old round.
+    prev_sum = None
     for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.v == labels.node)
-            .groupBy("u")
-            .agg(F.min("comp").alias("nmin"))
+        neighbor_labels = sym.join(labels, sym.v == labels.node).select(
+            F.col("u").alias("node"), F.col("comp")
         )
-        new_labels = labels.join(neighbor_min, labels.node == neighbor_min.u, "left").select(
-            "node",
-            F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
+        new_labels = (
+            neighbor_labels.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
         )
         # localCheckpoint TRUNCATES the lineage — persist alone caches
         # data but Catalyst still re-analyzes the ever-deepening plan
         # each round (measured: per-iteration time grows 2s → 20s by
         # round 3 without this)
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels.unpersist()
+        # decimal sum: node ids are longs, so an int64 sum could overflow
+        # under ANSI mode on a billion-node graph
+        cur_sum = new_labels.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     sym.unpersist()
     return labels
 
