@@ -278,6 +278,88 @@ def join_3way_agg(spark, sf_dir):
 
 
 @register(
+    "join_anti_semi",
+    sql="""
+    SELECT c_mktsegment,
+           SUM(CASE WHEN has_big THEN 0 ELSE 1 END) AS n_without_big,
+           SUM(CASE WHEN has_big THEN 1 ELSE 0 END) AS n_with_big
+    FROM (
+      SELECT c_custkey, c_mktsegment,
+             EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey AND o_totalprice > 300000.0) AS has_big
+      FROM customer
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def join_anti_semi(spark, sf_dir):
+    # left-anti + left-semi joins (extension: the reference is
+    # inner-only, src/dataframe.rs:448-476). The filtered orders side
+    # shrinks to a key list before the two broadcast joins, so the
+    # customer table is never shuffled.
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .filter("o_totalprice", Predicate.gt(300000.0))
+        .select("o_custkey")
+    )
+    without = (
+        customer.join(big, "c_custkey", "o_custkey", how="left_anti", broadcast=True)
+        .select("c_mktsegment", raw(F.col("c_custkey")).alias("n_without_big"))
+        .group_by("c_mktsegment")
+        .aggregate({"n_without_big": Aggregator.COUNT})
+    )
+    with_ = (
+        customer.join(big, "c_custkey", "o_custkey", how="left_semi", broadcast=True)
+        .select("c_mktsegment", raw(F.col("c_custkey")).alias("n_with_big"))
+        .group_by("c_mktsegment")
+        .aggregate({"n_with_big": Aggregator.COUNT})
+    )
+    return (
+        without.join(with_, "c_mktsegment", "c_mktsegment", how="full_outer")
+        .select(
+            "c_mktsegment",
+            raw(F.coalesce(F.col("n_without_big"), F.lit(0))).alias("n_without_big"),
+            raw(F.coalesce(F.col("n_with_big"), F.lit(0))).alias("n_with_big"),
+        )
+        .to_spark()
+    )
+
+
+@register(
+    "join_left_outer",
+    sql="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_rows,
+           COUNT(o_orderkey) AS n_orders,
+           COUNT(*) - COUNT(o_orderkey) AS n_unmatched
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey AND o_totalprice > 300000.0
+    GROUP BY c_mktsegment
+    """,
+)
+def join_left_outer(spark, sf_dir):
+    # left-outer join with null-aware counting: COUNT(col) skips the
+    # nulls introduced for unmatched left rows, COUNT(*) keeps them.
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .filter("o_totalprice", Predicate.gt(300000.0))
+        .select("o_custkey", "o_orderkey")
+    )
+    joined = customer.join(big, "c_custkey", "o_custkey", how="left", broadcast=True)
+    return (
+        joined.to_spark()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_orderkey").alias("n_orders"),
+            (F.count(F.lit(1)) - F.count("o_orderkey")).alias("n_unmatched"),
+        )
+    )
+
+
+@register(
     "union_distinct",
     sql="""
     SELECT c_nationkey AS nationkey FROM customer
