@@ -304,13 +304,13 @@ def join_anti_semi(spark, sf_dir):
         .select("o_custkey")
     )
     without = (
-        customer.join(big, "c_custkey", "o_custkey", how="left_anti", broadcast=True)
+        customer.join(big, "c_custkey", "o_custkey", how="left_anti")
         .select("c_mktsegment", raw(F.col("c_custkey")).alias("n_without_big"))
         .group_by("c_mktsegment")
         .aggregate({"n_without_big": Aggregator.COUNT})
     )
     with_ = (
-        customer.join(big, "c_custkey", "o_custkey", how="left_semi", broadcast=True)
+        customer.join(big, "c_custkey", "o_custkey", how="left_semi")
         .select("c_mktsegment", raw(F.col("c_custkey")).alias("n_with_big"))
         .group_by("c_mktsegment")
         .aggregate({"n_with_big": Aggregator.COUNT})
@@ -347,7 +347,7 @@ def join_left_outer(spark, sf_dir):
         .filter("o_totalprice", Predicate.gt(300000.0))
         .select("o_custkey", "o_orderkey")
     )
-    joined = customer.join(big, "c_custkey", "o_custkey", how="left", broadcast=True)
+    joined = customer.join(big, "c_custkey", "o_custkey", how="left")
     return (
         joined.to_spark()
         .groupBy("c_mktsegment")

@@ -82,7 +82,8 @@ def token_freq(spark, sf_dir):
     """,
 )
 def tfidf_top_terms(spark, sf_dir):
-    # tf and df from one token table; df (small) broadcast back onto tf;
+    # tf and df from one token table; the df side is vocabulary-sized
+    # (scales with the corpus), so its join is AQE-decided, not forced;
     # per-doc top terms via window
     tok = _tokens_sdf(spark, sf_dir)
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
@@ -90,7 +91,7 @@ def tfidf_top_terms(spark, sf_dir):
     n_docs = load_sdf(spark, sf_dir, "documents").count()
     scored = (
         tf.filter(F.col("doc_id") < _DOC_LIMIT)
-        .join(F.broadcast(df), "token")
+        .join(df, "token")
         .select(
             "doc_id",
             "token",

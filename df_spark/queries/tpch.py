@@ -33,8 +33,8 @@ from . import register
 )
 def q3_shipping_priority(spark, sf_dir):
     # TPC-H Q3 shape: selective dim filter → fact join → top-N revenue.
-    # customer/orders broadcast against lineitem; sort+limit compiles to
-    # TakeOrderedAndProject (per-partition top-N, no global sort).
+    # sort+limit compiles to TakeOrderedAndProject (per-partition top-N,
+    # no global sort).
     cust = load_sdf(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_sdf(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < "1995-03-15 00:00:00"
@@ -45,9 +45,12 @@ def q3_shipping_priority(spark, sf_dir):
     revenue = F.sum(
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
     )
+    # both joins are AQE-decided: orders stays a fact after the date
+    # filter, and customer scales with SF too — AQE broadcasts whichever
+    # side is small at runtime
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(revenue, 2).cast("double").alias("revenue"))
         .select(
@@ -76,8 +79,9 @@ def q3_shipping_priority(spark, sf_dir):
     """,
 )
 def q5_supplier_volume(spark, sf_dir):
-    # TPC-H Q5 shape: snowflake dims (supplier→nation→region) broadcast
-    # onto the fact; one shuffle for the final small aggregate
+    # TPC-H Q5 shape: snowflake dims (supplier→nation→region) reduced
+    # to a key→name map before meeting the fact; AQE broadcasts it when
+    # small, shuffles when not; one shuffle for the final aggregate
     li = load_sdf(spark, sf_dir, "lineitem")
     supp = load_sdf(spark, sf_dir, "supplier")
     nation = load_sdf(spark, sf_dir, "nation")
@@ -91,7 +95,7 @@ def q5_supplier_volume(spark, sf_dir):
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
     )
     return (
-        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        li.join(dims, li.l_suppkey == dims.s_suppkey)
         .groupBy("n_name")
         .agg(F.round(revenue, 2).cast("double").alias("revenue"))
     )
@@ -151,14 +155,16 @@ def q6_revenue_forecast(spark, sf_dir):
     """,
 )
 def q18_large_orders(spark, sf_dir):
-    # TPC-H Q18 shape: HAVING over a grouped fact + dim joins + top-N
+    # TPC-H Q18 shape: HAVING over a grouped fact + dim joins + top-N.
     cust = load_sdf(spark, sf_dir, "customer")
     orders = load_sdf(spark, sf_dir, "orders")
     li = load_sdf(spark, sf_dir, "lineitem")
     qty = F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+    # joins are AQE-decided: lineitem⋈orders is fact-fact, and customer
+    # scales with SF — the plan must survive a 1000x scale-up
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_name", "o_orderkey", "o_orderdate")
         .agg(qty.alias("__qty"))
         .filter(F.col("__qty") > 180)
@@ -189,13 +195,15 @@ def q18_large_orders(spark, sf_dir):
 def q12_priority_class(spark, sf_dir):
     # TPC-H Q12 shape (adapted: synthetic lineitem has no shipmode, so
     # the class column is l_returnflag): conditional CASE aggregation
-    # after a fact-to-fact join. orders is projected to 2 columns before
-    # the broadcast so only ~1/8 of its bytes ship to executors.
+    # after a fact-to-fact join. orders is projected to 2 columns so only
+    # ~1/8 of its bytes reach the join.
     li = load_sdf(spark, sf_dir, "lineitem")
     orders = load_sdf(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # no forced broadcast: orders is a fact table, so AQE picks the join
+    # strategy from runtime size (broadcast at small SF, shuffle at 100 TB)
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_returnflag")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
@@ -223,14 +231,15 @@ def q12_priority_class(spark, sf_dir):
 def q14_promo_revenue(spark, sf_dir):
     # TPC-H Q14 shape: promo-share of revenue — conditional vs total sum
     # in ONE pass over the joined fact (no second scan for the ratio's
-    # denominator); part broadcasts. Decimal sums → round → double ratio
-    # keeps both engines bit-identical.
+    # denominator); part is projected to 2 columns and its join left to
+    # AQE. Decimal sums → round → double ratio keeps both engines
+    # bit-identical.
     li = load_sdf(spark, sf_dir, "lineitem")
     part = load_sdf(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
     zero = F.lit(0).cast("decimal(28,10)")
     agg = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)), 2)
             .cast("double")
@@ -278,7 +287,7 @@ def q19_brand_quantity(spark, sf_dir):
 
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(
             band("Brand#12", 5, 1, 11)
             | band("Brand#23", 10, 10, 20)
