@@ -1,10 +1,11 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Two paths — cosine scoring is pure JVM higher-order functions;
-multi-table bucket hashing uses a vectorized pandas UDF because 32
-interpreted HOF folds per row were the measured bottleneck (the UDF
-reproduces the fold's exact summation order, so buckets stay
-bit-identical to the SQL oracle):
+Column builders exist in two bit-identical forms: interpreted JVM
+higher-order functions (``cosine`` — used in tests and anywhere a plan
+must stay UDF-free) and Arrow-batched pandas UDFs (``cosine_fast``,
+bucket/cell quantizers — the hot path, since HOF folds are interpreted
+and were the measured bottleneck; each UDF reproduces the fold's exact
+summation order, so scores stay bit-identical to the SQL oracle):
 
 - **brute-force cosine top-k**: broadcast the (small) query set, score
   every candidate, keep top-k per query with a window. O(Q·N) work but
@@ -88,6 +89,38 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _cosine_batch_udf():
+    """Arrow-batched twin of ``cosine`` — HOF folds are interpreted (not
+    codegen'd), so scoring thousands of candidate pairs through three
+    64-element folds each dominates the ANN operators. Accumulating
+    per-dimension IN ORDER (one vectorized add per dim) reproduces the
+    fold's exact left-to-right double sum, and sqrt/divide are IEEE
+    deterministic — bit-identical to the HOF and the SQL oracle."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    @pandas_udf(T.DoubleType())
+    def cos_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack([np.asarray(x, dtype="float64") for x in a])
+        mb = np.stack([np.asarray(x, dtype="float64") for x in b])
+        dots = np.zeros(ma.shape[0])
+        na = np.zeros(ma.shape[0])
+        nb = np.zeros(ma.shape[0])
+        for d in range(ma.shape[1]):  # sequential over dims = fold order
+            dots += ma[:, d] * mb[:, d]
+            na += ma[:, d] * ma[:, d]
+            nb += mb[:, d] * mb[:, d]
+        return pd.Series(dots / (np.sqrt(na) * np.sqrt(nb)))
+
+    return cos_batch
+
+
+def cosine_fast(a: Column, b: Column) -> Column:
+    """Vectorized cosine for DataFrame-side scoring (bit-identical to
+    ``cosine``; keep the HOF form only where a plan must stay UDF-free)."""
+    return _cosine_batch_udf()(a, b)
+
+
 def cosine_sql(a: str, b: str) -> str:
     return f"{dot_sql(a, b)} / ({l2_norm_sql(a)} * {l2_norm_sql(b)})"
 
@@ -138,7 +171,7 @@ def cosine_topk(
         .select(
             "query_id",
             id_col,
-            cosine(F.col("__qvec"), F.col(vec_col)).alias("cos_sim"),
+            cosine_fast(F.col("__qvec"), F.col(vec_col)).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
@@ -172,7 +205,7 @@ def ann_lsh_topk(
         .select(
             "query_id",
             id_col,
-            cosine(F.col("__qvec"), F.col(vec_col)).alias("cos_sim"),
+            cosine_fast(F.col("__qvec"), F.col(vec_col)).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
@@ -256,7 +289,7 @@ def ann_multi_lsh_topk(
     scored = (
         cand.join(F.broadcast(qv), "query_id")
         .join(ev, id_col)
-        .select("query_id", id_col, cosine(F.col("__qvec"), F.col(vec_col)).alias("cos_sim"))
+        .select("query_id", id_col, cosine_fast(F.col("__qvec"), F.col(vec_col)).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     return (
@@ -354,7 +387,7 @@ def ivf_topk(
         .select(
             "query_id",
             id_col,
-            cosine(F.col("__qvec"), F.col(vec_col)).alias("cos_sim"),
+            cosine_fast(F.col("__qvec"), F.col(vec_col)).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
@@ -378,6 +411,6 @@ def near_dup_pairs(
     right = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "bucket")
     pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos_sim"))
+        pairs.select("id_a", "id_b", cosine_fast(F.col("__va"), F.col("__vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
