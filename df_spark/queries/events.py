@@ -86,7 +86,8 @@ def events_sliding(spark, sf_dir):
     WITH o AS (
       SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
              LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
-               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+               (PARTITION BY user_id
+                ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev_us
       FROM events
     ), brk AS (
       SELECT user_id, event_id, ts_us,
@@ -99,7 +100,8 @@ def events_sliding(spark, sf_dir):
                                ROWS UNBOUNDED PRECEDING) AS session_seq
       FROM brk
     )
-    SELECT user_id, session_seq, COUNT(*) AS n_events,
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
            MIN(ts_us) AS session_start_us,
            MAX(ts_us) - MIN(ts_us) AS duration_us
     FROM sess
@@ -111,9 +113,9 @@ def events_sessions(spark, sf_dir):
     # (the classic gaps-and-islands plan; one shuffle on user_id, both
     # windows reuse the same partitioning)
     ev = load_sdf(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "ts"
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     flagged = ev.withColumn(
         "is_new",
         F.when(
