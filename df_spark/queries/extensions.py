@@ -25,12 +25,15 @@ from . import register
     """,
 )
 def window_topk(spark, sf_dir):
+    # single window + rn<=k filter: Catalyst's WindowGroupLimit rewrite
+    # pre-limits per input partition before the exchange, so the
+    # 5-value partition key never funnels the full table into 5 tasks
     orders = load_table(spark, sf_dir, "orders")
     return (
         top_k_per_group(
             orders,
             ["o_orderpriority"],
-            [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+            [("o_totalprice", False), ("o_orderkey", True)],
             k=3,
         )
         .to_spark()
