@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import NUM_HASHES, h32, h32_sql, minhash_perm, minhash_perm_sql
+from .partitioning import barrier_width
 from ..functions.text import (
     char_shingles,
     char_shingles_sql,
@@ -101,12 +102,10 @@ def shingle_arrays(
     materialized behind a repartition barrier (see ``shingle_hashes``
     for why the barrier is load-bearing). Rows with len < k keep an
     empty array."""
-    import os
-
-    p = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     norm = docs.select(
         *[F.col(c) for c in keep_cols], normalized(F.col(text_col)).alias("__t")
-    ).repartition(p)
+    )
+    norm = norm.repartition(parallelism or barrier_width(norm))
     idx = F.sequence(F.lit(1), F.length("__t") - (k - 1))
     shingles = F.array_distinct(F.transform(idx, lambda i: F.substring(F.col("__t"), i, k)))
     guarded = F.when(F.length("__t") >= k, shingles).otherwise(F.array().cast("array<string>"))
@@ -124,15 +123,13 @@ def shingle_hashes(
     Catalyst inlines cheap-looking aliases into HOF lambdas — without
     the barrier the regex normalization re-evaluates once per array
     element (O(len²) per doc). The repartition also spreads small
-    single-file inputs across all cores; at 100 TB the input is already
-    many splits and the barrier cost is one narrow shuffle of (id,
-    normalized_text)."""
-    import os
-
-    p = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    single-file inputs across all cores; at 100 TB the barrier width
+    follows the input split count (``barrier_width``) and the cost is
+    one narrow shuffle of (id, normalized_text)."""
     norm = docs.select(
         F.col(id_col), normalized(F.col(text_col)).alias("__t")
-    ).filter(F.length("__t") >= k).repartition(p)
+    ).filter(F.length("__t") >= k)
+    norm = norm.repartition(parallelism or barrier_width(norm))
     idx = F.sequence(F.lit(1), F.length("__t") - (k - 1))
     shingled = norm.select(
         F.col(id_col),

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions import text as X
+from ..operators.partitioning import barrier_width
 from ..sources.tables import load_sdf
 from . import register
 
@@ -33,7 +34,8 @@ def text_stats(spark, sf_dir):
     docs = load_sdf(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", "text", X.normalized(F.col("text")).alias("__t")
-    ).repartition(32)
+    )
+    base = base.repartition(barrier_width(base))
     return base.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),

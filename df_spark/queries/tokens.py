@@ -13,6 +13,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.text import normalized, normalized_sql
+from ..operators.partitioning import barrier_width
 from ..sources.tables import load_sdf
 from . import register
 
@@ -23,7 +24,8 @@ _DOC_LIMIT = 20
 
 def _tokens_sdf(spark, sf_dir):
     docs = load_sdf(spark, sf_dir, "documents")
-    base = docs.select("doc_id", normalized(F.col("text")).alias("__t")).repartition(32)
+    base = docs.select("doc_id", normalized(F.col("text")).alias("__t"))
+    base = base.repartition(barrier_width(base))
     return base.select(
         "doc_id", F.explode(F.split(F.col("__t"), " ")).alias("token")
     ).filter(F.col("token") != "")
