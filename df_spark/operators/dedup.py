@@ -98,10 +98,17 @@ def shingle_arrays(
     docs: DataFrame, keep_cols: list[str], text_col: str = "text", k: int = 3,
     out: str = "sh", parallelism: int | None = None,
 ) -> DataFrame:
-    """Distinct k-shingle ARRAY per doc, with the normalized text
-    materialized behind a repartition barrier (see ``shingle_hashes``
-    for why the barrier is load-bearing). Rows with len < k keep an
-    empty array."""
+    """Distinct k-shingle ARRAY per doc. Rows with len < k keep an
+    empty array.
+
+    Plan shape matters: the normalized text is materialized as a real
+    column behind a repartition barrier BEFORE shingling, because
+    Catalyst inlines cheap-looking aliases into HOF lambdas — without
+    the barrier the regex normalization re-evaluates once per array
+    element (O(len²) per doc). The repartition also spreads small
+    single-file inputs across all cores; at 100 TB the barrier width
+    follows the input split count (``barrier_width``) and the cost is
+    one narrow shuffle of (id, normalized_text)."""
     norm = docs.select(
         *[F.col(c) for c in keep_cols], normalized(F.col(text_col)).alias("__t")
     )
@@ -112,50 +119,53 @@ def shingle_arrays(
     return norm.select(*[F.col(c) for c in keep_cols], guarded.alias(out))
 
 
-def shingle_hashes(
+def hashed_shingle_sets(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3,
-    parallelism: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
-    """(id, h) rows: one 32-bit hash per distinct k-shingle per doc.
+    """One row per doc: the distinct hashed k-shingle set + its size —
+    the single shared scan behind MinHash signatures, LSH banding, and
+    exact-Jaccard verification (normalize → shingle → md5 is the
+    expensive part of the whole dedup family; it should run once).
 
-    Plan shape matters here: the normalized text is materialized as a
-    real column behind a repartition barrier BEFORE shingling, because
-    Catalyst inlines cheap-looking aliases into HOF lambdas — without
-    the barrier the regex normalization re-evaluates once per array
-    element (O(len²) per doc). The repartition also spreads small
-    single-file inputs across all cores; at 100 TB the barrier width
-    follows the input split count (``barrier_width``) and the cost is
-    one narrow shuffle of (id, normalized_text)."""
-    norm = docs.select(
-        F.col(id_col), normalized(F.col(text_col)).alias("__t")
-    ).filter(F.length("__t") >= k)
-    norm = norm.repartition(parallelism or barrier_width(norm))
-    idx = F.sequence(F.lit(1), F.length("__t") - (k - 1))
-    shingled = norm.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(F.transform(idx, lambda i: F.substring(F.col("__t"), i, k)))
-        ).alias("__s"),
-    )
-    return shingled.select(F.col(id_col), h32(F.col("__s")).alias("h"))
+    With ``materialize=True`` the frame is eagerly localCheckpoint'd so
+    every consumer (the signature projection AND both sides of the
+    verify join) reads the materialized sets instead of re-deriving
+    them; checkpointed storage is released by Spark's ContextCleaner
+    once the frame is garbage-collected — unlike ``persist()``, which
+    leaks across repeated calls unless manually unpersisted."""
+    sets = shingle_arrays(docs, [id_col], text_col, k=k, out="sh")
+    sets = sets.withColumn(
+        "sh", F.array_distinct(F.transform(F.col("sh"), lambda s: h32(s)))
+    ).withColumn("n_sh", F.size("sh"))
+    return sets.localCheckpoint(eager=True) if materialize else sets
 
 
 def minhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    bands: int = 4, rows_per_band: int = 4,
+    docs: DataFrame | None = None, id_col: str = "doc_id", text_col: str = "text",
+    bands: int = 4, rows_per_band: int = 4, sets: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc signature digest + band bucket keys.
 
-    Explode → hash → single hash-aggregate with 16 MIN columns (the
-    md5 per shingle is computed exactly once; permutations are cheap
-    arithmetic inside the aggregate). Same shape as the SQL oracle.
-    Docs with no shingles (len < k) have no signature — dropped,
-    matching the oracle's unnest/inner-group semantics."""
+    Computed entirely map-side from the per-doc hashed shingle set: one
+    ``array_min(transform(...))`` per permutation — no explode and NO
+    signature shuffle (the former explode→groupBy(id) shape hash-
+    aggregated every (doc, shingle) row; at 100 TB that shuffle moves
+    ~50 rows per doc for a result that is per-doc anyway). Docs with no
+    shingles (len < k) have no signature — dropped, matching the
+    oracle's unnest/inner-group semantics.
+
+    Pass ``sets`` (from :func:`hashed_shingle_sets`) to share the
+    shingle scan with other stages; otherwise it is derived from
+    ``docs``."""
     assert bands * rows_per_band == NUM_HASHES
-    hashes = shingle_hashes(docs, id_col, text_col)
-    sig = hashes.groupBy(id_col).agg(
-        *[F.min(minhash_perm(F.col("h"), i)).alias(f"m{i}") for i in range(NUM_HASHES)]
-    )
+    if sets is None:
+        sets = hashed_shingle_sets(docs, id_col, text_col)
+    mins = [
+        F.array_min(F.transform(F.col("sh"), lambda h: minhash_perm(h, i))).alias(f"m{i}")
+        for i in range(NUM_HASHES)
+    ]
+    sig = sets.filter(F.col("n_sh") > 0).select(F.col(id_col), *mins)
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"m{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
@@ -202,15 +212,17 @@ def lsh_candidate_pairs(
     Plan shape: one posexplode turns the signature row into (band_idx,
     bucket) rows in a single pass (a per-band union would re-run the
     whole signature pipeline once per band), and the bucket table is
-    persisted so the self-join's two sides share one computation —
-    without it Spark recomputes the subtree per side (17 shuffles
-    observed vs 5 after)."""
+    eagerly localCheckpoint'd so the self-join's two sides share one
+    computation — without the cut Spark recomputes the subtree per side
+    (17 shuffles observed vs 5 after). Checkpoint (not persist):
+    ContextCleaner frees the storage once the frame is out of scope, so
+    repeated calls in one session don't accumulate cached tables."""
     buckets = signatures.select(
         F.col(id_col),
         F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
             "band_idx", "bucket"
         ),
-    ).persist()
+    ).localCheckpoint(eager=True)
     left = buckets.select(F.col(id_col).alias("id_a"), "bucket", "band_idx")
     right = buckets.select(F.col(id_col).alias("id_b"), "bucket", "band_idx")
     pairs = left.join(right, ["bucket", "band_idx"]).filter(F.col("id_a") < F.col("id_b"))
@@ -229,13 +241,13 @@ def minhash_near_dups(
     LSH prunes the pair space (only band-colliding pairs are verified);
     the verification join fetches each doc's hashed shingle set once and
     computes exact set overlap. At scale: candidates ∝ true near-dups
-    (not n²), verification is an equi-join on id."""
-    sigs = minhash_signatures(docs, id_col, text_col)
+    (not n²), verification is an equi-join on id. The hashed shingle
+    sets are computed ONCE (materialized) and shared between the
+    signature stage and both sides of the verify join — normalize →
+    shingle → md5 is the dominant cost and must not run three times."""
+    sets = hashed_shingle_sets(docs, id_col, text_col, materialize=True)
+    sigs = minhash_signatures(id_col=id_col, sets=sets)
     cand = lsh_candidate_pairs(sigs, id_col)
-    sets = shingle_arrays(docs, [id_col], text_col, out="sh")
-    sets = sets.withColumn(
-        "sh", F.array_distinct(F.transform(F.col("sh"), lambda s: h32(s)))
-    ).withColumn("n_sh", F.size("sh"))
     a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"),
                     F.col("n_sh").alias("n_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"),

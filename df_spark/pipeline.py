@@ -35,14 +35,18 @@ def prepare_documents(
     2. doc is the min-id holder of its exact-content fingerprint
     3. doc is the min-id representative of its near-dup cluster
     """
+    # the text column is NOT carried: every downstream consumer needs
+    # only the narrow per-doc scores, and scored feeds two consumers
+    # (the exact-dup keeper aggregate and the final assembly join), so
+    # it is eagerly checkpointed — one scoring pass instead of two, and
+    # the checkpoint holds five narrow columns, not the corpus text
     scored = docs.select(
         F.col(id_col),
-        F.col(text_col),
         X.lang_id(F.col(text_col)).alias("detected_lang"),
         X.quality_score(F.col(text_col)).alias("quality"),
         X.bpe_token_count(F.col(text_col)).alias("n_tokens"),
         X.fingerprint_md5(F.col(text_col)).alias("fp"),
-    )
+    ).localCheckpoint(eager=True)
 
     exact_keep = scored.groupBy("fp").agg(F.min(id_col).alias("__exact_keeper"))
     pairs = D.minhash_near_dups(docs, min_jaccard=min_jaccard, id_col=id_col, text_col=text_col)

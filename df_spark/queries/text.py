@@ -29,7 +29,7 @@ from . import register
 def text_stats(spark, sf_dir):
     # normalized text materialized behind a repartition barrier so the
     # shingle HOF reads an attribute, not a re-evaluated regex (see
-    # operators.dedup.shingle_hashes), and the single small input file
+    # operators.dedup.shingle_arrays), and the single small input file
     # fans out across cores
     docs = load_sdf(spark, sf_dir, "documents")
     base = docs.select(
