@@ -38,8 +38,10 @@ def scd2_apply(
     upd_keys = updates.select(
         *keys, F.col(ts_col).alias("__new_ts")
     ).groupBy(*keys).agg(F.min("__new_ts").alias("__new_ts"))
+    # no forced broadcast: the update batch scales with the feed; AQE
+    # broadcasts from runtime size when it fits
     closed = (
-        history.join(F.broadcast(upd_keys), keys, "left")
+        history.join(upd_keys, keys, "left")
         .withColumn(
             end_ts,
             F.when(

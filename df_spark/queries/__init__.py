@@ -50,7 +50,7 @@ def load_registry() -> dict[str, Query]:
     # Ordered so the highest-value queries (TPC-H set, capstone
     # pipeline) register inside the prefix the driver's correctness
     # sampler covers; lower-tier text/json/token queries come last.
-    for mod in ("tpch", "pipeline_q", "extensions", "text", "dedup", "similarity", "events", "multimodal", "advanced", "json_props", "tokens"):
+    for mod in ("tpch", "pipeline_q", "extensions", "events", "cdc_q", "json_props", "tokens", "dedup", "text", "similarity", "multimodal", "advanced"):
         try:
             __import__(f"{__name__}.{mod}")
         except ImportError:

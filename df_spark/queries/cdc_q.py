@@ -1,0 +1,101 @@
+"""CDC maintenance as an oracle-checked query: an SCD2 (slowly-changing
+dimension, type 2) apply over a change log derived deterministically
+from ``orders`` — the current snapshot is each customer's latest
+pre-cutoff order, the update batch is each customer's first post-cutoff
+order; updated keys get their history row closed out and the update row
+appended as the new current version.
+
+Exercises ``operators.cdc.scd2_apply`` (anti-join/left-join + union —
+one shuffle on the key, the stock-Spark MERGE pattern when no lakehouse
+format is on the classpath).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators.cdc import scd2_apply
+from ..sources.tables import load_sdf
+from . import register
+
+_CUTOFF = "1997-01-01 00:00:00"
+
+
+@register(
+    "cdc_scd2",
+    sql=f"""
+    WITH hist AS (
+      SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+             TRUE AS is_current, CAST(NULL AS TIMESTAMP) AS end_ts
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate < TIMESTAMP '{_CUTOFF}'
+      ) WHERE rn = 1
+    ),
+    upd AS (
+      SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+        FROM orders WHERE o_orderdate >= TIMESTAMP '{_CUTOFF}'
+      ) WHERE rn = 1
+    ),
+    upd_keys AS (
+      SELECT o_custkey, MIN(o_orderdate) AS new_ts FROM upd GROUP BY o_custkey
+    ),
+    closed AS (
+      SELECT h.o_custkey, h.o_orderkey, h.o_totalprice, h.o_orderdate,
+             CASE WHEN u.new_ts IS NOT NULL THEN FALSE ELSE TRUE END AS is_current,
+             CASE WHEN u.new_ts IS NOT NULL THEN u.new_ts ELSE h.end_ts END AS end_ts
+      FROM hist h LEFT JOIN upd_keys u ON h.o_custkey = u.o_custkey
+    ),
+    merged AS (
+      SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate, is_current, end_ts
+      FROM closed
+      UNION ALL
+      SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+             TRUE AS is_current, CAST(NULL AS TIMESTAMP) AS end_ts
+      FROM upd
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+           strftime(end_ts, '%Y-%m-%d') AS end_day,
+           is_current
+    FROM merged
+    """,
+)
+def cdc_scd2(spark, sf_dir):
+    orders = load_sdf(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    pre = orders.filter(F.col("o_orderdate") < _CUTOFF)
+    post = orders.filter(F.col("o_orderdate") >= _CUTOFF)
+    w_hist = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    hist = (
+        pre.withColumn("rn", F.row_number().over(w_hist))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn("is_current", F.lit(True))
+        .withColumn("end_ts", F.lit(None).cast("timestamp"))
+    )
+    w_upd = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    upd = (
+        post.withColumn("rn", F.row_number().over(w_upd))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    out = scd2_apply(hist, upd, keys=["o_custkey"], ts_col="o_orderdate")
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        F.date_format("end_ts", "yyyy-MM-dd").alias("end_day"),
+        "is_current",
+    )
