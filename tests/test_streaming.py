@@ -61,6 +61,74 @@ def test_streaming_session_windows(spark, sf_dir):
             assert s2 >= e1  # no overlap after gap-merge
 
 
+def test_streaming_sessions_equal_batch_gaps_and_islands(spark, sf_dir):
+    # the real streaming-equivalence check: every session the stream
+    # emits must EXACTLY match the batch gaps-and-islands session
+    # (same boundaries, same event count), and every batch session
+    # closed by the final watermark must have been emitted
+    from pyspark.sql import Window
+
+    gap_us = 30 * 60 * 1_000_000
+    stream = SW.read_events_stream(spark, sf_dir)
+    agg = SW.session_windows(stream, gap="30 minutes", watermark="2 hours")
+    _, out = SW.run_stream_to_memory(agg, output_mode="append")
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in out.collect()
+    }
+    assert got
+
+    ev = load_sdf(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        flagged.withColumn("seq", F.sum("is_new").over(wrun))
+        .groupBy("user_id", "seq")
+        .agg(
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("last_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.timestamp_micros("start_us").alias("session_start"),
+            # session_window's end = last event + gap
+            F.timestamp_micros(F.col("last_us") + gap_us).alias("session_end"),
+            "n_events",
+            "last_us",
+        )
+    )
+    rows = sess.collect()
+    expected = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events) for r in rows
+    }
+    # everything emitted must be a correct batch session
+    for key, val in got.items():
+        assert expected[key] == val, key
+    # everything safely below the final watermark (one extra gap of
+    # margin against emit-boundary semantics) must have been emitted
+    max_us = max(r.last_us for r in rows)
+    horizon_us = max_us - 2 * 60 * 60 * 1_000_000
+    closed = {
+        (r.user_id, r.session_start)
+        for r in rows
+        if r.last_us + 2 * gap_us < horizon_us
+    }
+    assert closed  # the check must not be vacuous
+    missing = closed - set(got)
+    assert not missing
+
+
 def test_stateful_user_profiles(spark, sf_dir):
     stream = SW.read_events_stream(spark, sf_dir)
     profiles = user_profiles_stream(stream)
