@@ -123,6 +123,25 @@ class Df:
                 typ = T.DoubleType()
             elif isinstance(sample, str):
                 typ = T.StringType()
+            elif isinstance(sample, list):
+                # list columns (reference ListBlock: bool/int/float/
+                # string element types — src/block.rs:1100-1115,
+                # src/value.rs:89-101)
+                elem = next(
+                    (e for v in vals if isinstance(v, list) for e in v if e is not None),
+                    None,
+                )
+                etypes = {
+                    bool: T.BooleanType,
+                    int: T.LongType,
+                    float: T.DoubleType,
+                    str: T.StringType,
+                }
+                if elem is None or type(elem) not in etypes:
+                    raise EngineError(
+                        f"cannot infer list element type for column {name!r}"
+                    )
+                typ = T.ArrayType(etypes[type(elem)]())
             else:
                 raise EngineError(f"unsupported vec type {type(sample).__name__}")
             fields.append(T.StructField(name, typ, True))
@@ -348,13 +367,26 @@ class Df:
         r_on = renames.get(right_on, right_on)
         rside = F.broadcast(rsdf) if broadcast else rsdf
         if left_on == r_on:
-            # same-named key: join on name to keep ONE unambiguous column,
-            # then re-add the right key as a duplicate-value column for
-            # reference parity (both keys kept).
+            # same-named key: join on name to keep ONE unambiguous column.
+            # For inner joins the right key is re-added as a duplicate-
+            # value column (reference parity: Schema::union keeps both
+            # keys, src/schema.rs:69-76; values are equal under an inner
+            # equi-join so aliasing the left key is exact). Non-inner
+            # joins are an extension beyond the reference: semi/anti
+            # return left columns only, outer joins keep the single
+            # merged key (Spark USING semantics — a duplicate alias
+            # would fabricate values for unmatched rows).
             joined = lsdf.join(rside, on=left_on, how=how)
-            joined = joined.select(
-                *lsdf.columns, *[F.col(c) for c in rsdf.columns if c != r_on]
-            )
+            if how == "inner":
+                joined = joined.select(
+                    *lsdf.columns,
+                    F.col(left_on).alias(f"{right_on}_r"),
+                    *[F.col(c) for c in rsdf.columns if c != r_on],
+                )
+            elif how not in ("left_semi", "semi", "left_anti", "anti"):
+                joined = joined.select(
+                    *lsdf.columns, *[F.col(c) for c in rsdf.columns if c != r_on]
+                )
         else:
             joined = lsdf.join(rside, on=lsdf[left_on] == rsdf[r_on], how=how)
         return Df(

@@ -181,6 +181,24 @@ def make_handler(engine: Engine):
         def log_message(self, fmt, *args):  # noqa: D102 — quiet server
             pass
 
+        def do_GET(self):  # noqa: N802 — http.server API
+            """Pool introspection (reference ``pool.size()`` /
+            ``print_indices`` — src/pool.rs:49-51)."""
+            if self.path != "/pool":
+                self.send_error(404)
+                return
+            payload = json.dumps(
+                {
+                    "size": len(engine.cache),
+                    "hits": engine.cache.hits,
+                    "misses": engine.cache.misses,
+                }
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(payload)
+
         def do_POST(self):  # noqa: N802 — http.server API
             if self.path != "/call":
                 self.send_error(404)
@@ -199,7 +217,11 @@ def make_handler(engine: Engine):
                     plan = plan + [fn["Op"]]
                 elif "Action" in fn:
                     action = fn["Action"]
-                    df = engine.build(plan)
+                    # content-addressed memoization (reference Pool,
+                    # src/pool.rs:25-94): a re-submitted plan — even
+                    # rebuilt from scratch by a new client — hits the
+                    # persisted frame instead of recomputing
+                    df = engine.cache.get(engine.build(plan))
                     if action == "Collect":
                         blocks = engine.blocks(df)
                     elif action == "Count":

@@ -264,8 +264,10 @@ def test_join_name_collision_renamed(spark):
     left = Df.from_vecs(spark, [("k", [1, 2]), ("x", [10, 20])])
     right = Df.from_vecs(spark, [("k", [1, 2]), ("x", [100, 200])])
     joined = left.join(right, "k", "k")
-    assert joined.columns == ["k", "x", "x_r"]
-    assert sorted(as_tuples(joined)) == [(1, 10, 100), (2, 20, 200)]
+    # both key columns survive (reference Schema::union keeps both;
+    # the right key is renamed to avoid the duplicate name)
+    assert joined.columns == ["k", "x", "k_r", "x_r"]
+    assert sorted(as_tuples(joined)) == [(1, 10, 1, 100), (2, 20, 2, 200)]
 
 
 def test_join_types_extension(spark):
@@ -290,6 +292,28 @@ def test_union_distinct_limit(spark):
     assert sorted(as_tuples(a.intersect(b))) == [(2,)]
     assert sorted(as_tuples(a.except_all(b))) == [(1,)]
     assert len(a.union(b).order_by("x").limit(3).collect()) == 3
+
+
+# --- list columns in from_vecs (reference ListBlock fixtures,
+# src/block.rs:1100-1134) ----------------------------------------------------
+
+
+def test_from_vecs_list_columns(spark):
+    df = Df.from_vecs(spark, [
+        ("id", [1, 2, 3]),
+        ("ints", [[1, 2], [], [3]]),
+        ("strs", [["a"], ["b", "c"], None]),
+    ])
+    assert as_tuples(df) == [
+        (1, [1, 2], ["a"]), (2, [], ["b", "c"]), (3, [3], None)]
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types["ints"] == "array<bigint>"
+    assert types["strs"] == "array<string>"
+
+
+def test_from_vecs_list_unresolvable_element(spark):
+    with pytest.raises(EngineError, match="list element type"):
+        Df.from_vecs(spark, [("bad", [[], [None]])])
 
 
 # --- actions ----------------------------------------------------------------

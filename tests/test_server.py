@@ -208,3 +208,22 @@ def test_reference_client_q1_pipeline(server, spark, tmp_path_factory):
     assert blocks["count_order"]["Int"] == [r.n for r in exp]
     for got, want in zip(blocks["sum_qty"]["Float"], [r.sq for r in exp]):
         assert abs(got - want) < 1e-6
+
+
+def test_pool_memoization_and_introspection(server, small_csv):
+    """Re-submitted plans hit the content-addressed pool (reference
+    Pool, src/pool.rs:25-94) and /pool reports its state
+    (pool.size() / print_indices, src/pool.rs:49-51)."""
+    def pool():
+        with urllib.request.urlopen(f"http://127.0.0.1:{PORT}/pool") as resp:
+            return json.loads(resp.read())
+
+    before = pool()
+    plan = call(None, {"Read": ["csv", small_csv, SMALL_SCHEMA]})["dataframe"]
+    plan = call(plan, {"Op": {"Select": [{"Source": "int"}]}})["dataframe"]
+    first = call(plan, {"Action": "Collect"})
+    second = call(plan, {"Action": "Collect"})  # identical plan, new request
+    assert first["blocks"] == second["blocks"] == {"int": {"Int": [1, 2, 3]}}
+    after = pool()
+    assert after["size"] >= 1
+    assert after["hits"] >= before["hits"] + 1  # second run reused the frame
