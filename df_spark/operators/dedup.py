@@ -32,7 +32,6 @@ from pyspark.sql import functions as F
 from ..functions.hashing import NUM_HASHES, h32, h32_sql, minhash_perm, minhash_perm_sql
 from .partitioning import barrier_width
 from ..functions.text import (
-    char_shingles,
     char_shingles_sql,
     fingerprint_md5,
     fingerprint_md5_sql,
@@ -79,21 +78,6 @@ def drop_exact_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(text_col: Column, k: int = 3) -> list[Column]:
-    """K minhash values: min over distinct shingles of perm_i(h32(s)).
-    Stays inside one projection (transform + array_min per permutation)."""
-    # hash each shingle ONCE (md5 is the expensive step), then apply the
-    # 16 cheap arithmetic permutations to the precomputed hash array
-    hashes = F.transform(char_shingles(text_col, k), lambda s: h32(s))
-
-    def one(i: int) -> Column:
-        # single-arg lambda: a 2-arg lambda would make F.transform pass
-        # the element index as the second argument
-        return F.array_min(F.transform(hashes, lambda h: minhash_perm(h, i)))
-
-    return [one(i) for i in range(NUM_HASHES)]
-
-
 def shingle_arrays(
     docs: DataFrame, keep_cols: list[str], text_col: str = "text", k: int = 3,
     out: str = "sh", parallelism: int | None = None,
@@ -119,59 +103,90 @@ def shingle_arrays(
     return norm.select(*[F.col(c) for c in keep_cols], guarded.alias(out))
 
 
-def hashed_shingle_sets(
+def shingle_hashes(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3,
-    materialize: bool = False,
 ) -> DataFrame:
-    """One row per doc: the distinct hashed k-shingle set + its size —
-    the single shared scan behind MinHash signatures, LSH banding, and
-    exact-Jaccard verification (normalize → shingle → md5 is the
-    expensive part of the whole dedup family; it should run once).
+    """(id, h) rows: one 32-bit hash per distinct k-shingle per doc.
+
+    Two plan-shape rules are load-bearing here:
+
+    - the hash (md5-derived) is applied AFTER the explode so it runs in
+      whole-stage codegen — hashing inside a ``transform`` lambda
+      executes interpreted, per element (measured ~10× slower at sf0.1
+      for identical work);
+    - the explode's input is the shingle EXPRESSION, not a pre-aliased
+      column: ``InferFiltersFromGenerate`` skips expensive expression
+      children (SPARK-36715) but fires on attributes, and the inferred
+      ``size(col) > 0`` filter then gets alias-substituted by predicate
+      pushdown and lands below the repartition barrier — re-running the
+      whole normalize+shingle tree on the raw scan, per row, in its
+      un-barriered O(len²) form (measured 26 s vs 0.7 s at sf0.1)."""
+    norm = docs.select(
+        F.col(id_col), normalized(F.col(text_col)).alias("__t")
+    ).filter(F.length("__t") >= k)
+    norm = norm.repartition(barrier_width(norm))
+    idx = F.sequence(F.lit(1), F.length("__t") - (k - 1))
+    shingled = norm.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.transform(idx, lambda i: F.substring(F.col("__t"), i, k)))
+        ).alias("__s"),
+    )
+    return shingled.select(F.col(id_col), h32(F.col("__s")).alias("h"))
+
+
+def shingle_profile(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3,
+    with_sets: bool = False, materialize: bool = False,
+) -> DataFrame:
+    """Per-doc MinHash profile in ONE codegen hash-aggregate: the
+    NUM_HASHES permutation minima, plus (``with_sets=True``) the
+    distinct hashed shingle set + its size for exact-Jaccard
+    verification. One scan, one shuffle on ``id_col``; map-side partial
+    aggregation collapses a doc's shingle rows before they move (doc
+    rows land co-partitioned behind the shingle barrier), so the
+    shuffle carries ~one partial row per doc, not one row per shingle.
 
     With ``materialize=True`` the frame is eagerly localCheckpoint'd so
-    every consumer (the signature projection AND both sides of the
-    verify join) reads the materialized sets instead of re-deriving
-    them; checkpointed storage is released by Spark's ContextCleaner
-    once the frame is garbage-collected — unlike ``persist()``, which
-    leaks across repeated calls unless manually unpersisted."""
-    sets = shingle_arrays(docs, [id_col], text_col, k=k, out="sh")
-    sets = sets.withColumn(
-        "sh", F.array_distinct(F.transform(F.col("sh"), lambda s: h32(s)))
-    ).withColumn("n_sh", F.size("sh"))
-    return sets.localCheckpoint(eager=True) if materialize else sets
+    every consumer (signature projection AND both sides of the verify
+    join) reads the materialized profile instead of re-deriving it;
+    checkpointed storage is released by Spark's ContextCleaner once the
+    frame is garbage-collected — unlike ``persist()``, which leaks
+    across repeated calls unless manually unpersisted."""
+    hashes = shingle_hashes(docs, id_col, text_col, k=k)
+    aggs = [F.min(minhash_perm(F.col("h"), i)).alias(f"m{i}") for i in range(NUM_HASHES)]
+    if with_sets:
+        aggs.append(F.collect_set("h").alias("sh"))
+    prof = hashes.groupBy(id_col).agg(*aggs)
+    if with_sets:
+        prof = prof.withColumn("n_sh", F.size("sh"))
+    return prof.localCheckpoint(eager=True) if materialize else prof
 
 
-def minhash_signatures(
-    docs: DataFrame | None = None, id_col: str = "doc_id", text_col: str = "text",
-    bands: int = 4, rows_per_band: int = 4, sets: DataFrame | None = None,
-) -> DataFrame:
-    """Per-doc signature digest + band bucket keys.
-
-    Computed entirely map-side from the per-doc hashed shingle set: one
-    ``array_min(transform(...))`` per permutation — no explode and NO
-    signature shuffle (the former explode→groupBy(id) shape hash-
-    aggregated every (doc, shingle) row; at 100 TB that shuffle moves
-    ~50 rows per doc for a result that is per-doc anyway). Docs with no
-    shingles (len < k) have no signature — dropped, matching the
-    oracle's unnest/inner-group semantics.
-
-    Pass ``sets`` (from :func:`hashed_shingle_sets`) to share the
-    shingle scan with other stages; otherwise it is derived from
-    ``docs``."""
-    assert bands * rows_per_band == NUM_HASHES
-    if sets is None:
-        sets = hashed_shingle_sets(docs, id_col, text_col)
-    mins = [
-        F.array_min(F.transform(F.col("sh"), lambda h: minhash_perm(h, i))).alias(f"m{i}")
-        for i in range(NUM_HASHES)
-    ]
-    sig = sets.filter(F.col("n_sh") > 0).select(F.col(id_col), *mins)
+def _bands_from_mins(sig: DataFrame, id_col: str, bands: int, rows_per_band: int) -> DataFrame:
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"m{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
         band_cols.append(F.md5(F.concat_ws(",", *parts)).alias(f"band{b}"))
     sig_digest = F.md5(F.concat_ws(",", *[F.col(f"m{i}").cast("string") for i in range(NUM_HASHES)]))
     return sig.select(F.col(id_col), sig_digest.alias("sig_md5"), *band_cols)
+
+
+def minhash_signatures(
+    docs: DataFrame | None = None, id_col: str = "doc_id", text_col: str = "text",
+    bands: int = 4, rows_per_band: int = 4, profile: DataFrame | None = None,
+) -> DataFrame:
+    """Per-doc signature digest + band bucket keys, from the single-
+    aggregate :func:`shingle_profile`. Docs with no shingles (len < k)
+    have no signature — dropped, matching the oracle's unnest/
+    inner-group semantics (the explode produces no row for them).
+
+    Pass ``profile`` to share one profile aggregate with other stages
+    (near-dup verification); otherwise it is derived from ``docs``."""
+    assert bands * rows_per_band == NUM_HASHES
+    if profile is None:
+        profile = shingle_profile(docs, id_col, text_col)
+    return _bands_from_mins(profile, id_col, bands, rows_per_band)
 
 
 def minhash_signatures_sql(
@@ -229,33 +244,70 @@ def lsh_candidate_pairs(
     return pairs.select("id_a", "id_b").distinct()
 
 
+MIN_EST_MATCHES = 5  # of NUM_HASHES — MinHash-estimate prefilter floor
+
+
 def minhash_near_dups(
     docs: DataFrame,
     min_jaccard: float = 0.6,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_est_matches: int = MIN_EST_MATCHES,
 ) -> DataFrame:
     """The canonical near-dedup pipeline end-to-end: MinHash → LSH
-    banding → candidate pairs → EXACT Jaccard verification ≥ threshold.
+    banding → candidate pairs → signature-estimate prefilter → EXACT
+    Jaccard verification ≥ threshold.
 
-    LSH prunes the pair space (only band-colliding pairs are verified);
-    the verification join fetches each doc's hashed shingle set once and
-    computes exact set overlap. At scale: candidates ∝ true near-dups
-    (not n²), verification is an equi-join on id. The hashed shingle
-    sets are computed ONCE (materialized) and shared between the
-    signature stage and both sides of the verify join — normalize →
-    shingle → md5 is the dominant cost and must not run three times."""
-    sets = hashed_shingle_sets(docs, id_col, text_col, materialize=True)
-    sigs = minhash_signatures(id_col=id_col, sets=sets)
+    LSH prunes the pair space (only band-colliding pairs are verified),
+    but a dense dup cluster still floods the candidate set (2.3 M pairs
+    at sf0.1 here). Verifying each candidate means carrying both docs'
+    hashed shingle sets (KBs per row) through a shuffle — so candidates
+    are first screened by the MinHash Jaccard ESTIMATE (count of equal
+    signature mins ≥ ``min_est_matches``), whose payload is 16 longs
+    per doc, and only survivors pay the set-carrying verify join. The
+    prefilter is deterministic (md5-derived mins) and applied
+    identically in the SQL oracle, so both engines compute the same
+    result set: pairs with estimate ≥ floor AND exact Jaccard ≥
+    threshold. The default floor (5/16 ≈ 0.31) sits ~2.5σ below a true
+    Jaccard of 0.6 (binomial n=16 p=0.6 → P(X<5) ≈ 0.4%), standard
+    LSH-verify practice.
+
+    One materialized :func:`shingle_profile` aggregate (mins + hashed
+    sets in a single pass) feeds the signature stage, the prefilter,
+    and both sides of the verify join — normalize → shingle → md5 is
+    the dominant cost and runs once."""
+    prof = shingle_profile(docs, id_col, text_col, with_sets=True, materialize=True)
+    sigs = minhash_signatures(id_col=id_col, profile=prof)
     cand = lsh_candidate_pairs(sigs, id_col)
-    a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"),
+    mins_a = prof.select(F.col(id_col).alias("id_a"),
+                         *[F.col(f"m{i}").alias(f"a{i}") for i in range(NUM_HASHES)])
+    mins_b = prof.select(F.col(id_col).alias("id_b"),
+                         *[F.col(f"m{i}").alias(f"b{i}") for i in range(NUM_HASHES)])
+    est = None
+    for i in range(NUM_HASHES):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        est = term if est is None else est + term
+    screened = (
+        cand.join(mins_a, "id_a")
+        .join(mins_b, "id_b")
+        .filter(est >= min_est_matches)
+        .select("id_a", "id_b")
+    )
+    # Explicitly widen the verify join: a pair row is ~16 B before the
+    # set joins and tens of KB after (both shingle arrays attached), so
+    # AQE — which sizes partitions from the PRE-join bytes — coalesces
+    # the screened shuffle down to a handful of tasks and the payload
+    # fan-out serializes (measured 57 s vs 7 s at sf0.1). The width
+    # follows the cluster's parallelism, not a constant.
+    screened = screened.repartition(4 * barrier_width(prof), "id_a")
+    a = prof.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"),
                     F.col("n_sh").alias("n_a"))
-    b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"),
+    b = prof.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"),
                     F.col("n_sh").alias("n_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.col("n_a") + F.col("n_b")).cast("double") - inter
     return (
-        cand.join(a, "id_a")
+        screened.join(a, "id_a")
         .join(b, "id_b")
         .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
@@ -263,26 +315,49 @@ def minhash_near_dups(
 
 
 def minhash_near_dups_sql(table: str = "documents", min_jaccard: float = 0.6,
-                          id_col: str = "doc_id", text_col: str = "text") -> str:
-    from .similarity import N_PLANES  # noqa: F401  (doc cross-ref only)
-
-    sig_sql = minhash_signatures_sql(table, id_col, text_col)
+                          id_col: str = "doc_id", text_col: str = "text",
+                          min_est_matches: int = MIN_EST_MATCHES,
+                          bands: int = 4, rows_per_band: int = 4) -> str:
+    mins = ",\n        ".join(
+        f"MIN({minhash_perm_sql(h32_sql('s'), i)}) AS m{i}" for i in range(NUM_HASHES)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT {id_col}, md5(concat_ws(','"
+        + "".join(f", CAST(m{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band))
+        + f")) AS bucket, {b} AS band_idx FROM mins"
+        for b in range(bands)
+    )
+    est = " + ".join(
+        f"(CASE WHEN ma.m{i} = mb.m{i} THEN 1 ELSE 0 END)" for i in range(NUM_HASHES)
+    )
     shingle_hashed = (
         f"list_distinct(list_transform({char_shingles_sql(text_col)}, s -> {h32_sql('s')}))"
     )
     return f"""
-    WITH sig AS ({sig_sql}),
+    WITH sh AS (
+      SELECT {id_col}, unnest({char_shingles_sql(text_col)}) AS s
+      FROM {table}
+    ),
+    mins AS (
+      SELECT {id_col},
+        {mins}
+      FROM sh GROUP BY {id_col}
+    ),
     buckets AS (
-      SELECT {id_col}, band0 AS bucket, 0 AS band_idx FROM sig
-      UNION ALL SELECT {id_col}, band1, 1 FROM sig
-      UNION ALL SELECT {id_col}, band2, 2 FROM sig
-      UNION ALL SELECT {id_col}, band3, 3 FROM sig
+      {band_rows}
     ),
     cand AS (
       SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
       FROM buckets a JOIN buckets b
         ON a.bucket = b.bucket AND a.band_idx = b.band_idx
        AND a.{id_col} < b.{id_col}
+    ),
+    screened AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN mins ma ON ma.{id_col} = cand.id_a
+      JOIN mins mb ON mb.{id_col} = cand.id_b
+      WHERE {est} >= {min_est_matches}
     ),
     sets AS (
       SELECT {id_col}, {shingle_hashed} AS sh FROM {table}
@@ -291,9 +366,9 @@ def minhash_near_dups_sql(table: str = "documents", min_jaccard: float = 0.6,
            round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
                  / (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE)
                     - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
-    FROM cand
-    JOIN sets sa ON sa.{id_col} = cand.id_a
-    JOIN sets sb ON sb.{id_col} = cand.id_b
+    FROM screened
+    JOIN sets sa ON sa.{id_col} = screened.id_a
+    JOIN sets sb ON sb.{id_col} = screened.id_b
     WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
                 / (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE)
                    - len(list_intersect(sa.sh, sb.sh))), 6) >= {min_jaccard}
