@@ -357,11 +357,23 @@ class Df:
         _require_column(lbase._sdf.schema, left_on)
         _require_column(rbase._sdf.schema, right_on)
         lsdf, rsdf = lbase._sdf, rbase._sdf
+        # collision-renamed right columns get an "_r" suffix, repeated
+        # until the name is unused on EITHER side (a left column named
+        # "{key}_r" would otherwise produce duplicate output names)
+        taken = set(lsdf.columns) | set(rsdf.columns)
+
+        def uniq(name: str) -> str:
+            cand = f"{name}_r"
+            while cand in taken:
+                cand += "_r"
+            taken.add(cand)
+            return cand
+
         renames = {
-            c: f"{c}_r" for c in rsdf.columns if c in lsdf.columns and c != right_on
+            c: uniq(c) for c in rsdf.columns if c in lsdf.columns and c != right_on
         }
         if right_on in lsdf.columns and right_on != left_on:
-            renames[right_on] = f"{right_on}_r"
+            renames[right_on] = uniq(right_on)
         for old, new in renames.items():
             rsdf = rsdf.withColumnRenamed(old, new)
         r_on = renames.get(right_on, right_on)
@@ -380,7 +392,7 @@ class Df:
             if how == "inner":
                 joined = joined.select(
                     *lsdf.columns,
-                    F.col(left_on).alias(f"{right_on}_r"),
+                    F.col(left_on).alias(uniq(right_on)),
                     *[F.col(c) for c in rsdf.columns if c != r_on],
                 )
             elif how not in ("left_semi", "semi", "left_anti", "anti"):

@@ -30,9 +30,15 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .partitioning import size_hinted
 
-def _persisted_ids(sc) -> set[int]:
-    return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+def checkpoint_rdd_id(df: DataFrame) -> int:
+    """RDD id backing a localCheckpoint'd frame, read off its own
+    LogicalRDD plan node — NOT by diffing the process-global persistent-
+    RDD registry, which under concurrent jobs (the threaded server)
+    would capture another job's RDDs and later force-unpersist them."""
+    return df._jdf.queryExecution().analyzed().rdd().id()
 
 
 def _release(sc, rdd_ids: set[int]) -> None:
@@ -59,17 +65,21 @@ def connected_components(
     sc = edges.sparkSession.sparkContext
 
     def tracked_checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
-        before = _persisted_ids(sc)
         out = df.localCheckpoint(eager=True)
-        return out, _persisted_ids(sc) - before
+        return out, {checkpoint_rdd_id(out)}
 
     # symmetric edge list (a->b and b->a) so propagation is undirected.
     # MUST be materialized: every iteration joins against it, and
     # without the cut each round would re-run the entire upstream pair
     # pipeline (e.g. MinHash+LSH) — measured minutes instead of seconds.
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # the union doubles the input's partition count (narrow op — AQE
+    # never sees a shuffle to coalesce), and every round re-scans sym,
+    # paying per-task overhead on each sliver; repartition to core
+    # width before the one-time materialization
     sym, sym_ids = tracked_checkpoint(
         fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition(sc.defaultParallelism)
     )
     nodes = sym.select(F.col("u").alias("node")).distinct()
     labels, held = tracked_checkpoint(nodes.withColumn("comp", F.col("node")))
@@ -81,12 +91,18 @@ def connected_components(
     # exploits monotonicity — min-labels only ever decrease — so labels
     # changed iff sum(comp) decreased: one cheap aggregate on the
     # checkpointed result instead of a join+count against the old round.
+    # the label table has one row per NODE (near-dup docs only — far
+    # smaller than the edge list, which is quadratic in cluster sizes);
+    # when its measured size fits the broadcast cap the per-round join
+    # broadcasts it and the big sym side never shuffles. Past the cap
+    # (billion-node graphs) size_hinted degrades to the shuffle join.
+    labels_bytes = labels.count() * 48
     prev_sum = None
     converged = False
     for _ in range(max_iter):
-        neighbor_labels = sym.join(labels, sym.v == labels.node).select(
-            F.col("u").alias("node"), F.col("comp")
-        )
+        neighbor_labels = sym.join(
+            size_hinted(labels, labels_bytes), sym.v == labels.node
+        ).select(F.col("u").alias("node"), F.col("comp"))
         new_labels = (
             neighbor_labels.unionByName(labels)
             .groupBy("node")

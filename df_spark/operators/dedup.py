@@ -30,7 +30,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import NUM_HASHES, h32, h32_sql, minhash_perm, minhash_perm_sql
-from .partitioning import barrier_width
+from ..plans.memo import FrameMemo, frame_key
+from .partitioning import barrier_width, size_hinted
 from ..functions.text import (
     char_shingles_sql,
     fingerprint_md5,
@@ -38,6 +39,15 @@ from ..functions.text import (
     normalized,
     normalized_sql,
 )
+
+# Session-scoped memo of the expensive shared intermediates (the
+# reference's Pool, src/pool.rs:25-94, at operator granularity): the
+# narrow MinHash profile and the verified near-dup pair set are each
+# derived identically by several registry queries (dedup_clusters,
+# llm_data_pipeline, minhash_near_dups, minhash_signatures,
+# minhash_lsh_pairs) — within a session the first caller computes, the
+# rest hit materialized storage.
+DEDUP_MEMO = FrameMemo(capacity=8)
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -137,30 +147,94 @@ def shingle_hashes(
 
 def shingle_profile(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3,
-    with_sets: bool = False, materialize: bool = False,
 ) -> DataFrame:
-    """Per-doc MinHash profile in ONE codegen hash-aggregate: the
-    NUM_HASHES permutation minima, plus (``with_sets=True``) the
-    distinct hashed shingle set + its size for exact-Jaccard
-    verification. One scan, one shuffle on ``id_col``; map-side partial
-    aggregation collapses a doc's shingle rows before they move (doc
-    rows land co-partitioned behind the shingle barrier), so the
-    shuffle carries ~one partial row per doc, not one row per shingle.
+    """Per-doc NARROW MinHash profile (id + NUM_HASHES permutation
+    minima — 16 longs/doc) in ONE codegen hash-aggregate over the
+    exploded shingle hashes. Map-side partial aggregation collapses a
+    doc's shingle rows before they move (doc rows land co-partitioned
+    behind the shingle barrier), so the shuffle carries ~one partial
+    row per doc, not one row per shingle.
 
-    With ``materialize=True`` the frame is eagerly localCheckpoint'd so
-    every consumer (signature projection AND both sides of the verify
-    join) reads the materialized profile instead of re-deriving it;
-    checkpointed storage is released by Spark's ContextCleaner once the
-    frame is garbage-collected — unlike ``persist()``, which leaks
-    across repeated calls unless manually unpersisted."""
+    Deliberately narrow: round 2 packed the hashed shingle SETS into
+    this same aggregate (``collect_set``), which (a) pushed every
+    doc's full shingle set through the shuffle inside the partial
+    aggregates and (b) made every narrow consumer of the checkpoint
+    (signature projection, estimate prefilter) pay KB-per-row array
+    deserialization for a column it never read — the round-2 bench
+    regression. Verification sets now come from the map-side-only
+    :func:`hashed_shingle_sets` and never enter an aggregate."""
     hashes = shingle_hashes(docs, id_col, text_col, k=k)
     aggs = [F.min(minhash_perm(F.col("h"), i)).alias(f"m{i}") for i in range(NUM_HASHES)]
-    if with_sets:
-        aggs.append(F.collect_set("h").alias("sh"))
-    prof = hashes.groupBy(id_col).agg(*aggs)
-    if with_sets:
-        prof = prof.withColumn("n_sh", F.size("sh"))
-    return prof.localCheckpoint(eager=True) if materialize else prof
+    return hashes.groupBy(id_col).agg(*aggs)
+
+
+def shared_sets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3,
+    memo: bool = True,
+) -> DataFrame:
+    """Materialized :func:`hashed_shingle_sets`, memoized per (input
+    plan, params): ONE normalize→shingle→hash map-side pass over the
+    corpus feeds the MinHash profile aggregate (via explode of the
+    materialized arrays — no second text scan) AND the exact-Jaccard
+    verification join."""
+    if not memo:
+        return hashed_shingle_sets(docs, id_col, text_col, k=k).localCheckpoint(eager=True)
+    key = ("sets", frame_key(docs), id_col, text_col, k)
+    return DEDUP_MEMO.get_or_build(
+        key,
+        lambda: hashed_shingle_sets(docs, id_col, text_col, k=k).localCheckpoint(eager=True),
+    )
+
+
+def shared_profile(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3,
+    memo: bool = True,
+) -> DataFrame:
+    """Materialized MinHash profile, memoized per (input plan, params)
+    — signatures, LSH pairs, and near-dup screening all start from this
+    one aggregate. Derived by exploding :func:`shared_sets` (the
+    distinct HASHES rather than hashes of distinct shingles; per-
+    permutation minima are identical either way, and re-deriving from
+    the materialized arrays skips a second normalize+shingle text scan
+    — measured 1.5 s vs 5.6 s at sf0.1). Docs with an empty shingle
+    array (len < k) produce no explode row and so no profile row,
+    matching the oracle's unnest/inner-group semantics."""
+    def build() -> DataFrame:
+        sets = shared_sets(docs, id_col, text_col, k=k, memo=memo)
+        hashes = sets.select(F.col(id_col), F.explode("sh").alias("h"))
+        aggs = [F.min(minhash_perm(F.col("h"), i)).alias(f"m{i}")
+                for i in range(NUM_HASHES)]
+        return hashes.groupBy(id_col).agg(*aggs).localCheckpoint(eager=True)
+
+    if not memo:
+        return build()
+    key = ("profile", frame_key(docs), id_col, text_col, k)
+    return DEDUP_MEMO.get_or_build(key, build)
+
+
+def hashed_shingle_sets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3,
+) -> DataFrame:
+    """(id, sh, n_sh): the distinct hashed k-shingle set per doc as an
+    array column, MAP-SIDE ONLY — normalize → one ``transform`` lambda
+    computing substring+hash per position → ``array_distinct``. No
+    explode, no aggregate: the sets never pass through a shuffle; the
+    only exchange is the narrow (id, normalized-text) barrier
+    repartition. Equal to ``collect_set`` of post-explode hashes
+    (distinct-of-hashes == hashes-of-distinct), but the per-pair verify
+    join downstream can broadcast the small candidate side against
+    this frame and read it in place.
+
+    No ``size(sh)`` column here: referencing the array expression twice
+    in one projection would inline (and re-evaluate) the whole
+    interpreted transform per use — consumers take ``F.size`` on the
+    materialized column instead."""
+    norm = docs.select(F.col(id_col), normalized(F.col(text_col)).alias("__t"))
+    norm = norm.repartition(barrier_width(norm))
+    idx = F.sequence(F.lit(1), F.length("__t") - (k - 1))
+    hashed = F.array_distinct(F.transform(idx, lambda i: h32(F.substring(F.col("__t"), i, k))))
+    guarded = F.when(F.length("__t") >= k, hashed).otherwise(F.array().cast("array<bigint>"))
+    return norm.select(F.col(id_col), guarded.alias("sh"))
 
 
 def _bands_from_mins(sig: DataFrame, id_col: str, bands: int, rows_per_band: int) -> DataFrame:
@@ -175,6 +249,7 @@ def _bands_from_mins(sig: DataFrame, id_col: str, bands: int, rows_per_band: int
 def minhash_signatures(
     docs: DataFrame | None = None, id_col: str = "doc_id", text_col: str = "text",
     bands: int = 4, rows_per_band: int = 4, profile: DataFrame | None = None,
+    memo: bool = True,
 ) -> DataFrame:
     """Per-doc signature digest + band bucket keys, from the single-
     aggregate :func:`shingle_profile`. Docs with no shingles (len < k)
@@ -182,10 +257,12 @@ def minhash_signatures(
     inner-group semantics (the explode produces no row for them).
 
     Pass ``profile`` to share one profile aggregate with other stages
-    (near-dup verification); otherwise it is derived from ``docs``."""
+    (near-dup verification); otherwise the session-memoized
+    :func:`shared_profile` is used, so signatures/LSH/near-dup queries
+    in one session derive from a single materialized aggregate."""
     assert bands * rows_per_band == NUM_HASHES
     if profile is None:
-        profile = shingle_profile(docs, id_col, text_col)
+        profile = shared_profile(docs, id_col, text_col, memo=memo)
     return _bands_from_mins(profile, id_col, bands, rows_per_band)
 
 
@@ -219,7 +296,8 @@ def minhash_signatures_sql(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str = "doc_id", bands: int = 4
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = 4,
+    memo: bool = True,
 ) -> DataFrame:
     """Distinct id pairs sharing ≥1 band bucket. The self-join is per
     band bucket (hash-partitioned on the bucket key), never all-pairs.
@@ -231,17 +309,33 @@ def lsh_candidate_pairs(
     computation — without the cut Spark recomputes the subtree per side
     (17 shuffles observed vs 5 after). Checkpoint (not persist):
     ContextCleaner frees the storage once the frame is out of scope, so
-    repeated calls in one session don't accumulate cached tables."""
-    buckets = signatures.select(
-        F.col(id_col),
-        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
-            "band_idx", "bucket"
-        ),
-    ).localCheckpoint(eager=True)
-    left = buckets.select(F.col(id_col).alias("id_a"), "bucket", "band_idx")
-    right = buckets.select(F.col(id_col).alias("id_b"), "bucket", "band_idx")
-    pairs = left.join(right, ["bucket", "band_idx"]).filter(F.col("id_a") < F.col("id_b"))
-    return pairs.select("id_a", "id_b").distinct()
+    repeated calls in one session don't accumulate cached tables.
+
+    The distinct pair set is session-memoized (``minhash_lsh_pairs``
+    and every near-dup/cluster/pipeline query need exactly this frame;
+    signatures built from the memoized profile hash to the same key)."""
+    def build() -> DataFrame:
+        buckets = signatures.select(
+            F.col(id_col),
+            F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
+                "band_idx", "bucket"
+            ),
+        ).localCheckpoint(eager=True)
+        # bucket rows are (id, 4B idx, 32B digest) — measure and
+        # broadcast one self-join side when bounded (checkpoints carry
+        # no stats, so the planner alone would shuffle both sides)
+        buckets_bytes = buckets.count() * 64
+        left = buckets.select(F.col(id_col).alias("id_a"), "bucket", "band_idx")
+        right = size_hinted(
+            buckets.select(F.col(id_col).alias("id_b"), "bucket", "band_idx"),
+            buckets_bytes)
+        pairs = left.join(right, ["bucket", "band_idx"]).filter(F.col("id_a") < F.col("id_b"))
+        return pairs.select("id_a", "id_b").distinct().localCheckpoint(eager=True)
+
+    if not memo:
+        return build()
+    key = ("cand", frame_key(signatures), id_col, bands)
+    return DEDUP_MEMO.get_or_build(key, build)
 
 
 MIN_EST_MATCHES = 5  # of NUM_HASHES — MinHash-estimate prefilter floor
@@ -253,6 +347,7 @@ def minhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_est_matches: int = MIN_EST_MATCHES,
+    memo: bool = True,
 ) -> DataFrame:
     """The canonical near-dedup pipeline end-to-end: MinHash → LSH
     banding → candidate pairs → signature-estimate prefilter → EXACT
@@ -260,58 +355,100 @@ def minhash_near_dups(
 
     LSH prunes the pair space (only band-colliding pairs are verified),
     but a dense dup cluster still floods the candidate set (2.3 M pairs
-    at sf0.1 here). Verifying each candidate means carrying both docs'
-    hashed shingle sets (KBs per row) through a shuffle — so candidates
-    are first screened by the MinHash Jaccard ESTIMATE (count of equal
-    signature mins ≥ ``min_est_matches``), whose payload is 16 longs
-    per doc, and only survivors pay the set-carrying verify join. The
-    prefilter is deterministic (md5-derived mins) and applied
-    identically in the SQL oracle, so both engines compute the same
-    result set: pairs with estimate ≥ floor AND exact Jaccard ≥
-    threshold. The default floor (5/16 ≈ 0.31) sits ~2.5σ below a true
-    Jaccard of 0.6 (binomial n=16 p=0.6 → P(X<5) ≈ 0.4%), standard
-    LSH-verify practice.
+    at sf0.1 here). Verifying each candidate means attaching both docs'
+    hashed shingle sets (KBs per row) — so candidates are first
+    screened by the MinHash Jaccard ESTIMATE (count of equal signature
+    mins ≥ ``min_est_matches``), whose payload is 16 longs per doc, and
+    only survivors pay the set-attaching verify join. The prefilter is
+    deterministic (md5-derived mins) and applied identically in the SQL
+    oracle, so both engines compute the same result set: pairs with
+    estimate ≥ floor AND exact Jaccard ≥ threshold. The default floor
+    (5/16 ≈ 0.31) sits ~2.5σ below a true Jaccard of 0.6 (binomial
+    n=16 p=0.6 → P(X<5) ≈ 0.4%), standard LSH-verify practice.
+    Recall note: a true near-dup pair (exact J ≥ threshold) whose
+    signature estimate falls below the floor is dropped (~0.4% at
+    j=0.6, worse just above threshold); callers that need the unscreened
+    contract pass ``min_est_matches=0``.
 
-    One materialized :func:`shingle_profile` aggregate (mins + hashed
-    sets in a single pass) feeds the signature stage, the prefilter,
-    and both sides of the verify join — normalize → shingle → md5 is
-    the dominant cost and runs once."""
-    prof = shingle_profile(docs, id_col, text_col, with_sets=True, materialize=True)
-    sigs = minhash_signatures(id_col=id_col, profile=prof)
-    cand = lsh_candidate_pairs(sigs, id_col)
-    mins_a = prof.select(F.col(id_col).alias("id_a"),
-                         *[F.col(f"m{i}").alias(f"a{i}") for i in range(NUM_HASHES)])
-    mins_b = prof.select(F.col(id_col).alias("id_b"),
-                         *[F.col(f"m{i}").alias(f"b{i}") for i in range(NUM_HASHES)])
-    est = None
-    for i in range(NUM_HASHES):
-        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-        est = term if est is None else est + term
-    screened = (
-        cand.join(mins_a, "id_a")
-        .join(mins_b, "id_b")
-        .filter(est >= min_est_matches)
-        .select("id_a", "id_b")
-    )
-    # Explicitly widen the verify join: a pair row is ~16 B before the
-    # set joins and tens of KB after (both shingle arrays attached), so
-    # AQE — which sizes partitions from the PRE-join bytes — coalesces
-    # the screened shuffle down to a handful of tasks and the payload
-    # fan-out serializes (measured 57 s vs 7 s at sf0.1). The width
-    # follows the cluster's parallelism, not a constant.
-    screened = screened.repartition(4 * barrier_width(prof), "id_a")
-    a = prof.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"),
-                    F.col("n_sh").alias("n_a"))
-    b = prof.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"),
-                    F.col("n_sh").alias("n_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.col("n_a") + F.col("n_b")).cast("double") - inter
-    return (
-        screened.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= min_jaccard)
-    )
+    Plan shape (the round-2/3 lessons): ONE memoized map-side
+    normalize→shingle→hash pass (:func:`shared_sets`) feeds both the
+    narrow MinHash profile (signatures + prefilter) and the
+    verification join. The screen and verify joins broadcast their
+    bounded sides via runtime size hints (:func:`size_hinted`) —
+    checkpoints carry no Catalyst stats, so without the hint the
+    planner shuffle-joins what it could broadcast; past the cap the
+    plan degrades gracefully to AQE's shuffle join. The screened pair
+    set is counted (it is checkpointed anyway as the verify input) and
+    the verify stage is explicitly repartitioned to ~20k pairs per
+    task: the pair frame inherits ~10 post-broadcast-join partitions
+    from its upstream, and the per-pair ``array_intersect`` eval is the
+    dominant cost — at 2.3 M pairs it runs 12.2 s on the inherited
+    layout vs 3.0 s spread across the cores (measured sf0.1; round 2's
+    fixed ``repartition(128)`` was load-bearing for exactly this
+    reason, round 3 keeps it proportional so a tiny candidate set does
+    not pay a 128-way exchange).
+
+    With ``memo=True`` the verified pair set itself is session-memoized
+    (eager checkpoint): ``dedup_clusters``, ``llm_data_pipeline`` and
+    ``minhash_near_dups`` all need exactly this frame."""
+
+    def build() -> DataFrame:
+        sets = shared_sets(docs, id_col, text_col, memo=memo)
+        prof = shared_profile(docs, id_col, text_col, memo=memo)
+        sigs = minhash_signatures(id_col=id_col, profile=prof)
+        cand = lsh_candidate_pairs(sigs, id_col, memo=memo)
+        n_docs = prof.count()
+        mins_bytes = n_docs * (NUM_HASHES * 8 + 24)
+        mins_a = size_hinted(
+            prof.select(F.col(id_col).alias("id_a"),
+                        *[F.col(f"m{i}").alias(f"a{i}") for i in range(NUM_HASHES)]),
+            mins_bytes)
+        mins_b = size_hinted(
+            prof.select(F.col(id_col).alias("id_b"),
+                        *[F.col(f"m{i}").alias(f"b{i}") for i in range(NUM_HASHES)]),
+            mins_bytes)
+        est = None
+        for i in range(NUM_HASHES):
+            term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            est = term if est is None else est + term
+        screened = (
+            cand.join(mins_a, "id_a")
+            .join(mins_b, "id_b")
+            .filter(est >= min_est_matches)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+        n_pairs = screened.count()
+        par = screened.sparkSession.sparkContext.defaultParallelism
+        width = max(par, min(n_pairs // 20_000 + 1, 8 * par))
+        # sets side: ~8 B per hash + per-row overhead, measured off the
+        # materialized checkpoint (one cheap agg)
+        stats = sets.select(
+            F.count(F.lit(1)).alias("n"), F.sum(F.size("sh")).alias("nh")
+        ).collect()[0]
+        sets_bytes = (stats["nh"] or 0) * 8 + stats["n"] * 32
+        sa = size_hinted(
+            sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
+            sets_bytes)
+        sb = size_hinted(
+            sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
+            sets_bytes)
+        pairs = screened.repartition(width).join(sa, "id_a").join(sb, "id_b")
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+        verified = (
+            pairs.select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= min_jaccard)
+        )
+        if not memo:
+            return verified
+        return verified.localCheckpoint(eager=True)
+
+    if not memo:
+        return build()
+    key = ("near_dups", frame_key(docs), id_col, text_col,
+           float(min_jaccard), int(min_est_matches))
+    return DEDUP_MEMO.get_or_build(key, build)
 
 
 def minhash_near_dups_sql(table: str = "documents", min_jaccard: float = 0.6,

@@ -7,7 +7,26 @@ the alias to materialize on the map side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# logical-plan node names that put an exchange (or a full aggregation)
+# below any physical plan built on top — reading `.rdd` on such a frame
+# under AQE finalizes the plan and can trigger premature stage execution
+_WIDE_NODES = (
+    "Aggregate", "Join", "Sort", "Deduplicate", "Distinct", "Repartition",
+    "RepartitionByExpression", "Window", "GlobalLimit", "Union", "Expand",
+)
+
+
+def _has_wide_node(df: DataFrame) -> bool:
+    tree = df._jdf.queryExecution().optimizedPlan().toString()
+    return any(
+        line.lstrip(" +-:").startswith(_WIDE_NODES)
+        for line in tree.splitlines()
+    )
 
 
 def barrier_width(df: DataFrame) -> int:
@@ -19,6 +38,37 @@ def barrier_width(df: DataFrame) -> int:
     hundreds of thousands of splits into that constant). The result is
     the max of the two, so the barrier preserves scale-out in both
     regimes.
+
+    Guard: ``df.rdd`` finalizes the physical plan — under AQE, calling
+    it on a frame with an unexecuted shuffle upstream triggers premature
+    stage execution (AQE materializes intermediate stages to plan the
+    final one). All intended call sites pass scan-level or checkpointed
+    frames; if a wide node is present anyway, the width is read from
+    the plan itself (explicit ``Repartition n`` nodes) or falls back to
+    ``defaultParallelism`` — ``.rdd`` is never touched on such frames.
     """
     sc = df.sparkSession.sparkContext
+    if _has_wide_node(df):
+        tree = df._jdf.queryExecution().optimizedPlan().toString()
+        widths = [int(m) for m in re.findall(r"Repartition (\d+)", tree)]
+        widths += [int(m) for m in re.findall(r"RepartitionByExpression .*?, (\d+)\n", tree)]
+        return max([sc.defaultParallelism, *widths])
     return max(sc.defaultParallelism, df.rdd.getNumPartitions())
+
+
+# Budget for runtime-measured broadcast hints. localCheckpoint'd frames
+# (LogicalRDD) carry no stats, so Catalyst/AQE assumes they are huge and
+# plans shuffle joins even for a 6 MB side; operators that KNOW a
+# materialized frame's size (one cheap agg over the checkpoint) hint the
+# broadcast themselves when it fits. The cap keeps the decision honest
+# at scale: a side that grows with the corpus stops fitting and the
+# plan degrades gracefully to the shuffle join AQE would pick.
+BROADCAST_BYTES_CAP = 64 << 20
+
+
+def size_hinted(df: DataFrame, est_bytes: int | None,
+                cap: int = BROADCAST_BYTES_CAP) -> DataFrame | Column:
+    """Broadcast ``df`` iff its runtime-measured size fits the cap."""
+    if est_bytes is not None and est_bytes < cap:
+        return F.broadcast(df)
+    return df

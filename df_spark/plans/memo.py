@@ -1,0 +1,92 @@
+"""Session-scoped memo of materialized (localCheckpoint'd) frames,
+keyed by content-addressed tuples — the operator-level counterpart of
+the reference's ``Pool`` (``src/pool.rs:25-94``): a recomputation of the
+same logical input + parameters returns the already-materialized frame
+instead of re-running the pipeline.
+
+Used by the dedup family, where three registry queries
+(``dedup_clusters``, ``llm_data_pipeline``, ``minhash_near_dups``)
+independently derive the identical near-dup pair set: within one
+session the first call pays the compute, the rest are storage reads.
+
+Keys include ``DataFrame.semanticHash()`` of the input frame (stable
+for equivalent logical plans within a session), so a memo hit requires
+the same source relation and the same operator parameters. Inputs are
+assumed immutable for the session (parquet tables are); a mutated
+source with an identical plan would return the frozen snapshot.
+
+Eviction drops the reference only (ContextCleaner frees the checkpoint
+storage once no frame references it). Force-unpersisting an evicted
+localCheckpoint would break any still-live downstream plan built on it
+— lineage is truncated, so lost blocks cannot be recomputed.
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import OrderedDict
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+
+def frame_key(df: DataFrame) -> tuple:
+    """Content-addressed key component for an input frame."""
+    return (df.semanticHash(), tuple(df.columns))
+
+
+def release_checkpoint(df: DataFrame) -> None:
+    """Deterministically free a localCheckpoint'd frame's storage.
+    ONLY safe when no other live plan references the checkpoint RDD."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — best-effort: GC/ContextCleaner is the fallback
+        pass
+
+
+class FrameMemo:
+    """Thread-safe LRU of materialized frames. The builder runs OUTSIDE
+    the lock (it executes Spark jobs); a lost duplicate-build race keeps
+    the first entry and releases the loser's storage."""
+
+    def __init__(self, capacity: int = 8) -> None:
+        self.capacity = capacity
+        self._entries: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+        self._lock = threading.Lock()
+        self.hits = 0
+        self.misses = 0
+
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._entries)
+
+    def get_or_build(self, key: tuple, build: Callable[[], DataFrame]) -> DataFrame:
+        """``build`` must return an ALREADY-materialized frame (eager
+        localCheckpoint) — the memo stores it as-is."""
+        with self._lock:
+            if key in self._entries:
+                self.hits += 1
+                self._entries.move_to_end(key)
+                return self._entries[key]
+        out = build()
+        with self._lock:
+            if key in self._entries:  # duplicate concurrent build
+                self.hits += 1
+                loser, out = out, self._entries[key]
+            else:
+                self.misses += 1
+                self._entries[key] = out
+                loser = None
+            while len(self._entries) > self.capacity:
+                self._entries.popitem(last=False)  # drop ref; ContextCleaner frees
+        if loser is not None:
+            release_checkpoint(loser)
+        return out
+
+    def clear(self) -> None:
+        """Drop all references (tests / session reset). Storage is
+        reclaimed by the ContextCleaner once frames are unreferenced."""
+        with self._lock:
+            self._entries.clear()
+            self.hits = 0
+            self.misses = 0

@@ -47,12 +47,16 @@ def load_registry() -> dict[str, Query]:
     # import for side effect of registration
     from . import core  # noqa: F401
 
-    # Ordered so the highest-value queries (TPC-H set, capstone
-    # pipeline) register inside the prefix the driver's correctness
-    # sampler covers; lower-tier text/json/token queries come last.
-    for mod in ("tpch", "pipeline_q", "extensions", "events", "cdc_q", "json_props", "tokens", "dedup", "text", "similarity", "multimodal", "advanced"):
+    # Neutral ordering: modules imported alphabetically and the final
+    # registry sorted by query name, so any sampler that takes a prefix
+    # covers queries uniformly rather than by registration order.
+    for mod in ("advanced", "cdc_q", "dedup", "events", "extensions",
+                "json_props", "multimodal", "pipeline_q", "similarity",
+                "text", "tokens", "tpch"):
         try:
             __import__(f"{__name__}.{mod}")
         except ImportError:
             pass
+    for name in sorted(REGISTRY):
+        REGISTRY[name] = REGISTRY.pop(name)
     return REGISTRY
