@@ -52,7 +52,7 @@ def load_registry() -> dict[str, Query]:
     # covers queries uniformly rather than by registration order.
     for mod in ("advanced", "cdc_q", "dedup", "events", "extensions",
                 "json_props", "multimodal", "pipeline_q", "similarity",
-                "text", "tokens", "tpch"):
+                "sources_q", "text", "tokens", "tpch"):
         try:
             __import__(f"{__name__}.{mod}")
         except ImportError:

@@ -101,3 +101,46 @@ def test_ngram_jaccard_values(spark):
              D.ngram_jaccard_pairs(df, block_cols=["b"]).collect()}
     assert pairs[(1, 2)] == 1.0
     assert 0.0 < pairs[(1, 3)] < 1.0
+
+
+def test_prefilter_recall_measured(spark, sf_dir):
+    """The MinHash-estimate screen (est >= MIN_EST_MATCHES) may drop a
+    true near-dup pair whose signature estimate lands below the floor.
+    Keep that miss rate MEASURED against the unscreened contract
+    (min_est_matches=0) rather than definitionally invisible: screened
+    must be a subset, and misses stay under 2% on the synthetic corpus."""
+    from df_spark.sources.tables import load_sdf
+
+    docs = load_sdf(spark, sf_dir, "documents")
+    full = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_near_dups(docs, 0.6, min_est_matches=0, memo=False).collect()
+    }
+    screened = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_near_dups(docs, 0.6, memo=False).collect()
+    }
+    assert screened <= full
+    assert full, "fixture corpus must contain near-dups"
+    miss_rate = 1 - len(screened) / len(full)
+    assert miss_rate <= 0.02, f"prefilter dropped {miss_rate:.1%} of true pairs"
+
+
+def test_dedup_memo_shares_build(spark, sf_dir):
+    """Same-session recomputation of the near-dup pipeline must hit the
+    frame memo (reference Pool parity at operator granularity): the
+    second call returns the SAME materialized frame, no rebuild."""
+    from df_spark.sources.tables import load_sdf
+
+    D.DEDUP_MEMO.clear()
+    docs = load_sdf(spark, sf_dir, "documents")
+    first = D.minhash_near_dups(docs, 0.6)
+    first.count()
+    misses_after_first = D.DEDUP_MEMO.misses
+    # a fresh scan plan of the same table must still hit (content-
+    # addressed key via semanticHash, not object identity)
+    again = D.minhash_near_dups(load_sdf(spark, sf_dir, "documents"), 0.6)
+    assert again is first
+    assert D.DEDUP_MEMO.misses == misses_after_first
+    assert D.DEDUP_MEMO.hits >= 1
+    D.DEDUP_MEMO.clear()
