@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import NUM_HASHES, h32, h32_sql, minhash_perm, minhash_perm_sql
 from ..plans.memo import FrameMemo, frame_key
-from .partitioning import barrier_width, size_hinted
+from .partitioning import BROADCAST_BYTES_CAP, barrier_width, size_hinted
 from ..functions.text import (
     char_shingles_sql,
     fingerprint_md5,
@@ -48,6 +48,11 @@ from ..functions.text import (
 # minhash_lsh_pairs) — within a session the first caller computes, the
 # rest hit materialized storage.
 DEDUP_MEMO = FrameMemo(capacity=8)
+
+# hashed shingle SETS are stored as 32-bit ints, shifted from the h32
+# domain [0, 2^32) by -2^31 (injective → Jaccard-invariant); profiles
+# shift back before applying MinHash permutations
+H32_INT_SHIFT = 2_147_483_648
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -201,7 +206,10 @@ def shared_profile(
     matching the oracle's unnest/inner-group semantics."""
     def build() -> DataFrame:
         sets = shared_sets(docs, id_col, text_col, k=k, memo=memo)
-        hashes = sets.select(F.col(id_col), F.explode("sh").alias("h"))
+        # undo the int-packing shift: permutations are defined over the
+        # oracle-reproducible h32 domain [0, 2^32)
+        h = (F.col("h").cast("long") + H32_INT_SHIFT).alias("h")
+        hashes = sets.select(F.col(id_col), F.explode("sh").alias("h")).select(id_col, h)
         aggs = [F.min(minhash_perm(F.col("h"), i)).alias(f"m{i}")
                 for i in range(NUM_HASHES)]
         return hashes.groupBy(id_col).agg(*aggs).localCheckpoint(eager=True)
@@ -215,8 +223,8 @@ def shared_profile(
 def hashed_shingle_sets(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3,
 ) -> DataFrame:
-    """(id, sh, n_sh): the distinct hashed k-shingle set per doc as an
-    array column, MAP-SIDE ONLY — normalize → one ``transform`` lambda
+    """(id, sh): the distinct hashed k-shingle set per doc as an array
+    column, MAP-SIDE ONLY — normalize → one ``transform`` lambda
     computing substring+hash per position → ``array_distinct``. No
     explode, no aggregate: the sets never pass through a shuffle; the
     only exchange is the narrow (id, normalized-text) barrier
@@ -225,6 +233,15 @@ def hashed_shingle_sets(
     join downstream can broadcast the small candidate side against
     this frame and read it in place.
 
+    The hashes are stored SHIFTED to 32-bit ints (``h32 - 2^31``, an
+    injective map, so intersect/union cardinalities — and therefore
+    Jaccard — are unchanged): the verify join's dominant costs are
+    copying the arrays through the join and the per-pair hash-set
+    build, and ints halve the bytes and hit ArrayIntersect's
+    specialized int path. :func:`shared_profile` adds the offset back
+    when deriving MinHash permutations, so signatures stay defined
+    over the oracle-reproducible ``h32`` domain.
+
     No ``size(sh)`` column here: referencing the array expression twice
     in one projection would inline (and re-evaluate) the whole
     interpreted transform per use — consumers take ``F.size`` on the
@@ -232,8 +249,10 @@ def hashed_shingle_sets(
     norm = docs.select(F.col(id_col), normalized(F.col(text_col)).alias("__t"))
     norm = norm.repartition(barrier_width(norm))
     idx = F.sequence(F.lit(1), F.length("__t") - (k - 1))
-    hashed = F.array_distinct(F.transform(idx, lambda i: h32(F.substring(F.col("__t"), i, k))))
-    guarded = F.when(F.length("__t") >= k, hashed).otherwise(F.array().cast("array<bigint>"))
+    hashed = F.array_distinct(F.transform(
+        idx, lambda i: (h32(F.substring(F.col("__t"), i, k)) - H32_INT_SHIFT).cast("int")
+    ))
+    guarded = F.when(F.length("__t") >= k, hashed).otherwise(F.array().cast("array<int>"))
     return norm.select(F.col(id_col), guarded.alias("sh"))
 
 
@@ -370,23 +389,37 @@ def minhash_near_dups(
     j=0.6, worse just above threshold); callers that need the unscreened
     contract pass ``min_est_matches=0``.
 
-    Plan shape (the round-2/3 lessons): ONE memoized map-side
+    Plan shape (the round-2/3/4 lessons): ONE memoized map-side
     normalize→shingle→hash pass (:func:`shared_sets`) feeds both the
     narrow MinHash profile (signatures + prefilter) and the
-    verification join. The screen and verify joins broadcast their
-    bounded sides via runtime size hints (:func:`size_hinted`) —
-    checkpoints carry no Catalyst stats, so without the hint the
-    planner shuffle-joins what it could broadcast; past the cap the
-    plan degrades gracefully to AQE's shuffle join. The screened pair
-    set is counted (it is checkpointed anyway as the verify input) and
-    the verify stage is explicitly repartitioned to ~20k pairs per
-    task: the pair frame inherits ~10 post-broadcast-join partitions
-    from its upstream, and the per-pair ``array_intersect`` eval is the
-    dominant cost — at 2.3 M pairs it runs 12.2 s on the inherited
-    layout vs 3.0 s spread across the cores (measured sf0.1; round 2's
-    fixed ``repartition(128)`` was load-bearing for exactly this
-    reason, round 3 keeps it proportional so a tiny candidate set does
-    not pay a 128-way exchange).
+    verification join. The verify strategy is then ADAPTIVE on the
+    runtime-measured side sizes (checkpoints carry no Catalyst stats,
+    so the operator measures with one cheap agg and decides itself):
+
+    - **fused** (sides fit ``BROADCAST_BYTES_CAP``): one codegen stage
+      — candidates repartitioned to ~20k pairs/task, both sides
+      (mins + shingle array per doc) attached via two broadcast hash
+      joins, est-prefilter and exact Jaccard evaluated in the same
+      stage. Screened-out pairs cost only in-stage CPU, never a
+      materialization: measured 5 s vs 9 s steady-state over the
+      two-phase plan at sf0.1 (2.3 M candidates, 99.95 % of which
+      pass the screen — a prefilter materialization buys nothing
+      when the candidate set is this dense).
+    - **two-phase** (sides exceed the cap — the 100 TB regime, where
+      the sets frame is corpus-sized and every join shuffles): screen
+      the candidates against the NARROW mins first (16 longs/doc
+      through the shuffle, not KB arrays), checkpoint + count the
+      survivors, then pay the array-attaching shuffle join only for
+      them. When the screen is selective (sparse corpora — the
+      production case, unlike the dense synthetic sf0.1 corpus) this
+      avoids shuffling shingle arrays for pairs the estimate already
+      rejects.
+
+    Both branches repartition the pair stream proportionally (~20k
+    pairs per task, capped at 8× parallelism): the per-pair
+    ``array_intersect`` is the dominant cost and the pair frame
+    otherwise inherits ~10 post-join partitions from upstream
+    (measured 12.2 s vs 3.0 s at sf0.1).
 
     With ``memo=True`` the verified pair set itself is session-memoized
     (eager checkpoint): ``dedup_clusters``, ``llm_data_pipeline`` and
@@ -397,45 +430,69 @@ def minhash_near_dups(
         prof = shared_profile(docs, id_col, text_col, memo=memo)
         sigs = minhash_signatures(id_col=id_col, profile=prof)
         cand = lsh_candidate_pairs(sigs, id_col, memo=memo)
-        n_docs = prof.count()
+        par = cand.sparkSession.sparkContext.defaultParallelism
+        # one cheap agg over the materialized sets checkpoint: ~8 B per
+        # hash + per-row overhead; drives both the broadcast decision
+        # and the per-doc mins estimate
+        stats = sets.select(
+            F.count(F.lit(1)).alias("n"), F.sum(F.size("sh")).alias("nh")
+        ).collect()[0]
+        n_docs = stats["n"]
+        sets_bytes = (stats["nh"] or 0) * 4 + n_docs * 32
         mins_bytes = n_docs * (NUM_HASHES * 8 + 24)
-        mins_a = size_hinted(
-            prof.select(F.col(id_col).alias("id_a"),
-                        *[F.col(f"m{i}").alias(f"a{i}") for i in range(NUM_HASHES)]),
-            mins_bytes)
-        mins_b = size_hinted(
-            prof.select(F.col(id_col).alias("id_b"),
-                        *[F.col(f"m{i}").alias(f"b{i}") for i in range(NUM_HASHES)]),
-            mins_bytes)
+
         est = None
         for i in range(NUM_HASHES):
             term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
             est = term if est is None else est + term
-        screened = (
-            cand.join(mins_a, "id_a")
-            .join(mins_b, "id_b")
-            .filter(est >= min_est_matches)
-            .select("id_a", "id_b")
-            .localCheckpoint(eager=True)
-        )
-        n_pairs = screened.count()
-        par = screened.sparkSession.sparkContext.defaultParallelism
-        width = max(par, min(n_pairs // 20_000 + 1, 8 * par))
-        # sets side: ~8 B per hash + per-row overhead, measured off the
-        # materialized checkpoint (one cheap agg)
-        stats = sets.select(
-            F.count(F.lit(1)).alias("n"), F.sum(F.size("sh")).alias("nh")
-        ).collect()[0]
-        sets_bytes = (stats["nh"] or 0) * 8 + stats["n"] * 32
-        sa = size_hinted(
-            sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
-            sets_bytes)
-        sb = size_hinted(
-            sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
-            sets_bytes)
-        pairs = screened.repartition(width).join(sa, "id_a").join(sb, "id_b")
         inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+
+        if sets_bytes + mins_bytes < BROADCAST_BYTES_CAP:
+            # fused single-stage verify: mins + shingle array per side
+            # in one broadcast frame; est filter sits below the Jaccard
+            # projection so rejected pairs never evaluate the intersect
+            side = prof.join(sets, id_col)
+            a = F.broadcast(side.select(
+                F.col(id_col).alias("id_a"),
+                *[F.col(f"m{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+                F.col("sh").alias("sh_a")))
+            b = F.broadcast(side.select(
+                F.col(id_col).alias("id_b"),
+                *[F.col(f"m{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+                F.col("sh").alias("sh_b")))
+            n_cand = cand.count()  # cheap: cand is checkpointed
+            width = max(par, min(n_cand // 20_000 + 1, 8 * par))
+            pairs = (
+                cand.repartition(width).join(a, "id_a").join(b, "id_b")
+                .filter(est >= min_est_matches)
+            )
+        else:
+            # two-phase: narrow screen, then the array-attaching join
+            # only for survivors
+            mins_a = prof.select(
+                F.col(id_col).alias("id_a"),
+                *[F.col(f"m{i}").alias(f"a{i}") for i in range(NUM_HASHES)])
+            mins_b = prof.select(
+                F.col(id_col).alias("id_b"),
+                *[F.col(f"m{i}").alias(f"b{i}") for i in range(NUM_HASHES)])
+            screened = (
+                cand.join(size_hinted(mins_a, mins_bytes), "id_a")
+                .join(size_hinted(mins_b, mins_bytes), "id_b")
+                .filter(est >= min_est_matches)
+                .select("id_a", "id_b")
+                .localCheckpoint(eager=True)
+            )
+            n_pairs = screened.count()
+            width = max(par, min(n_pairs // 20_000 + 1, 8 * par))
+            sa = size_hinted(
+                sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
+                sets_bytes)
+            sb = size_hinted(
+                sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
+                sets_bytes)
+            pairs = screened.repartition(width).join(sa, "id_a").join(sb, "id_b")
+
         verified = (
             pairs.select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
             .filter(F.col("jaccard") >= min_jaccard)
@@ -467,8 +524,10 @@ def minhash_near_dups_sql(table: str = "documents", min_jaccard: float = 0.6,
     est = " + ".join(
         f"(CASE WHEN ma.m{i} = mb.m{i} THEN 1 ELSE 0 END)" for i in range(NUM_HASHES)
     )
+    # int-packed twin of hashed_shingle_sets (same -2^31 shift)
     shingle_hashed = (
-        f"list_distinct(list_transform({char_shingles_sql(text_col)}, s -> {h32_sql('s')}))"
+        f"list_distinct(list_transform({char_shingles_sql(text_col)},"
+        f" s -> CAST({h32_sql('s')} - 2147483648 AS INTEGER)))"
     )
     return f"""
     WITH sh AS (

@@ -144,3 +144,25 @@ def test_dedup_memo_shares_build(spark, sf_dir):
     assert D.DEDUP_MEMO.misses == misses_after_first
     assert D.DEDUP_MEMO.hits >= 1
     D.DEDUP_MEMO.clear()
+
+
+def test_near_dups_two_phase_branch_matches_fused(spark, sf_dir, monkeypatch):
+    """minhash_near_dups picks its verify strategy from measured side
+    sizes: fused broadcast stage when the sides fit the cap, two-phase
+    narrow-screen-then-join when they don't (the 100 TB regime). Force
+    the two-phase branch by shrinking the cap and assert identical
+    results."""
+    from df_spark.sources.tables import load_sdf
+
+    docs = load_sdf(spark, sf_dir, "documents")
+    fused = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.minhash_near_dups(docs, 0.6, memo=False).collect()
+    }
+    monkeypatch.setattr(D, "BROADCAST_BYTES_CAP", 0)
+    two_phase = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.minhash_near_dups(docs, 0.6, memo=False).collect()
+    }
+    assert fused, "fixture corpus must contain near-dups"
+    assert two_phase == fused
