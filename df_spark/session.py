@@ -58,6 +58,11 @@ def get_spark(
         # parquet TIMESTAMP(NANOS) (events.ts) loads as long; sources.tables
         # converts to TimestampType at µs precision (Spark's maximum)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # testdata timestamps are TIMESTAMP_MICROS with isAdjustedToUTC=0;
+        # read them as TimestampType instants (session tz is UTC, so the
+        # stored micros line up with DuckDB's naive TIMESTAMP) instead of
+        # TIMESTAMP_NTZ, keeping ts-predicate pushdown on the scan
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

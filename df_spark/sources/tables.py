@@ -1,12 +1,22 @@
 """Loaders for the driver's synthetic TPC-H-ish tables (TESTDATA.md).
 
 Normalizations applied at scan time (cheap, column-level, pushdown-safe):
-- ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark cannot represent
-  (µs max). With ``spark.sql.legacy.parquet.nanosAsLong`` the column
-  arrives as a nanosecond long; we truncate to µs with integer division
-  (``div`` — stays in long space, no double round-trip) and convert via
-  ``timestamp_micros``. DuckDB's ``CAST(ts AS TIMESTAMP)`` truncates the
-  same way, so oracle comparisons line up.
+- timestamp columns (``events.ts``, ``orders.o_orderdate``,
+  ``lineitem.l_shipdate``) are parquet TIMESTAMP_MICROS with
+  ``isAdjustedToUTC=0``, which Spark 4 infers as TIMESTAMP_NTZ by
+  default — a type many chrono builtins (``unix_micros``, ``window``)
+  reject. ``load_sdf`` disables ``spark.sql.parquet.inferTimestampNTZ``
+  on the session (runtime SQL conf, works on driver-provided sessions
+  too) so the stored micros load as TimestampType instants; with the
+  UTC session timezone they line up exactly with DuckDB's naive
+  TIMESTAMP reading of the same files, and ts predicates still push
+  into the parquet scan. If the conf is unavailable and a column still
+  arrives NTZ, a cast-to-timestamp fallback keeps semantics (at the
+  cost of pushdown on that column).
+- older testdata generations wrote ``events.ts`` as TIMESTAMP(NANOS);
+  with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a
+  nanosecond long and is truncated to µs via ``timestamp_micros``
+  (DuckDB's ``CAST(ts AS TIMESTAMP)`` truncates the same way).
 """
 
 from __future__ import annotations
@@ -32,9 +42,16 @@ TABLES = [
 
 
 def load_sdf(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:  # noqa: BLE001 — conf missing on some builds; cast below
+        pass
     sdf = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(sdf.dtypes).get("ts") == "bigint":
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for col, dtype in sdf.dtypes:
+        if dtype == "timestamp_ntz":
+            sdf = sdf.withColumn(col, F.col(col).cast("timestamp"))
     return sdf
 
 

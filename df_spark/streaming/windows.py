@@ -23,7 +23,7 @@ from pyspark.sql import types as T
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("ts", T.TimestampType()),  # parquet TIMESTAMP_MICROS
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -35,14 +35,20 @@ EVENTS_SCHEMA = T.StructType(
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table (one file = one
     micro-batch unit; a Kafka source drops in for production)."""
+    # the file's TIMESTAMP_MICROS columns carry isAdjustedToUTC=0; read
+    # them as TimestampType instants (session tz UTC), matching the batch
+    # loader's normalization in sources.tables
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:  # noqa: BLE001
+        pass
     # the file source requires a directory; select just the events file
-    raw = (
+    return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def tumbling_counts(

@@ -197,10 +197,8 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
     pq.write_table(src, str(dup_dir / "a.parquet"))
     pq.write_table(src, str(dup_dir / "b.parquet"))
 
-    from pyspark.sql import functions as F
     raw = (spark.readStream.schema(SW.EVENTS_SCHEMA).format("parquet")
-           .load(str(dup_dir))
-           .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+           .load(str(dup_dir)))
     deduped = SW.dedup_stream(raw, keys=["event_id"], watermark="100 days")
     _, out = SW.run_stream_to_memory(deduped, output_mode="append")
     n_unique = src.num_rows
