@@ -17,13 +17,19 @@ from df_spark.queries import load_registry
 
 def _configure(spark: SparkSession) -> None:
     """Session configs the engine needs (normally set by
-    ``df_spark.session.get_spark``; the driver builds its own session)."""
-    try:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-    except Exception:
-        pass
+    ``df_spark.session.get_spark``; the driver builds its own session).
+    Each conf is set independently — one unavailable key (e.g. a build
+    without the legacy-nanos flag) must not skip the others."""
+    for key, val in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+    ):
+        try:
+            spark.conf.set(key, val)
+        except Exception:  # noqa: BLE001 — per-key: others still apply
+            pass
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -11,8 +11,11 @@ Normalizations applied at scan time (cheap, column-level, pushdown-safe):
   UTC session timezone they line up exactly with DuckDB's naive
   TIMESTAMP reading of the same files, and ts predicates still push
   into the parquet scan. If the conf is unavailable and a column still
-  arrives NTZ, a cast-to-timestamp fallback keeps semantics (at the
-  cost of pushdown on that column).
+  arrives NTZ, a tz-aware fallback conversion keeps semantics (at the
+  cost of pushdown on that column): the stored wall-clock micros are
+  UTC instants, so the NTZ wall time is reinterpreted AS UTC
+  regardless of the session timezone (a plain cast would shift by the
+  session-tz offset whenever it isn't UTC).
 - older testdata generations wrote ``events.ts`` as TIMESTAMP(NANOS);
   with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a
   nanosecond long and is truncated to µs via ``timestamp_micros``
@@ -20,6 +23,8 @@ Normalizations applied at scan time (cheap, column-level, pushdown-safe):
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,17 +46,46 @@ TABLES = [
 ]
 
 
-def load_sdf(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Python session wrappers whose NTZ-inference conf has been ensured —
+# the conf is session-global, so one RPC per session wrapper, not one
+# per table load. ``get_spark`` sets it at build time; this covers
+# driver-provided sessions that bypass the factory.
+_NTZ_ENSURED: set[int] = set()
+
+
+def _ensure_ntz_conf(spark: SparkSession) -> None:
+    key = id(spark)
+    if key in _NTZ_ENSURED:
+        return
     try:
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    except Exception:  # noqa: BLE001 — conf missing on some builds; cast below
-        pass
+    except Exception as e:  # noqa: BLE001 — conf missing on some builds
+        warnings.warn(
+            "could not disable spark.sql.parquet.inferTimestampNTZ.enabled "
+            f"({e}); NTZ columns will be converted per-scan (pushdown lost "
+            "on those columns)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    _NTZ_ENSURED.add(key)
+
+
+def load_sdf(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_ntz_conf(spark)
     sdf = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(sdf.dtypes).get("ts") == "bigint":
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    for col, dtype in sdf.dtypes:
-        if dtype == "timestamp_ntz":
-            sdf = sdf.withColumn(col, F.col(col).cast("timestamp"))
+    ntz_cols = [c for c, t in sdf.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        # the stored wall-clock fields ARE the UTC instant: cast NTZ→TS
+        # (interprets the wall time in the session tz), then shift the
+        # session-tz offset back out. With a UTC session the shift is
+        # identity; with any other tz a bare cast would be wrong.
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        for col in ntz_cols:
+            sdf = sdf.withColumn(
+                col, F.from_utc_timestamp(F.col(col).cast("timestamp"), tz)
+            )
     return sdf
 
 

@@ -34,14 +34,12 @@ EVENTS_SCHEMA = T.StructType(
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table (one file = one
-    micro-batch unit; a Kafka source drops in for production)."""
-    # the file's TIMESTAMP_MICROS columns carry isAdjustedToUTC=0; read
-    # them as TimestampType instants (session tz UTC), matching the batch
-    # loader's normalization in sources.tables
-    try:
-        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    except Exception:  # noqa: BLE001
-        pass
+    micro-batch unit; a Kafka source drops in for production).
+
+    The explicit ``EVENTS_SCHEMA`` (``ts`` as TimestampType) is what
+    makes the file's TIMESTAMP_MICROS/isAdjustedToUTC=0 column arrive
+    as an instant — with a user-supplied schema the parquet NTZ
+    inference conf never applies, so none is set here."""
     # the file source requires a directory; select just the events file
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
