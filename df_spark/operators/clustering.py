@@ -84,30 +84,40 @@ def connected_components(
     nodes = sym.select(F.col("u").alias("node")).distinct()
     labels, held = tracked_checkpoint(nodes.withColumn("comp", F.col("node")))
 
-    # Each round is ONE join + hash-min: a node's new label is the min
-    # over {its own label} ∪ {neighbor labels}, expressed as a union fed
-    # into a single aggregate (the union of the self-labels replaces a
-    # second left-join back onto the old labels). Convergence check
-    # exploits monotonicity — min-labels only ever decrease — so labels
-    # changed iff sum(comp) decreased: one cheap aggregate on the
-    # checkpointed result instead of a join+count against the old round.
+    # Each propagation step is ONE join + hash-min: a node's new label
+    # is the min over {its own label} ∪ {neighbor labels}, expressed as
+    # a union fed into a single aggregate (the union of the self-labels
+    # replaces a second left-join back onto the old labels).
     # the label table has one row per NODE (near-dup docs only — far
     # smaller than the edge list, which is quadratic in cluster sizes);
     # when its measured size fits the broadcast cap the per-round join
     # broadcasts it and the big sym side never shuffles. Past the cap
     # (billion-node graphs) size_hinted degrades to the shuffle join.
     labels_bytes = labels.count() * 48
-    prev_sum = None
-    converged = False
-    for _ in range(max_iter):
+
+    def propagate(cur: DataFrame) -> DataFrame:
         neighbor_labels = sym.join(
-            size_hinted(labels, labels_bytes), sym.v == labels.node
+            size_hinted(cur, labels_bytes), sym.v == cur["node"]
         ).select(F.col("u").alias("node"), F.col("comp"))
-        new_labels = (
-            neighbor_labels.unionByName(labels)
+        return (
+            neighbor_labels.unionByName(cur)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
         )
+
+    # TWO propagation steps per materialization round: the driver-side
+    # barriers (checkpoint job + convergence collect) dominate each
+    # round's wall time on shallow near-dup graphs, so halving the
+    # barrier count beats minimizing per-step join work. Convergence
+    # check exploits monotonicity — min-labels only ever decrease — so
+    # labels changed iff sum(comp) decreased: one cheap aggregate on the
+    # checkpointed result instead of a join+count against the old round,
+    # and a sum unchanged across a 2-step round implies neither step
+    # moved a label.
+    prev_sum = None
+    converged = False
+    for _ in range(max(1, max_iter // 2)):
+        new_labels = propagate(propagate(labels))
         # localCheckpoint TRUNCATES the lineage — persist alone caches
         # data but Catalyst still re-analyzes the ever-deepening plan
         # each round (measured: per-iteration time grows 2s → 20s by
@@ -145,11 +155,17 @@ def dedup_groups(
 ) -> DataFrame:
     """Full dedup grouping: every doc gets a group id (= min doc id of
     its near-dup component; singletons are their own group), plus the
-    keep/drop decision."""
+    keep/drop decision.
+
+    The label table is one row per near-dup NODE — corpus-bounded and
+    usually tiny next to ``all_ids`` — so the final left join broadcasts
+    it (runtime-measured: the count is a cached-RDD read) and the full
+    id table never shuffles. Past the cap the join degrades to shuffle."""
     comps = connected_components(pairs)
+    comps_bytes = comps.count() * 48  # cheap: comps is checkpointed
     out = (
         all_ids.select(F.col(id_col))
-        .join(comps, all_ids[id_col] == comps.node, "left")
+        .join(size_hinted(comps, comps_bytes), all_ids[id_col] == comps.node, "left")
         .select(
             id_col,
             F.coalesce(F.col("comp"), F.col(id_col)).alias("group_id"),

@@ -441,25 +441,46 @@ def minhash_near_dups(
         sets_bytes = (stats["nh"] or 0) * 4 + n_docs * 32
         mins_bytes = n_docs * (NUM_HASHES * 8 + 24)
 
-        est = None
-        for i in range(NUM_HASHES):
-            term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-            est = term if est is None else est + term
-        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+        # the 16 per-doc minima travel as ONE array column, not 16
+        # long columns: same bytes, but a third of the per-row field
+        # handling through the joins, and the estimate becomes a single
+        # 16-element zip_with/aggregate instead of a 16-term CASE chain
+        # (the verify stage is deliberately off whole-stage codegen —
+        # see session.py hugeMethodLimit — so expression COUNT is cost)
+        mins_arr = F.array(*[F.col(f"m{i}") for i in range(NUM_HASHES)])
+        est = F.aggregate(
+            F.zip_with("mins_a", "mins_b",
+                       lambda x, y: F.when(x == y, 1).otherwise(0)),
+            F.lit(0), lambda acc, x: acc + x,
+        )
+
+        def verify(pairs: DataFrame) -> DataFrame:
+            # the intersect size is materialized ONCE per pair in its own
+            # projection — referencing it inside the jaccard expression
+            # twice (numerator and union) would re-evaluate the intersect
+            # per use whenever codegen subexpression elimination is off
+            sized = pairs.select(
+                "id_a", "id_b",
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double").alias("__i"),
+                (F.size("sh_a") + F.size("sh_b")).cast("double").alias("__t"),
+            )
+            jac = F.round(F.col("__i") / (F.col("__t") - F.col("__i")), 6)
+            return (
+                sized.select("id_a", "id_b", jac.alias("jaccard"))
+                .filter(F.col("jaccard") >= min_jaccard)
+            )
 
         if sets_bytes + mins_bytes < BROADCAST_BYTES_CAP:
             # fused single-stage verify: mins + shingle array per side
             # in one broadcast frame; est filter sits below the Jaccard
             # projection so rejected pairs never evaluate the intersect
-            side = prof.join(sets, id_col)
+            side = prof.join(sets, id_col).select(
+                F.col(id_col), mins_arr.alias("mins"), F.col("sh"))
             a = F.broadcast(side.select(
-                F.col(id_col).alias("id_a"),
-                *[F.col(f"m{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+                F.col(id_col).alias("id_a"), F.col("mins").alias("mins_a"),
                 F.col("sh").alias("sh_a")))
             b = F.broadcast(side.select(
-                F.col(id_col).alias("id_b"),
-                *[F.col(f"m{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+                F.col(id_col).alias("id_b"), F.col("mins").alias("mins_b"),
                 F.col("sh").alias("sh_b")))
             n_cand = cand.count()  # cheap: cand is checkpointed
             width = max(par, min(n_cand // 20_000 + 1, 8 * par))
@@ -470,12 +491,8 @@ def minhash_near_dups(
         else:
             # two-phase: narrow screen, then the array-attaching join
             # only for survivors
-            mins_a = prof.select(
-                F.col(id_col).alias("id_a"),
-                *[F.col(f"m{i}").alias(f"a{i}") for i in range(NUM_HASHES)])
-            mins_b = prof.select(
-                F.col(id_col).alias("id_b"),
-                *[F.col(f"m{i}").alias(f"b{i}") for i in range(NUM_HASHES)])
+            mins_a = prof.select(F.col(id_col).alias("id_a"), mins_arr.alias("mins_a"))
+            mins_b = prof.select(F.col(id_col).alias("id_b"), mins_arr.alias("mins_b"))
             screened = (
                 cand.join(size_hinted(mins_a, mins_bytes), "id_a")
                 .join(size_hinted(mins_b, mins_bytes), "id_b")
@@ -493,10 +510,7 @@ def minhash_near_dups(
                 sets_bytes)
             pairs = screened.repartition(width).join(sa, "id_a").join(sb, "id_b")
 
-        verified = (
-            pairs.select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
-            .filter(F.col("jaccard") >= min_jaccard)
-        )
+        verified = verify(pairs)
         if not memo:
             return verified
         return verified.localCheckpoint(eager=True)
