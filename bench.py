@@ -1,22 +1,34 @@
 """Benchmark harness: runs the engine's headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
 line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": sf}.
+"queries": {name: median_sec}, "spread": {name: [min, max]},
+"passes": N, "sf": sf}.
 
 Each query is forced end-to-end with the `noop` sink (full computation,
 no driver-side collect, no sink I/O) — the honest distributed-execution
 time. Session startup is excluded; a warm-up query primes the JVM.
+
+Trustworthiness: wall-clock on a shared host swings 2-4x run-to-run
+(round 3 vs round 4 measured 112.5s vs 218.8s on byte-identical code),
+so a single sample per query is not falsifiable evidence. The harness
+runs $SPARK_GRAFT_BENCH_PASSES (default 3) full passes and reports the
+per-query MEDIAN plus the min/max spread. The session-scoped dedup
+memo (the engine's Pool twin) is cleared at each pass start, so every
+pass reproduces the cold first-caller-pays semantics of a fresh
+session — medians measure the engine, not the memo.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from df_spark.operators.dedup import DEDUP_MEMO  # noqa: E402
 from df_spark.queries import load_registry  # noqa: E402
 from df_spark.session import get_spark  # noqa: E402
 
@@ -37,6 +49,7 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     spark = get_spark("bench")
 
     registry = load_registry()
@@ -52,19 +65,33 @@ def main() -> None:
 
     run("q1_pricing_summary")  # JVM/codegen warm-up, not recorded
 
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(passes):
+        # cold-session semantics per pass: the first dedup-family query
+        # rebuilds the shared intermediates, the rest hit the memo —
+        # identical shape to a fresh driver session every pass
+        DEDUP_MEMO.clear()
+        for name in names:
+            try:
+                samples[name].append(round(run(name), 3))
+            except Exception as e:  # noqa: BLE001
+                print(f"bench error in {name}: {e}", file=sys.stderr)
+                samples[name].append(-1.0)
+
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in names:
-        try:
-            timings[name] = round(run(name), 3)
-        except Exception as e:  # noqa: BLE001
-            print(f"bench error in {name}: {e}", file=sys.stderr)
-            timings[name] = -1.0
+        good = [t for t in samples[name] if t >= 0]
+        timings[name] = round(statistics.median(good), 3) if good else -1.0
+        spread[name] = [min(good), max(good)] if good else [-1.0, -1.0]
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "passes": passes,
         "sf": sf,
     }))
 

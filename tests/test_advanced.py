@@ -113,3 +113,33 @@ def test_salted_join_preserves_multiplicity(spark):
     assert out.count() == 101  # every left row matched exactly once
     tags = {r.tag for r in out.collect()}
     assert tags == {"hot", "cold"}
+
+
+def test_approx_distinct_within_hll_tolerance(spark, sf_dir):
+    """The `approx_distinct` query has no exact oracle (HLL sketches are
+    engine-specific), but it IS falsifiable: the estimate must land
+    within the configured relative standard deviation of the exact
+    count. rsd=0.02 → assert within 5σ (0.1 relative error) — loose
+    enough to never flake, tight enough to catch a broken sketch or a
+    wrong-column regression."""
+    import duckdb
+
+    from df_spark.queries import load_registry
+
+    row = load_registry()["approx_distinct"].fn(spark, sf_dir).collect()[0]
+    con = duckdb.connect()
+    exact = con.execute(
+        "SELECT count(DISTINCT l_orderkey), count(DISTINCT l_partkey), "
+        "median(l_extendedprice) "
+        f"FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchone()
+    assert abs(row.approx_orders - exact[0]) <= max(5, 0.1 * exact[0])
+    assert abs(row.approx_parts - exact[1]) <= max(5, 0.1 * exact[1])
+    # percentile_approx(accuracy=2500): rank error ≤ n/2500; at test SF
+    # assert the approximate median lies within the exact p40..p60 band
+    p40, p60 = con.execute(
+        "SELECT quantile_cont(l_extendedprice, 0.4), "
+        "quantile_cont(l_extendedprice, 0.6) "
+        f"FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchone()
+    assert p40 <= row.approx_median_price <= p60

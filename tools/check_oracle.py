@@ -42,6 +42,34 @@ def to_multiset(rows, names):
     return sorted((tuple(canon(r[i]) for i in order) for r in rows), key=repr)
 
 
+def check_approx_distinct(con, rows) -> str | None:
+    """Quantitative gate for the one non-SQL-expressible sketch query:
+    HLL estimates (rsd=0.02) must land within 5σ (10% relative) of the
+    exact counts; the approximate median must sit inside the exact
+    p40..p60 band. Returns an error string or None."""
+    r = rows[0]
+    exact = con.execute(
+        "SELECT count(DISTINCT l_orderkey), count(DISTINCT l_partkey), "
+        "quantile_cont(l_extendedprice, 0.4), quantile_cont(l_extendedprice, 0.6) "
+        "FROM lineitem"
+    ).fetchone()
+    errs = []
+    for label, est, ex in (("orders", r["approx_orders"], exact[0]),
+                           ("parts", r["approx_parts"], exact[1])):
+        if abs(est - ex) > max(5, 0.1 * ex):
+            errs.append(f"{label}: est {est} vs exact {ex} outside 10%")
+    if not (exact[2] <= r["approx_median_price"] <= exact[3]):
+        errs.append(
+            f"median: est {r['approx_median_price']} outside exact p40..p60 "
+            f"[{exact[2]}, {exact[3]}]")
+    return "; ".join(errs) or None
+
+
+# queries with no SQL twin but a quantitative acceptance band —
+# checked against DuckDB-exact statistics instead of rows-only
+TOLERANCE_CHECKS = {"approx_distinct": check_approx_distinct}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -69,8 +97,18 @@ def main() -> int:
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"okR  {name}: rows-only check, {len(spark_rows)} rows "
-                  f"({time.time()-t0:.1f}s)")
+            tol = TOLERANCE_CHECKS.get(name)
+            if tol is not None:
+                err = tol(con, spark_rows)
+                if err:
+                    print(f"FAIL {name}: tolerance check: {err}")
+                    failures.append(name)
+                else:
+                    print(f"okT  {name}: tolerance check vs exact stats, "
+                          f"{len(spark_rows)} rows ({time.time()-t0:.1f}s)")
+            else:
+                print(f"okR  {name}: rows-only check, {len(spark_rows)} rows "
+                      f"({time.time()-t0:.1f}s)")
             continue
         try:
             res = con.execute(oracles[name])
