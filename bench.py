@@ -9,17 +9,25 @@ no driver-side collect, no sink I/O) — the honest distributed-execution
 time. Session startup is excluded; a warm-up query primes the JVM.
 
 Trustworthiness: wall-clock on a shared host swings 2-4x run-to-run
-(round 3 vs round 4 measured 112.5s vs 218.8s on byte-identical code),
-so a single sample per query is not falsifiable evidence. The harness
-runs $SPARK_GRAFT_BENCH_PASSES (default 3) full passes and reports the
-per-query MEDIAN plus the min/max spread. The session-scoped dedup
-memo (the engine's Pool twin) is cleared at each pass start, so every
-pass reproduces the cold first-caller-pays semantics of a fresh
-session — medians measure the engine, not the memo.
+(round 3 vs round 4 measured 112.5s vs 218.8s on byte-identical code;
+co-tenant load shifts persist longer than a whole bench run), so a
+single wall sample per query is not falsifiable evidence. Two
+defenses:
+
+- $SPARK_GRAFT_BENCH_PASSES (default 3) full passes; per-query MEDIAN
+  wall time plus min/max spread. The session-scoped dedup memo (the
+  engine's Pool twin) is cleared at each pass start, so every pass
+  reproduces the cold first-caller-pays semantics of a fresh session —
+  medians measure the engine, not the memo.
+- per-query JVM CPU seconds (utime+stime delta of the local-mode JVM
+  read from /proc) in ``queries_cpu`` — CPU consumed is insensitive to
+  co-tenant wall-clock steal, so CPU medians are the cross-round
+  comparable signal when ``load_avg`` differs between runs.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import statistics
@@ -46,6 +54,27 @@ HEADLINE = [
 ]
 
 
+def jvm_cpu_seconds() -> float:
+    """Total CPU seconds (utime+stime) of every live ``java`` process —
+    in local mode that is exactly the one driver+executor JVM. Per-query
+    deltas of this counter measure compute burned, independent of how
+    long co-tenants made the wall clock stretch around it."""
+    tick = os.sysconf("SC_CLK_TCK")
+    total = 0.0
+    for path in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            with open(path) as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            with open(path.rsplit("/", 1)[0] + "/comm") as f:
+                comm = f.read().strip()
+            if comm == "java":
+                # fields after comm: state(0) ... utime(11) stime(12)
+                total += (int(parts[11]) + int(parts[12])) / tick
+        except OSError:
+            continue
+    return total
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -56,16 +85,22 @@ def main() -> None:
     names = [n for n in HEADLINE if n in registry]
     extra = [n for n in sorted(registry) if n not in HEADLINE]
     names += extra
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        wanted = {n.strip() for n in only.split(",")}
+        names = [n for n in names if n in wanted]
 
-    def run(name: str) -> float:
+    def run(name: str) -> tuple[float, float]:
+        c0 = jvm_cpu_seconds()
         t0 = time.time()
         sdf = registry[name].fn(spark, sf_dir)
         sdf.write.format("noop").mode("overwrite").save()
-        return time.time() - t0
+        return time.time() - t0, jvm_cpu_seconds() - c0
 
     run("q1_pricing_summary")  # JVM/codegen warm-up, not recorded
 
     samples: dict[str, list[float]] = {n: [] for n in names}
+    cpu_samples: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(passes):
         # cold-session semantics per pass: the first dedup-family query
         # rebuilds the shared intermediates, the rest hit the memo —
@@ -73,17 +108,22 @@ def main() -> None:
         DEDUP_MEMO.clear()
         for name in names:
             try:
-                samples[name].append(round(run(name), 3))
+                wall, cpu = run(name)
+                samples[name].append(round(wall, 3))
+                cpu_samples[name].append(round(cpu, 3))
             except Exception as e:  # noqa: BLE001
                 print(f"bench error in {name}: {e}", file=sys.stderr)
                 samples[name].append(-1.0)
 
     timings: dict[str, float] = {}
+    cpu: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in names:
         good = [t for t in samples[name] if t >= 0]
         timings[name] = round(statistics.median(good), 3) if good else -1.0
         spread[name] = [min(good), max(good)] if good else [-1.0, -1.0]
+        good_cpu = cpu_samples[name]
+        cpu[name] = round(statistics.median(good_cpu), 3) if good_cpu else -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
@@ -91,7 +131,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spread": spread,
+        "queries_cpu": cpu,
         "passes": passes,
+        "load_avg": [round(x, 2) for x in os.getloadavg()],
         "sf": sf,
     }))
 

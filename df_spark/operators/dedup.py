@@ -674,3 +674,71 @@ def ngram_jaccard_pairs(
     if min_jaccard > 0.0:
         out = out.filter(F.col("jaccard") >= min_jaccard)
     return out
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def contamination_scores(
+    docs: DataFrame,
+    bench_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Per-doc overlap with a benchmark/eval corpus: the number of
+    distinct k-shingle hashes a training doc shares with the UNION of
+    all benchmark shingles — the standard pretraining-hygiene pass
+    (drop or flag docs that leak eval content). Returns
+    ``(id, n_shared)`` for docs with ``n_shared >= min_shared``.
+
+    Scale shape: the benchmark side is bounded (eval suites are MBs
+    against a 100 TB corpus), so its distinct hash set is materialized
+    once (eager checkpoint + measured size) and broadcast; the training
+    side streams map-side through normalize→shingle→hash, the semi
+    overlap is a broadcast hash join probe, and the only shuffle is the
+    final count aggregate keyed by doc id (uniform — no skew). Common
+    shingles concentrate on the BENCHMARK side, which is the small
+    broadcast side, so hot n-grams never serialize a task."""
+    bench_hashes = (
+        shingle_hashes(bench_docs, id_col, text_col, k=k)
+        .select("h").distinct().localCheckpoint(eager=True)
+    )
+    bh_bytes = bench_hashes.count() * 16
+    train_hashes = shingle_hashes(docs, id_col, text_col, k=k)
+    return (
+        train_hashes.join(size_hinted(bench_hashes, bh_bytes), "h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def contamination_scores_sql(
+    table: str = "documents",
+    bench_pred: str = "doc_id % 20 = 0",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 1,
+) -> str:
+    """DuckDB twin of :func:`contamination_scores` with the benchmark
+    set carved out of the same table by ``bench_pred``."""
+    sh = char_shingles_sql(text_col)
+    return f"""
+    WITH bench AS (
+      SELECT DISTINCT {h32_sql('s')} AS h
+      FROM (SELECT unnest({sh}) AS s FROM {table} WHERE {bench_pred})
+    ),
+    train AS (
+      SELECT {id_col}, {h32_sql('s')} AS h
+      FROM (SELECT {id_col}, unnest({sh}) AS s
+            FROM {table} WHERE NOT ({bench_pred}))
+    )
+    SELECT {id_col}, COUNT(*) AS n_shared
+    FROM train JOIN bench USING (h)
+    GROUP BY {id_col}
+    HAVING COUNT(*) >= {min_shared}
+    """

@@ -1,0 +1,88 @@
+"""Deterministic sampling operators for corpus curation.
+
+Training-data pipelines need REPRODUCIBLE samples — the same rows
+selected on every run, every engine, any partitioning — so these
+operators derive the keep/drop decision from a content hash of the id
+column (md5-backed ``h32``), never from ``rand()``:
+
+- **bernoulli_sample**: keep a row iff ``h32(id) % denom < rate *
+  denom``. Map-side only — no shuffle, no RNG state, trivially
+  parallel at any scale, and the SQL twin reproduces the exact row set
+  in DuckDB.
+- **stratified_sample**: per-stratum rates (e.g. downsample dominant
+  languages, keep low-resource ones) via a broadcast rate table joined
+  on the stratum column, then the same hash test. One broadcast join,
+  zero shuffles of the corpus.
+
+The reference has no sampling surface (its API caps at the relational
+core, ``src/api.rs``); these extend the LLM-pipeline family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h32, h32_sql
+
+SAMPLE_DENOM = 10_000
+
+
+def _keep(id_col: str, denom: int = SAMPLE_DENOM) -> Column:
+    """Deterministic uniform draw in [0, denom) from the id column."""
+    return h32(F.col(id_col).cast("string")) % denom
+
+
+def keep_sql(id_col: str, denom: int = SAMPLE_DENOM) -> str:
+    return f"{h32_sql(f'CAST({id_col} AS VARCHAR)')} % {denom}"
+
+
+def bernoulli_sample(
+    df: DataFrame, rate: float, id_col: str, denom: int = SAMPLE_DENOM
+) -> DataFrame:
+    """Keep ~``rate`` of rows, chosen deterministically by id hash."""
+    return df.filter(_keep(id_col, denom) < int(rate * denom))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    denom: int = SAMPLE_DENOM,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: row kept iff its id-hash
+    draw falls under its stratum's rate. Strata missing from ``rates``
+    are dropped (rate 0) — the explicit contract for "keep only the
+    languages I budgeted".
+
+    Scale: the rate table is bounded by the stratum cardinality (LHS of
+    any corpus: languages, domains, buckets) → broadcast join; the
+    corpus never shuffles and the filter runs map-side behind it."""
+    spark = df.sparkSession
+    rate_rows = [(k, float(v)) for k, v in sorted(rates.items())]
+    rates_df = spark.createDataFrame(rate_rows, f"{strata_col} string, __rate double")
+    return (
+        df.join(F.broadcast(rates_df), strata_col)
+        .filter(_keep(id_col, denom).cast("double") < F.col("__rate") * denom)
+        .drop("__rate")
+    )
+
+
+def stratified_sample_sql(
+    table: str,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    denom: int = SAMPLE_DENOM,
+) -> str:
+    """DuckDB twin of :func:`stratified_sample` (VALUES rate table,
+    same hash test)."""
+    values = ", ".join(f"('{k}', {float(v)})" for k, v in sorted(rates.items()))
+    return f"""
+    SELECT t.*
+    FROM {table} t
+    JOIN (VALUES {values}) AS r({strata_col}, rate)
+      ON t.{strata_col} = r.{strata_col}
+    WHERE CAST({keep_sql(f't.{id_col}', denom)} AS DOUBLE) < r.rate * {denom}
+    """

@@ -51,8 +51,8 @@ def load_registry() -> dict[str, Query]:
     # registry sorted by query name, so any sampler that takes a prefix
     # covers queries uniformly rather than by registration order.
     for mod in ("advanced", "cdc_q", "dedup", "events", "extensions",
-                "json_props", "multimodal", "pipeline_q", "similarity",
-                "sources_q", "text", "tokens", "tpch"):
+                "json_props", "multimodal", "pipeline_q", "sampling_q",
+                "similarity", "sources_q", "text", "tokens", "tpch"):
         try:
             __import__(f"{__name__}.{mod}")
         except ImportError:

@@ -76,6 +76,20 @@ def ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(docs, block_cols=["lang", "len_bucket"])
 
 
+@register(
+    "decontaminate",
+    sql=D.contamination_scores_sql("documents", "doc_id % 20 = 0", min_shared=25),
+)
+def decontaminate(spark, sf_dir):
+    # benchmark-decontamination pass: docs 0, 20, 40, ... stand in for
+    # the eval suite; flag training docs sharing >= 25 distinct
+    # 3-shingle hashes with the benchmark union
+    docs = load_sdf(spark, sf_dir, "documents")
+    bench = docs.filter(F.expr("doc_id % 20 = 0"))
+    train = docs.filter(F.expr("NOT (doc_id % 20 = 0)"))
+    return D.contamination_scores(train, bench, min_shared=25)
+
+
 @register("minhash_near_dups", sql=D.minhash_near_dups_sql("documents", 0.6))
 def minhash_near_dups(spark, sf_dir):
     # the full near-dedup pipeline: LSH candidates verified by exact

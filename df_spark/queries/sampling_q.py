@@ -1,0 +1,53 @@
+"""Deterministic corpus-sampling queries over ``documents``.
+
+Training-data curation needs reproducible draws: the same rows keep
+on every run, on any engine — so the sample predicate is a content
+hash of the id, never ``rand()``, and DuckDB verifies the exact row
+set (not just the rate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.sampling import bernoulli_sample, keep_sql, stratified_sample, stratified_sample_sql
+from ..sources.tables import load_sdf
+from . import register
+
+# downsample the dominant language, keep mid-resource ones, budget the
+# tail — the canonical language-balance pass
+STRATA_RATES = {"en": 0.3, "zh": 0.8, "es": 0.8, "de": 0.9, "fr": 1.0}
+
+
+@register(
+    "sample_stratified",
+    sql="SELECT doc_id, lang FROM ("
+    + stratified_sample_sql("documents", "lang", STRATA_RATES, "doc_id")
+    + ")",
+)
+def sample_stratified(spark, sf_dir):
+    docs = load_sdf(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", STRATA_RATES, "doc_id").select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "sample_bernoulli",
+    sql=f"""
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM documents
+    WHERE {keep_sql('doc_id')} < 2500
+    GROUP BY lang
+    """,
+)
+def sample_bernoulli(spark, sf_dir):
+    docs = load_sdf(spark, sf_dir, "documents")
+    return (
+        bernoulli_sample(docs, 0.25, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

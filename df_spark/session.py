@@ -44,13 +44,14 @@ def get_spark(
         # Whole-stage-codegen methods above HotSpot's huge-method limit
         # (8000 bytecode) never JIT-compile and run interpreted — for
         # wide fused stages (e.g. the near-dup verify: two broadcast
-        # joins + a 16-term MinHash estimate + array_intersect in one
-        # stage) that is 3-5x slower than Spark's own non-codegen
-        # operator path. Align Spark's fallback threshold with the
-        # JVM's: stages whose generated methods would exceed the JIT
-        # limit skip codegen instead of running interpreted codegen.
-        # (Default is 65535; measured at sf0.1: cold near-dup verify
-        # 31-72s -> 12-17s. Normal-width stages are unaffected.)
+        # joins + a MinHash estimate + array_intersect in one stage)
+        # that is slower than Spark's own non-codegen operator path.
+        # Align Spark's fallback threshold with the JVM's: stages whose
+        # generated methods would exceed the JIT limit skip codegen
+        # instead of running interpreted codegen. (Default is 65535.
+        # Measured round 5 at sf0.1, min-of-3 on a noisy shared host:
+        # fused verify 5.9-8.4s with 8000 vs 9.4-11.5s with the
+        # default. Normal-width stages are unaffected either way.)
         .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

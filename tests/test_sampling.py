@@ -1,0 +1,61 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from df_spark.operators.dedup import contamination_scores
+from df_spark.operators.sampling import bernoulli_sample, stratified_sample
+
+
+def test_bernoulli_sample_deterministic_and_near_rate(spark):
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    s1 = {r.doc_id for r in bernoulli_sample(df, 0.25, "doc_id").collect()}
+    s2 = {r.doc_id for r in bernoulli_sample(df, 0.25, "doc_id").collect()}
+    assert s1 == s2  # content-hash draw: identical row set every run
+    assert 0.20 <= len(s1) / 4000 <= 0.30
+
+
+def test_bernoulli_sample_monotone_in_rate(spark):
+    # a row kept at rate r stays kept at any higher rate (hash draw is
+    # compared against a growing threshold) — lets curators grow a
+    # sample without resampling history
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    lo = {r.doc_id for r in bernoulli_sample(df, 0.1, "doc_id").collect()}
+    hi = {r.doc_id for r in bernoulli_sample(df, 0.5, "doc_id").collect()}
+    assert lo <= hi
+
+
+def test_stratified_sample_rates_and_missing_stratum(spark):
+    rows = [(i, ["en", "fr", "und"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, "lang", {"en": 0.5, "fr": 0.1}, "doc_id")
+    by_lang = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert "und" not in by_lang  # stratum without a budget is dropped
+    assert 0.40 <= by_lang["en"] / 1000 <= 0.60
+    assert 0.05 <= by_lang["fr"] / 1000 <= 0.16
+
+
+def test_contamination_scores_flags_overlap_only(spark):
+    bench = spark.createDataFrame(
+        [(1000, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox sat still"),  # heavy shingle overlap
+            (2, "zzzz qqqq vvvv kkkk wwww"),       # disjoint content
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_shared for r in
+           contamination_scores(train, bench, min_shared=5).collect()}
+    assert 1 in out and out[1] >= 5
+    assert 2 not in out
+
+
+def test_contamination_min_shared_threshold(spark):
+    bench = spark.createDataFrame([(9, "abcdefgh")], "doc_id long, text string")
+    train = spark.createDataFrame([(1, "abcd")], "doc_id long, text string")
+    # "abcd" shares exactly the shingles {abc, bcd} with the benchmark
+    assert contamination_scores(train, bench, min_shared=3).count() == 0
+    got = contamination_scores(train, bench, min_shared=2).collect()
+    assert len(got) == 1 and got[0].n_shared == 2
