@@ -110,3 +110,42 @@ def lang_quality_rollup(spark, sf_dir):
             F.round(F.sum("q") / F.count(F.lit(1)), 6).alias("avg_quality"),
         )
     )
+
+
+@register(
+    "doc_repetition",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split({X.normalized_sql('text')}, ' ')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ),
+    counts AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_words,
+           COUNT(*) AS n_distinct,
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_word_frac,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS distinct_ratio
+    FROM counts GROUP BY doc_id
+    """,
+)
+def doc_repetition(spark, sf_dir):
+    # Gopher-style repetition quality rule: a doc dominated by one
+    # repeated word (high top_word_frac) or with few distinct words
+    # (low distinct_ratio) is low-quality boilerplate. Two hash
+    # aggregates with map-side combine; doc_id keys are uniform — no
+    # skew at any scale.
+    docs = load_sdf(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(X.normalized(F.col("text")), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    counts = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_word_frac"),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("c"), 6).alias("distinct_ratio"),
+    )

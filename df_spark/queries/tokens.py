@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.text import normalized, normalized_sql
+from ..functions.text import (
+    bpe_token_count,
+    bpe_token_count_sql,
+    normalized,
+    normalized_sql,
+)
 from ..operators.partitioning import barrier_width
 from ..sources.tables import load_sdf
 from . import register
@@ -106,3 +111,45 @@ def tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rank") <= _PER_DOC)
         .select("doc_id", "token", "tfidf", "rank")
     )
+
+
+_PACK_CAPACITY = 2048
+
+
+@register(
+    "pack_sequences",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {bpe_token_count_sql('text')} AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS token_offset,
+           CAST((SUM(n_tokens) OVER w - n_tokens) // {_PACK_CAPACITY} AS BIGINT) AS bin_id
+    FROM toks
+    WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    # Sequence packing for pretraining batches: docs are laid out in a
+    # deterministic per-shard order (here: doc_id within lang) and each
+    # doc gets its token offset and its 2048-token bin. The running sum
+    # is windowed PER SHARD, so shards pack in parallel — the 100 TB
+    # layout packs within hash-bucketed shards (finer than lang) and
+    # never sorts globally; a doc straddling a bin boundary belongs to
+    # the bin its first token lands in (documented token-offset
+    # semantics, identical in the oracle).
+    docs = load_sdf(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select(
+        "doc_id", "lang", bpe_token_count(F.col("text")).alias("n_tokens")
+    )
+    offset = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    return toks.select(
+        "doc_id", "lang", "n_tokens", offset.alias("token_offset")
+    ).withColumn("bin_id", F.expr(f"token_offset div {_PACK_CAPACITY}"))

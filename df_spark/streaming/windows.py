@@ -137,3 +137,70 @@ def run_stream_to_memory(
     q.awaitTermination()
     spark = agg.sparkSession
     return name, spark.sql(f"SELECT * FROM {name}")
+
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the documents table (a Kafka text firehose
+    drops in for production)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
+def decontaminate_stream(
+    doc_stream: DataFrame,
+    bench_docs: DataFrame,
+    min_shared: int = 1,
+    k: int = 3,
+) -> DataFrame:
+    """Streaming twin of ``operators.dedup.contamination_scores``: per
+    micro-batch, score each incoming doc's distinct k-shingle-hash
+    overlap with a STATIC benchmark corpus and emit the contaminated
+    ids. The benchmark hash set is a bounded static frame, so this is a
+    stream-static broadcast join — stateless, no watermark needed, and
+    each micro-batch sees the same plan the batch operator uses. At
+    production scale the static side refreshes by restarting the query
+    (eval suites change rarely); per-doc counts stay exact because the
+    aggregate is keyed on the stream side only."""
+    from ..functions.hashing import h32
+    from ..functions.text import normalized
+    from ..operators.dedup import shingle_hashes
+
+    bench_hashes = (
+        shingle_hashes(bench_docs, "doc_id", "text", k=k)
+        .select("h").distinct()
+    )
+    # same normalize→shingle→h32 expressions as the batch operator;
+    # only its repartition barrier is stream-unsafe, so the shingle
+    # array is built inline here (micro-batches are already narrow)
+    idx = F.sequence(F.lit(1), F.length("__t") - (k - 1))
+    hashed = F.explode(
+        F.array_distinct(
+            F.transform(idx, lambda i: h32(F.substring(F.col("__t"), i, k)))
+        )
+    )
+    stream_hashes = (
+        doc_stream.select(F.col("doc_id"), normalized(F.col("text")).alias("__t"))
+        .filter(F.length("__t") >= k)
+        .select("doc_id", hashed.alias("h"))
+    )
+    return (
+        stream_hashes.join(F.broadcast(bench_hashes), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -203,3 +203,23 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
     _, out = SW.run_stream_to_memory(deduped, output_mode="append")
     n_unique = src.num_rows
     assert out.count() == n_unique  # both copies collapse to one
+
+
+def test_streaming_decontaminate_matches_batch(spark, sf_dir):
+    from df_spark.operators.dedup import contamination_scores
+
+    docs = load_sdf(spark, sf_dir, "documents")
+    bench = docs.filter(F.expr("doc_id % 20 = 0"))
+    stream = SW.read_documents_stream(spark, sf_dir)
+    # the stream carries ALL docs; restrict to the training side so the
+    # comparison matches the batch operator's contract
+    stream = stream.filter(F.expr("NOT (doc_id % 20 = 0)"))
+    _, out = SW.run_stream_to_memory(
+        SW.decontaminate_stream(stream, bench, min_shared=25),
+        output_mode="complete",
+    )
+    got = {(r.doc_id, r.n_shared) for r in out.collect()}
+    train = docs.filter(F.expr("NOT (doc_id % 20 = 0)"))
+    want = {(r.doc_id, r.n_shared)
+            for r in contamination_scores(train, bench, min_shared=25).collect()}
+    assert got == want and want
