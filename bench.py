@@ -40,6 +40,28 @@ from df_spark.operators.dedup import DEDUP_MEMO  # noqa: E402
 from df_spark.queries import load_registry  # noqa: E402
 from df_spark.session import get_spark  # noqa: E402
 
+# the round-4 query set (BENCH_r04.json) — frozen so `value_core` stays
+# an apples-to-apples cross-round total as new queries join the registry
+R4_SET = frozenset({
+    "q1_pricing_summary", "filter_predicates", "select_arith", "orderby_limit",
+    "group_collect", "agg_global", "join_inner", "join_3way_agg",
+    "union_distinct", "ann_ivf_topk", "ann_lsh_topk", "ann_multi_lsh",
+    "approx_distinct", "asof_join_events", "cdc_scd2", "cosine_topk",
+    "csv_roundtrip", "cube_agg", "dedup_clusters", "dedup_exact",
+    "doc_fingerprint", "embed_near_dup", "embed_norms", "events_sessions",
+    "events_sliding", "events_tumbling", "events_type_stats", "explode_arrays",
+    "join_anti_semi", "join_left_outer", "json_agg", "json_extract", "lang_id",
+    "lang_quality_rollup", "llm_data_pipeline", "media_meta",
+    "minhash_lsh_pairs", "minhash_near_dups", "minhash_signatures",
+    "ngram_jaccard", "percentiles", "pivot_status", "q12_priority_class",
+    "q14_promo_revenue", "q18_large_orders", "q19_brand_quantity",
+    "q3_shipping_priority", "q4_order_priority", "q5_supplier_volume",
+    "q6_revenue_forecast", "range_join_bands", "rollup_agg", "scalar_funcs",
+    "scalar_funcs2", "simhash", "sql_surface", "text_stats",
+    "tfidf_top_terms", "token_freq", "window_lag_lead", "window_running",
+    "window_topk",
+})
+
 # flagship + one per operator family; extensions are added as they land
 HEADLINE = [
     "q1_pricing_summary",
@@ -125,10 +147,12 @@ def main() -> None:
         good_cpu = cpu_samples[name]
         cpu[name] = round(statistics.median(good_cpu), 3) if good_cpu else -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    core = round(sum(t for n, t in timings.items() if t >= 0 and n in R4_SET), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        "value_core": core,  # round-4 query set only — cross-round comparable
         "queries": timings,
         "spread": spread,
         "queries_cpu": cpu,
