@@ -60,8 +60,10 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) with component = min node id reachable.
     ``edges`` is undirected (each pair listed once, either order).
-    Warns (RuntimeWarning) if ``max_iter`` rounds pass without
-    convergence — the returned labels are then a partial propagation."""
+    ``max_iter`` bounds the total PROPAGATION STEPS (rounded up to an
+    even count — the loop materializes every two steps). Warns
+    (RuntimeWarning) if the budget passes without convergence — the
+    returned labels are then a partial propagation."""
     sc = edges.sparkSession.sparkContext
 
     def tracked_checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
