@@ -332,6 +332,49 @@ def _make_nearest_cells_udf(centroids: list[tuple[int, list[float]]], nprobe: in
     return nearest_cells
 
 
+def kmeans_refined_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd-refined IVF centroids — the engine's iterative-batch
+    pattern applied to clustering (same shape as
+    ``operators.clustering``): centroids are a bounded driver-side list
+    (Spark ML's KMeans holds centers on the driver too); each round is
+    one shuffle-free Arrow-batched assignment pass over the corpus plus
+    one 64-column avg aggregate (map-side combine → ``n_cells`` partial
+    rows per task reach the driver). Rounds are O(n_iter), independent
+    of corpus size. An emptied cell keeps its previous centroid.
+
+    Note: distributed double summation makes refined centroids
+    run-order-sensitive in the last ulps — fine for ANN recall (cell
+    boundaries move by ~1e-15), so the refined variant is exposed as a
+    rows-only registry query rather than a hash-exact oracle."""
+    centroids = [
+        (r[0], list(r[1]))
+        for r in emb.select(id_col, vec_col)
+        .filter(F.col(id_col) < n_cells)
+        .orderBy(id_col)
+        .collect()
+    ]
+    dim = len(centroids[0][1])
+    for _ in range(n_iter):
+        assign_udf = _make_nearest_cells_udf(centroids, 1)
+        assigned = emb.select(
+            assign_udf(F.col(vec_col))[0].alias("cell"), F.col(vec_col)
+        )
+        means = (
+            assigned.groupBy("cell")
+            .agg(*[F.avg(F.col(vec_col)[d]).alias(f"d{d}") for d in range(dim)])
+            .collect()
+        )
+        by_cell = {r["cell"]: [r[f"d{d}"] for d in range(dim)] for r in means}
+        centroids = [(cid, by_cell.get(cid, old)) for cid, old in centroids]
+    return centroids
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -340,6 +383,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a coarse quantizer assigns every corpus
     vector to its nearest of ``n_cells`` centroids; each query probes its
@@ -354,19 +398,24 @@ def ivf_topk(
     except the final per-query top-k.
 
     Centroid selection is deterministic (the vectors with the lowest
-    ``n_cells`` ids) so any engine reproduces it; swap in k-means
-    refinement via the iterative-batch pattern in
-    ``operators/clustering.py`` when recall matters more than oracle
-    reproducibility. Fills the reference's similarity-search gap
+    ``n_cells`` ids) so any engine reproduces it; pass
+    ``refine_iters > 0`` for Lloyd-refined centroids
+    (:func:`kmeans_refined_centroids`) when recall matters more than
+    oracle reproducibility. Fills the reference's similarity-search gap
     (angelini/df has no vector ops at all — src/value.rs:84-90 caps
     types at scalars + one List level)."""
-    centroids = [
-        (r[0], list(r[1]))
-        for r in emb.select(id_col, vec_col)
-        .filter(F.col(id_col) < n_cells)
-        .orderBy(id_col)
-        .collect()
-    ]
+    if refine_iters > 0:
+        centroids = kmeans_refined_centroids(
+            emb, n_cells=n_cells, n_iter=refine_iters,
+            id_col=id_col, vec_col=vec_col)
+    else:
+        centroids = [
+            (r[0], list(r[1]))
+            for r in emb.select(id_col, vec_col)
+            .filter(F.col(id_col) < n_cells)
+            .orderBy(id_col)
+            .collect()
+        ]
     assign_udf = _make_nearest_cells_udf(centroids, 1)
     probe_udf = _make_nearest_cells_udf(centroids, nprobe)
 

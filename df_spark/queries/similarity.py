@@ -185,3 +185,14 @@ def ann_ivf_topk(spark, sf_dir):
 def embed_near_dup(spark, sf_dir):
     emb = load_sdf(spark, sf_dir, "embeddings")
     return S.near_dup_pairs(emb, threshold=0.25)
+
+
+@register("ann_ivf_kmeans", sql=None)  # rows-only: Lloyd means are
+# distributed-sum-order sensitive in the last ulps, so cell boundaries
+# (and thus exact scores) are not bit-reproducible across engines
+def ann_ivf_kmeans(spark, sf_dir):
+    emb = load_sdf(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _QUERY_IDS)
+    return S.ivf_topk(
+        emb, queries, k=_K, n_cells=_N_CELLS, nprobe=_NPROBE, refine_iters=3
+    )

@@ -143,3 +143,27 @@ def test_approx_distinct_within_hll_tolerance(spark, sf_dir):
         f"FROM read_parquet('{sf_dir}/lineitem.parquet')"
     ).fetchone()
     assert p40 <= row.approx_median_price <= p60
+
+
+def test_ivf_kmeans_refinement_recall(spark, sf_dir):
+    """Lloyd-refined centroids must not lose recall vs the deterministic
+    lowest-id centroids (they usually gain: cells follow the data)."""
+    from df_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 30)
+    bf = {(r.query_id, r.vec_id) for r in S.cosine_topk(emb, q, k=3).collect()}
+    base = {(r.query_id, r.vec_id) for r in
+            S.ivf_topk(emb, q, k=3, n_cells=16, nprobe=4).collect()}
+    refined = {(r.query_id, r.vec_id) for r in
+               S.ivf_topk(emb, q, k=3, n_cells=16, nprobe=4, refine_iters=3).collect()}
+    assert len(refined & bf) >= len(base & bf)
+
+
+def test_kmeans_centroids_bounded_and_stable_ids(spark, sf_dir):
+    from df_spark.operators.similarity import kmeans_refined_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_refined_centroids(emb, n_cells=8, n_iter=2)
+    assert [c[0] for c in cents] == list(range(8))  # ids stable across rounds
+    assert all(len(c[1]) == 64 for c in cents)
