@@ -154,6 +154,7 @@ def dedup_groups(
     pairs: DataFrame,
     all_ids: DataFrame,
     id_col: str = "doc_id",
+    memo: bool = True,
 ) -> DataFrame:
     """Full dedup grouping: every doc gets a group id (= min doc id of
     its near-dup component; singletons are their own group), plus the
@@ -162,8 +163,25 @@ def dedup_groups(
     The label table is one row per near-dup NODE — corpus-bounded and
     usually tiny next to ``all_ids`` — so the final left join broadcasts
     it (runtime-measured: the count is a cached-RDD read) and the full
-    id table never shuffles. Past the cap the join degrades to shuffle."""
-    comps = connected_components(pairs)
+    id table never shuffles. Past the cap the join degrades to shuffle.
+
+    The CC label table is session-memoized on the pairs frame (same
+    store as the dedup build — ``operators.dedup.DEDUP_MEMO`` — so one
+    clear() resets the whole family): ``dedup_clusters`` and
+    ``llm_data_pipeline`` derive labels from the identical memoized
+    pair set, and the O(diameter) barrier loop should run once per
+    session, not once per caller."""
+    if memo:
+        from ..plans.memo import frame_key
+        from .dedup import DEDUP_MEMO
+
+        # connected_components returns an eagerly checkpointed frame —
+        # already materialized, stored as-is
+        comps = DEDUP_MEMO.get_or_build(
+            ("cc_labels", frame_key(pairs)), lambda: connected_components(pairs)
+        )
+    else:
+        comps = connected_components(pairs)
     comps_bytes = comps.count() * 48  # cheap: comps is checkpointed
     out = (
         all_ids.select(F.col(id_col))
