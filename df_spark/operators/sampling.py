@@ -86,3 +86,71 @@ def stratified_sample_sql(
       ON t.{strata_col} = r.{strata_col}
     WHERE CAST({keep_sql(f't.{id_col}', denom)} AS DOUBLE) < r.rate * {denom}
     """
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str,
+    source_col: str = "source",
+    denom: int = SAMPLE_DENOM,
+) -> DataFrame:
+    """Domain mixing: downsample each source so the kept corpus matches
+    the target ``weights`` (pretraining data-mix pass). The largest
+    feasible corpus honoring the mix is ``N = min_s(count_s /
+    weight_s)``; each source then keeps ``weight_s * N / count_s`` of
+    its rows via the deterministic id-hash draw. Sources absent from
+    ``weights`` are dropped.
+
+    Fully declarative two-pass plan: one count aggregate (map-side
+    combine), a source-cardinality-bounded rate table derived in-plan
+    (the feasibility min is a 1-row broadcast — no driver loop), then a
+    broadcast join + map-side filter over the corpus. All rate
+    arithmetic is the same double expression tree in the SQL twin, so
+    the kept row set is engine-exact."""
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(weights.items())],
+        f"{source_col} string, __w double",
+    )
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__c"))
+    withw = counts.join(F.broadcast(tgt), source_col)
+    feas = withw.agg(F.min(F.col("__c") / F.col("__w")).alias("__n_total"))
+    rates = (
+        withw.crossJoin(F.broadcast(feas))
+        .select(source_col,
+                ((F.col("__w") * F.col("__n_total")) / F.col("__c")).alias("__rate"))
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(_keep(id_col, denom).cast("double") < F.col("__rate") * denom)
+        .drop("__rate")
+    )
+
+
+def mix_sources_sql(
+    table: str,
+    weights: dict[str, float],
+    id_col: str,
+    source_col: str = "source",
+    denom: int = SAMPLE_DENOM,
+) -> str:
+    """DuckDB twin of :func:`mix_sources` (same expression trees)."""
+    values = ", ".join(f"('{k}', {float(v)})" for k, v in sorted(weights.items()))
+    return f"""
+    WITH tgt({source_col}, w) AS (VALUES {values}),
+    counts AS (
+      SELECT {source_col}, COUNT(*) AS c FROM {table} GROUP BY {source_col}
+    ),
+    withw AS (
+      SELECT counts.{source_col} AS src, c, w FROM counts
+      JOIN tgt ON counts.{source_col} = tgt.{source_col}
+    ),
+    feas AS (SELECT MIN(c / w) AS n_total FROM withw),
+    rates AS (
+      SELECT src, (w * n_total) / c AS rate FROM withw, feas
+    )
+    SELECT t.* FROM {table} t
+    JOIN rates ON t.{source_col} = rates.src
+    WHERE CAST({keep_sql(f't.{id_col}', denom)} AS DOUBLE) < rate * {denom}
+    """

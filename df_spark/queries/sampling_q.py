@@ -10,7 +10,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators.sampling import bernoulli_sample, keep_sql, stratified_sample, stratified_sample_sql
+from ..operators.sampling import (
+    bernoulli_sample,
+    keep_sql,
+    mix_sources,
+    mix_sources_sql,
+    stratified_sample,
+    stratified_sample_sql,
+)
 from ..sources.tables import load_sdf
 from . import register
 
@@ -46,6 +53,31 @@ def sample_bernoulli(spark, sf_dir):
     return (
         bernoulli_sample(docs, 0.25, "doc_id")
         .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# non-uniform target over four sources (rest dropped): the feasibility
+# cap makes src0 keep everything and the others downsample to the mix
+MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+
+
+@register(
+    "source_mix",
+    sql=f"""
+    SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM ({mix_sources_sql('documents', MIX_WEIGHTS, 'doc_id')})
+    GROUP BY source
+    """,
+)
+def source_mix(spark, sf_dir):
+    docs = load_sdf(spark, sf_dir, "documents")
+    return (
+        mix_sources(docs, MIX_WEIGHTS, "doc_id")
+        .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),

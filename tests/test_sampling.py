@@ -3,7 +3,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from df_spark.operators.dedup import contamination_scores
-from df_spark.operators.sampling import bernoulli_sample, stratified_sample
+from df_spark.operators.sampling import bernoulli_sample, mix_sources, stratified_sample
 
 
 def test_bernoulli_sample_deterministic_and_near_rate(spark):
@@ -59,3 +59,23 @@ def test_contamination_min_shared_threshold(spark):
     assert contamination_scores(train, bench, min_shared=3).count() == 0
     got = contamination_scores(train, bench, min_shared=2).collect()
     assert len(got) == 1 and got[0].n_shared == 2
+
+
+def test_mix_sources_feasibility_and_drop(spark):
+    rows = [(i, f"src{i % 4}") for i in range(4000)]  # 1000 per source
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # src3 absent from the target -> dropped; src0 is the binding
+    # constraint (1000/0.5 = 2000 = min), so src0 keeps everything
+    out = mix_sources(df, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, "doc_id")
+    by_src = {r.source: r.n for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert "src3" not in by_src
+    assert by_src["src0"] == 1000  # rate exactly 1.0 keeps all rows
+    # others land near their target share of the feasible 2000
+    assert 0.5 <= by_src["src1"] / 600 <= 1.5
+    assert 0.5 <= by_src["src2"] / 400 <= 1.5
+    # kept mix is reproducible
+    again = {r.source: r.n for r in
+             mix_sources(df, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, "doc_id")
+             .groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert again == by_src
