@@ -742,3 +742,51 @@ def contamination_scores_sql(
     GROUP BY {id_col}
     HAVING COUNT(*) >= {min_shared}
     """
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer/Wilkerson/Aiken — the MOSS rule)
+# ---------------------------------------------------------------------------
+
+
+def winnow_selected(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """(id, pos, wm): for each full window of ``w`` consecutive k-gram
+    hashes, the window minimum — the winnowing selection. The DISTINCT
+    ``wm`` values per doc form its fingerprint set, guaranteed to share
+    a value with any doc containing the same substring of length >=
+    ``k + w - 1`` (the two windows over the shared region pick the same
+    minimum hash).
+
+    Every position's hash feeds the window; only window STARTS beyond
+    the last full window are dropped (after the min is computed), so
+    end-of-doc windows still see their full ``w`` hashes — canonical
+    semantics. The windowed min partitions per doc: parallel across the
+    corpus, no global sort, and window state is ``w`` rows."""
+    from pyspark.sql import Window as W
+
+    norm = docs.select(F.col(id_col), normalized(F.col(text_col)).alias("__t"))
+    norm = norm.repartition(barrier_width(norm))
+    idx = F.sequence(F.lit(1), F.greatest(F.length("__t") - (k - 1), F.lit(0)))
+    pos_hashes = norm.select(
+        F.col(id_col),
+        (F.length("__t") - (k - 1)).alias("n_grams"),
+        F.col("__t"),
+        F.explode(idx).alias("pos"),
+    ).select(
+        id_col, "n_grams", "pos",
+        h32(F.substring(F.col("__t"), F.col("pos"), k)).alias("h"),
+    )
+    win = W.partitionBy(id_col).orderBy("pos").rowsBetween(W.currentRow, w - 1)
+    return (
+        pos_hashes.select(
+            id_col, "pos", "n_grams", F.min("h").over(win).alias("wm")
+        )
+        .filter(F.col("pos") <= F.col("n_grams") - (w - 1))
+        .select(id_col, "pos", "wm")
+    )

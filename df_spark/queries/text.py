@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions import text as X
+from ..functions.hashing import h32_sql
 from ..operators.partitioning import barrier_width
 from ..sources.tables import load_sdf
 from . import register
@@ -148,4 +149,85 @@ def doc_repetition(spark, sf_dir):
         F.count(F.lit(1)).alias("n_distinct"),
         F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_word_frac"),
         F.round(F.count(F.lit(1)).cast("double") / F.sum("c"), 6).alias("distinct_ratio"),
+    )
+
+
+_CHUNK_CHARS = 400
+_CHUNK_STRIDE = 300  # 100-char overlap between consecutive chunks
+
+
+@register(
+    "chunk_docs",
+    sql=f"""
+    SELECT doc_id,
+           CAST((start - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           len(substr(text, CAST(start AS INT), {_CHUNK_CHARS}))::BIGINT AS n_chars,
+           md5(substr(text, CAST(start AS INT), {_CHUNK_CHARS})) AS chunk_fp
+    FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(len(text), 1), {_CHUNK_STRIDE})) AS start
+      FROM documents
+    )
+    """,
+)
+def chunk_docs(spark, sf_dir):
+    # overlapping fixed-size chunking — the prep pass before embedding
+    # long documents (chunk, embed, ANN-index). Pure map-side: one
+    # generator per doc, no shuffle at any scale; chunk identity is the
+    # md5 fingerprint so downstream dedup/indexing never re-reads text.
+    docs = load_sdf(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(_CHUNK_STRIDE)
+    )
+    chunk = F.substring(F.col("text"), F.col("start"), _CHUNK_CHARS)
+    return (
+        docs.select("doc_id", "text", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            F.expr(f"(start - 1) div {_CHUNK_STRIDE}").alias("chunk_idx"),
+            F.length(chunk).cast("long").alias("n_chars"),
+            F.md5(chunk).alias("chunk_fp"),
+        )
+    )
+
+
+_WINNOW_W = 4  # window of consecutive k-gram hashes per fingerprint pick
+
+
+@register(
+    "winnow_fingerprints",
+    sql=f"""
+    WITH pos_hashes AS (
+      SELECT doc_id, i AS pos, {h32_sql(f"substr(nt, CAST(i AS INT), 3)")} AS h,
+             len(nt) - 2 AS n_grams
+      FROM (
+        SELECT doc_id, {X.normalized_sql('text')} AS nt FROM documents
+      ), LATERAL unnest(generate_series(1, greatest(len(nt) - 2, 0))) AS t(i)
+    ),
+    wmins AS (
+      SELECT doc_id, pos, n_grams,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS wm
+      FROM pos_hashes
+    )
+    SELECT doc_id,
+           COUNT(DISTINCT wm) AS n_fps,
+           MIN(wm) AS min_fp,
+           MAX(wm) AS max_fp
+    FROM wmins WHERE pos <= n_grams - {_WINNOW_W - 1} GROUP BY doc_id
+    """,
+)
+def winnow_fingerprints(spark, sf_dir):
+    # Winnowing (Schleimer/Wilkerson/Aiken, the MOSS selection rule) —
+    # see operators.dedup.winnow_selected for semantics + the shared-
+    # substring guarantee; this query reduces the selected values to a
+    # per-doc fingerprint summary.
+    from ..operators.dedup import winnow_selected
+
+    docs = load_sdf(spark, sf_dir, "documents")
+    wmins = winnow_selected(docs, k=3, w=_WINNOW_W)
+    return wmins.groupBy("doc_id").agg(
+        F.countDistinct("wm").alias("n_fps"),
+        F.min("wm").alias("min_fp"),
+        F.max("wm").alias("max_fp"),
     )

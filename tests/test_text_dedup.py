@@ -166,3 +166,29 @@ def test_near_dups_two_phase_branch_matches_fused(spark, sf_dir, monkeypatch):
     }
     assert fused, "fixture corpus must contain near-dups"
     assert two_phase == fused
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """Winnowing's defining property: docs sharing a substring of
+    length >= k + w - 1 share at least one selected fingerprint; docs
+    with disjoint trigram sets share none."""
+    from df_spark.operators.dedup import winnow_selected
+
+    shared = "xqzvkwpmrt"  # 10 chars >= k + w - 1 = 6
+    docs = spark.createDataFrame(
+        [
+            (1, f"aaaa {shared} bbbb"),
+            (2, f"cccc {shared} dddd"),
+            (3, "eeee ffff gggg hhhh"),
+        ],
+        "doc_id long, text string",
+    )
+    sets = {
+        i: {r.wm for r in rows}
+        for i, rows in (
+            (i, winnow_selected(docs.filter(F.col("doc_id") == i)).collect())
+            for i in (1, 2, 3)
+        )
+    }
+    assert sets[1] & sets[2]
+    assert not (sets[1] & sets[3] or sets[2] & sets[3])
