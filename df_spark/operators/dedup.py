@@ -790,3 +790,159 @@ def winnow_selected(
         .filter(F.col("pos") <= F.col("n_grams") - (w - 1))
         .select(id_col, "pos", "wm")
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus near-dedup (new crawl vs existing corpus)
+# ---------------------------------------------------------------------------
+
+
+def cross_near_dups(
+    new_docs: DataFrame,
+    base_docs: DataFrame,
+    min_jaccard: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_est_matches: int = MIN_EST_MATCHES,
+    memo: bool = True,
+) -> DataFrame:
+    """Incremental near-dedup: pairs (id_new, id_base) with exact
+    Jaccard >= threshold between a NEW corpus and an existing BASE
+    corpus — the "dedup this crawl against everything we already have"
+    pass. Same LSH -> estimate screen -> exact verify contract as
+    :func:`minhash_near_dups`, but the band-bucket join is ACROSS
+    corpora (never within either side), so cost is driven by
+    cross-collisions only: new-corpus shingling is the incremental
+    work, the base side's profile/sets are the session-memoized frames
+    the self-join family already built (memo hit when both run).
+
+    At 100 TB the base side's signatures/sets would persist as tables
+    between crawls; the per-crawl cost is the new side's map-side
+    shingle pass plus the bucket equi-join."""
+    prof_n = shared_profile(new_docs, id_col, text_col, memo=memo)
+    prof_b = shared_profile(base_docs, id_col, text_col, memo=memo)
+    sets_n = shared_sets(new_docs, id_col, text_col, memo=memo)
+    sets_b = shared_sets(base_docs, id_col, text_col, memo=memo)
+    sig_n = minhash_signatures(id_col=id_col, profile=prof_n)
+    sig_b = minhash_signatures(id_col=id_col, profile=prof_b)
+
+    def buckets(sig: DataFrame, out_id: str) -> DataFrame:
+        return sig.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(F.array(*[F.col(f"band{b}") for b in range(4)])).alias(
+                "band_idx", "bucket"
+            ),
+        )
+
+    cand = (
+        buckets(sig_n, "id_new")
+        .join(buckets(sig_b, "id_base"), ["bucket", "band_idx"])
+        .select("id_new", "id_base")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_cand = cand.count()
+    par = cand.sparkSession.sparkContext.defaultParallelism
+    width = max(par, min(n_cand // 20_000 + 1, 8 * par))
+
+    mins_arr = F.array(*[F.col(f"m{i}") for i in range(NUM_HASHES)])
+    est = F.aggregate(
+        F.zip_with("mins_n", "mins_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, x: acc + x,
+    )
+    side_n = F.broadcast(
+        prof_n.join(sets_n, id_col).select(
+            F.col(id_col).alias("id_new"), mins_arr.alias("mins_n"),
+            F.col("sh").alias("sh_n")))
+    side_b = F.broadcast(
+        prof_b.join(sets_b, id_col).select(
+            F.col(id_col).alias("id_base"), mins_arr.alias("mins_b"),
+            F.col("sh").alias("sh_b")))
+    sized = (
+        cand.repartition(width)
+        .join(side_n, "id_new").join(side_b, "id_base")
+        .filter(est >= min_est_matches)
+        .select(
+            "id_new", "id_base",
+            F.size(F.array_intersect("sh_n", "sh_b")).cast("double").alias("__i"),
+            (F.size("sh_n") + F.size("sh_b")).cast("double").alias("__t"),
+        )
+    )
+    jac = F.round(F.col("__i") / (F.col("__t") - F.col("__i")), 6)
+    return (
+        sized.select("id_new", "id_base", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def cross_near_dups_sql(
+    table: str = "documents",
+    new_pred: str = "doc_id % 3 = 0",
+    min_jaccard: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_est_matches: int = MIN_EST_MATCHES,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> str:
+    """DuckDB twin of :func:`cross_near_dups` with the two corpora
+    carved out of one table by ``new_pred``."""
+    mins = ",\n        ".join(
+        f"MIN({minhash_perm_sql(h32_sql('s'), i)}) AS m{i}" for i in range(NUM_HASHES)
+    )
+    def band_rows(src: str) -> str:
+        return "\n      UNION ALL ".join(
+            f"SELECT {id_col}, md5(concat_ws(','"
+            + "".join(f", CAST(m{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band))
+            + f")) AS bucket, {b} AS band_idx FROM {src}"
+            for b in range(bands)
+        )
+    est = " + ".join(
+        f"(CASE WHEN mn.m{i} = mb.m{i} THEN 1 ELSE 0 END)" for i in range(NUM_HASHES)
+    )
+    shingle_hashed = (
+        f"list_distinct(list_transform({char_shingles_sql(text_col)},"
+        f" s -> CAST({h32_sql('s')} - 2147483648 AS INTEGER)))"
+    )
+    return f"""
+    WITH newd AS (SELECT * FROM {table} WHERE {new_pred}),
+    based AS (SELECT * FROM {table} WHERE NOT ({new_pred})),
+    shn AS (SELECT {id_col}, unnest({char_shingles_sql(text_col)}) AS s FROM newd),
+    minsn AS (SELECT {id_col},
+        {mins}
+      FROM shn GROUP BY {id_col}),
+    shb AS (SELECT {id_col}, unnest({char_shingles_sql(text_col)}) AS s FROM based),
+    minsb AS (SELECT {id_col},
+        {mins}
+      FROM shb GROUP BY {id_col}),
+    bucketsn AS (
+      {band_rows('minsn')}
+    ),
+    bucketsb AS (
+      {band_rows('minsb')}
+    ),
+    cand AS (
+      SELECT DISTINCT n.{id_col} AS id_new, b.{id_col} AS id_base
+      FROM bucketsn n JOIN bucketsb b
+        ON n.bucket = b.bucket AND n.band_idx = b.band_idx
+    ),
+    screened AS (
+      SELECT id_new, id_base
+      FROM cand
+      JOIN minsn mn ON mn.{id_col} = cand.id_new
+      JOIN minsb mb ON mb.{id_col} = cand.id_base
+      WHERE {est} >= {min_est_matches}
+    ),
+    setsn AS (SELECT {id_col}, {shingle_hashed} AS sh FROM newd),
+    setsb AS (SELECT {id_col}, {shingle_hashed} AS sh FROM based)
+    SELECT id_new, id_base,
+           round(CAST(len(list_intersect(sn.sh, sb.sh)) AS DOUBLE)
+                 / (CAST(len(sn.sh) + len(sb.sh) AS DOUBLE)
+                    - len(list_intersect(sn.sh, sb.sh))), 6) AS jaccard
+    FROM screened
+    JOIN setsn sn ON sn.{id_col} = screened.id_new
+    JOIN setsb sb ON sb.{id_col} = screened.id_base
+    WHERE round(CAST(len(list_intersect(sn.sh, sb.sh)) AS DOUBLE)
+                / (CAST(len(sn.sh) + len(sb.sh) AS DOUBLE)
+                   - len(list_intersect(sn.sh, sb.sh))), 6) >= {min_jaccard}
+    """

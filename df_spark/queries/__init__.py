@@ -57,14 +57,14 @@ PRIORITY = [
     "agg_global", "join_inner", "join_3way_agg", "join_left_outer",
     "join_anti_semi", "union_distinct", "csv_roundtrip",
     "dedup_exact", "minhash_signatures", "minhash_lsh_pairs",
-    "minhash_near_dups", "dedup_clusters", "simhash", "ngram_jaccard",
-    "decontaminate",
+    "minhash_near_dups", "dedup_clusters", "cross_near_dups", "simhash",
+    "ngram_jaccard", "decontaminate",
     "cosine_topk", "ann_lsh_topk", "ann_multi_lsh", "ann_ivf_topk",
     "embed_near_dup", "embed_norms",
     "cdc_scd2",
     "events_tumbling", "events_sliding", "events_sessions",
     "events_type_stats", "asof_join_events", "range_join_bands",
-    "window_topk", "window_running", "window_lag_lead",
+    "window_topk", "window_running",
     "cube_agg", "rollup_agg", "pivot_status", "explode_arrays",
     "json_extract", "json_agg", "percentiles",
     "text_stats", "lang_id", "lang_quality_rollup", "doc_fingerprint",

@@ -123,3 +123,29 @@ def approx_distinct(spark, sf_dir):
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(2500)).alias("approx_median_price"),
     )
+
+
+@register(
+    "price_histogram",
+    sql="""
+    SELECT CAST(FLOOR(o_totalprice / 20000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def price_histogram(spark, sf_dir):
+    # equi-width histogram — one hash aggregate on a derived bucket key;
+    # the 100 TB shape for distribution profiling (no sort, no window)
+    orders = load_sdf(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 20000.0).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

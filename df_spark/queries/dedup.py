@@ -130,3 +130,13 @@ def dedup_clusters(spark, sf_dir):
     docs = load_sdf(spark, sf_dir, "documents")
     pairs = D.minhash_near_dups(docs, min_jaccard=0.6)
     return dedup_groups(pairs, docs)
+
+
+@register("cross_near_dups", sql=D.cross_near_dups_sql("documents", "doc_id % 3 = 0"))
+def cross_near_dups(spark, sf_dir):
+    # incremental dedup: the "new crawl" (every third doc) against the
+    # existing corpus — cross-corpus LSH, never a self-join on either side
+    docs = load_sdf(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.expr("doc_id % 3 = 0"))
+    base_docs = docs.filter(F.expr("NOT (doc_id % 3 = 0)"))
+    return D.cross_near_dups(new_docs, base_docs, min_jaccard=0.6)

@@ -158,3 +158,55 @@ def events_type_stats(spark, sf_dir):
         dec_sum.alias("total_value"),
         (dec_sum / F.count(F.lit(1))).alias("avg_value"),
     )
+
+
+@register(
+    "events_funnel",
+    sql="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def events_funnel(spark, sf_dir):
+    # ordered funnel (view -> click -> purchase): each stage keeps the
+    # earliest qualifying event AFTER the previous stage's timestamp.
+    # Decorrelated into three per-user min-aggregates chained by joins —
+    # every stage is one shuffle on user_id (uniform key), and the
+    # stage frames shrink monotonically; at 100 TB the same plan holds
+    # with the events scan pruned to the three types
+    ev = load_sdf(spark, sf_dir, "events")
+
+    def stage(etype, prev, tcol, prev_t):
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(tcol))
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    v = stage("view", None, "t1", None)
+    c = stage("click", v, "t2", "t1")
+    p = stage("purchase", c, "t3", "t2")
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
