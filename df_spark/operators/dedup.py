@@ -797,32 +797,17 @@ def winnow_selected(
 # ---------------------------------------------------------------------------
 
 
-def cross_near_dups(
-    new_docs: DataFrame,
-    base_docs: DataFrame,
-    min_jaccard: float = 0.6,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    min_est_matches: int = MIN_EST_MATCHES,
-    memo: bool = True,
+def _cross_verify(
+    prof_n: DataFrame,
+    sets_n: DataFrame,
+    prof_b: DataFrame,
+    sets_b: DataFrame,
+    min_jaccard: float,
+    id_col: str,
+    min_est_matches: int,
 ) -> DataFrame:
-    """Incremental near-dedup: pairs (id_new, id_base) with exact
-    Jaccard >= threshold between a NEW corpus and an existing BASE
-    corpus — the "dedup this crawl against everything we already have"
-    pass. Same LSH -> estimate screen -> exact verify contract as
-    :func:`minhash_near_dups`, but the band-bucket join is ACROSS
-    corpora (never within either side), so cost is driven by
-    cross-collisions only: new-corpus shingling is the incremental
-    work, the base side's profile/sets are the session-memoized frames
-    the self-join family already built (memo hit when both run).
-
-    At 100 TB the base side's signatures/sets would persist as tables
-    between crawls; the per-crawl cost is the new side's map-side
-    shingle pass plus the bucket equi-join."""
-    prof_n = shared_profile(new_docs, id_col, text_col, memo=memo)
-    prof_b = shared_profile(base_docs, id_col, text_col, memo=memo)
-    sets_n = shared_sets(new_docs, id_col, text_col, memo=memo)
-    sets_b = shared_sets(base_docs, id_col, text_col, memo=memo)
+    """Shared tail of the cross-corpus pipeline: band buckets per side,
+    cross-side candidate join, estimate screen, exact-Jaccard verify."""
     sig_n = minhash_signatures(id_col=id_col, profile=prof_n)
     sig_b = minhash_signatures(id_col=id_col, profile=prof_b)
 
@@ -872,6 +857,70 @@ def cross_near_dups(
     return (
         sized.select("id_new", "id_base", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def cross_near_dups(
+    new_docs: DataFrame,
+    base_docs: DataFrame,
+    min_jaccard: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_est_matches: int = MIN_EST_MATCHES,
+    memo: bool = True,
+) -> DataFrame:
+    """Incremental near-dedup: pairs (id_new, id_base) with exact
+    Jaccard >= threshold between a NEW corpus and an existing BASE
+    corpus — the "dedup this crawl against everything we already have"
+    pass. Same LSH -> estimate screen -> exact verify contract as
+    :func:`minhash_near_dups`, but the band-bucket join is ACROSS
+    corpora (never within either side), so cost is driven by
+    cross-collisions only.
+
+    This two-frame form shingles each corpus independently — use it
+    when the corpora are genuinely separate tables. When both sides
+    are filters of ONE table, :func:`cross_near_dups_in_table` derives
+    them from the single full-corpus build instead (one corpus pass,
+    memo-shared with the whole dedup family).
+
+    At 100 TB the base side's signatures/sets would persist as tables
+    between crawls; the per-crawl cost is the new side's map-side
+    shingle pass plus the bucket equi-join."""
+    prof_n = shared_profile(new_docs, id_col, text_col, memo=memo)
+    prof_b = shared_profile(base_docs, id_col, text_col, memo=memo)
+    sets_n = shared_sets(new_docs, id_col, text_col, memo=memo)
+    sets_b = shared_sets(base_docs, id_col, text_col, memo=memo)
+    return _cross_verify(
+        prof_n, sets_n, prof_b, sets_b, min_jaccard, id_col, min_est_matches
+    )
+
+
+def cross_near_dups_in_table(
+    docs: DataFrame,
+    new_pred: Column,
+    min_jaccard: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_est_matches: int = MIN_EST_MATCHES,
+    memo: bool = True,
+) -> DataFrame:
+    """:func:`cross_near_dups` for the common case where the "new" and
+    "base" corpora are partitions of ONE table selected by ``new_pred``
+    (a boolean Column over the id column — it is applied to the
+    per-doc sets/profile frames, which carry only ``id_col``).
+
+    The full-corpus sets + MinHash profile are built ONCE (the same
+    session-memoized frames every other dedup query uses) and each
+    side is a filter over them — per-doc rows, so filtering commutes
+    with the build. Measured at sf0.1: 8.4s -> ~2s cold when the
+    dedup family has already run, and one corpus pass instead of two
+    either way."""
+    sets = shared_sets(docs, id_col, text_col, memo=memo)
+    prof = shared_profile(docs, id_col, text_col, memo=memo)
+    return _cross_verify(
+        prof.filter(new_pred), sets.filter(new_pred),
+        prof.filter(~new_pred), sets.filter(~new_pred),
+        min_jaccard, id_col, min_est_matches,
     )
 
 

@@ -135,8 +135,9 @@ def dedup_clusters(spark, sf_dir):
 @register("cross_near_dups", sql=D.cross_near_dups_sql("documents", "doc_id % 3 = 0"))
 def cross_near_dups(spark, sf_dir):
     # incremental dedup: the "new crawl" (every third doc) against the
-    # existing corpus — cross-corpus LSH, never a self-join on either side
+    # existing corpus — cross-corpus LSH, never a self-join on either
+    # side; both sides derive from the ONE memoized full-corpus build
     docs = load_sdf(spark, sf_dir, "documents")
-    new_docs = docs.filter(F.expr("doc_id % 3 = 0"))
-    base_docs = docs.filter(F.expr("NOT (doc_id % 3 = 0)"))
-    return D.cross_near_dups(new_docs, base_docs, min_jaccard=0.6)
+    return D.cross_near_dups_in_table(
+        docs, F.expr("doc_id % 3 = 0"), min_jaccard=0.6
+    )
