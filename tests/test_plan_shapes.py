@@ -1,0 +1,88 @@
+"""Physical-plan regression tests: pin the plan PROPERTIES the scale
+story depends on (pushdown reaching the scan, dims broadcast, top-N
+without a global sort, no unexpected exchanges), so an optimizer-
+hostile refactor fails CI instead of silently degrading at 100 TB.
+PLANS.md shows the current numbers; these tests enforce the invariants.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from df_spark.queries import load_registry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    sdf = load_registry()[name].fn(spark, SF_DIR)
+    return sdf._jdf.queryExecution().executedPlan().toString()
+
+
+def count_in(plan: str, token: str) -> int:
+    return plan.count(token)
+
+
+def test_q6_predicates_push_to_scan(spark):
+    plan = plan_of(spark, "q6_revenue_forecast")
+    assert "PushedFilters: [" in plan
+    # the pure scan-filter-agg never shuffles data rows: one exchange
+    # for the 1-row partial aggregates only
+    assert count_in(plan, "Exchange") <= 1
+
+
+def test_q3_topn_avoids_global_sort(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_dims_broadcast(spark):
+    # snowflake dims (supplier->nation->region) must reach the fact as
+    # broadcast joins at test SF, never a shuffle of lineitem per dim
+    plan = plan_of(spark, "q5_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sample_stratified_is_map_side(spark):
+    # rate table broadcast + filter: the corpus must not shuffle
+    plan = plan_of(spark, "sample_stratified")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_exact_single_uniform_shuffle(spark):
+    plan = plan_of(spark, "dedup_exact")
+    # fingerprint groupBy: exactly one exchange (hash on uniform md5 key)
+    assert count_in(plan, "Exchange") == 1
+    assert "HashAggregate" in plan
+
+
+def test_cosine_topk_broadcasts_queries_no_corpus_shuffle(spark):
+    plan = plan_of(spark, "cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the only exchange of corpus rows feeds the final per-query top-k
+    assert "Window" in plan
+
+
+def test_chunk_docs_no_shuffle_at_all(spark):
+    # pure map-side generator + projection
+    plan = plan_of(spark, "chunk_docs")
+    assert count_in(plan, "Exchange") == 0
+    assert "Generate" in plan
+
+
+def test_pack_sequences_single_partitioned_window(spark):
+    plan = plan_of(spark, "pack_sequences")
+    # one hash exchange on the shard key for the window — no global sort
+    assert count_in(plan, "Exchange") == 1
+    assert "Window" in plan
+
+
+@pytest.mark.parametrize("name", ["events_tumbling", "events_sessions"])
+def test_event_windows_scan_prunes_columns(spark, name):
+    plan = plan_of(spark, name)
+    # the parquet scan must not read the wide props column
+    assert "ReadSchema" in plan
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "props" not in scan
