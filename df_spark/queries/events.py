@@ -210,3 +210,57 @@ def events_funnel(spark, sf_dir):
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
     )
+
+
+@register(
+    "events_rolling",
+    sql="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS BIGINT) AS hour_id,
+             COUNT(*) AS cnt
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT event_type, hour_id, cnt,
+           CAST(SUM(cnt) OVER w AS BIGINT) AS prev6_sum,
+           CAST(COUNT(*) OVER w AS BIGINT) AS prev6_buckets,
+           COALESCE(cnt * COUNT(*) OVER w > 2 * SUM(cnt) OVER w, FALSE) AS spike
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+                 RANGE BETWEEN 6 PRECEDING AND 1 PRECEDING)
+    """,
+)
+def events_rolling(spark, sf_dir):
+    # trailing-window rate monitoring: hourly per-type counts, the sum
+    # over the 6 preceding hour-buckets (RANGE frame on the integer
+    # hour id — gaps stay gaps), and an integer-exact spike flag
+    # (cnt > 2x trailing average, cross-multiplied so no division
+    # enters the comparison). Window partitions by event_type: parallel
+    # across types, no global sort; the hourly pre-aggregate keeps the
+    # window input at buckets, not raw events.
+    from pyspark.sql import Window as W
+
+    ev = load_sdf(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("hour_id"),
+        )
+        .groupBy("event_type", "hour_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        W.partitionBy("event_type").orderBy("hour_id").rangeBetween(-6, -1)
+    )
+    prev_sum = F.sum("cnt").over(w)
+    prev_n = F.count(F.lit(1)).over(w)
+    spike = F.coalesce(
+        F.col("cnt") * prev_n > 2 * prev_sum, F.lit(False)
+    )
+    return hourly.select(
+        "event_type", "hour_id", "cnt",
+        prev_sum.cast("long").alias("prev6_sum"),
+        prev_n.cast("long").alias("prev6_buckets"),
+        spike.alias("spike"),
+    )

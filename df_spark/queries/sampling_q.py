@@ -83,3 +83,37 @@ def source_mix(spark, sf_dir):
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+_EXACT_K = 40
+
+
+@register(
+    "sample_exact_k",
+    sql=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY {keep_sql('doc_id')}, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= {_EXACT_K}
+    """,
+)
+def sample_exact_k(spark, sf_dir):
+    # exactly-k-per-stratum sampling: rank docs by their id-hash draw
+    # (doc_id tiebreak) and keep the first k — a deterministic uniform
+    # sample of fixed SIZE, where the rate-based samplers give a fixed
+    # PROBABILITY. One partitioned window (top-k per group shape), no
+    # global sort; ranking by content hash means adding documents later
+    # only displaces, never reshuffles, earlier picks.
+    from pyspark.sql import Window as W
+
+    from ..operators.sampling import _keep
+
+    docs = load_sdf(spark, sf_dir, "documents")
+    win = W.partitionBy("lang").orderBy(_keep("doc_id"), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(win).alias("rn"))
+        .filter(F.col("rn") <= _EXACT_K)
+        .select("doc_id", "lang")
+    )

@@ -231,3 +231,28 @@ def winnow_fingerprints(spark, sf_dir):
         F.min("wm").alias("min_fp"),
         F.max("wm").alias("max_fp"),
     )
+
+
+@register(
+    "quality_deciles",
+    sql=f"""
+    SELECT doc_id, lang,
+           NTILE(10) OVER (PARTITION BY lang
+                           ORDER BY {X.quality_score_sql('text')}, doc_id) AS decile
+    FROM documents
+    """,
+)
+def quality_deciles(spark, sf_dir):
+    # curriculum-style bucketing: per-language quality deciles (doc_id
+    # tiebreak makes the total order — and therefore every bucket
+    # boundary — engine-independent). One partitioned window; at 100 TB
+    # the partition is the language shard, never a global sort.
+    from pyspark.sql import Window as W
+
+    docs = load_sdf(spark, sf_dir, "documents")
+    win = W.partitionBy("lang").orderBy(
+        X.quality_score(F.col("text")), F.col("doc_id")
+    )
+    return docs.select(
+        "doc_id", "lang", F.ntile(10).over(win).alias("decile")
+    )
