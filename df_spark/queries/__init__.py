@@ -76,7 +76,7 @@ def load_registry() -> dict[str, Query]:
     # import for side effect of registration
     from . import core  # noqa: F401
 
-    for mod in ("advanced", "cdc_q", "dedup", "events", "extensions",
+    for mod in ("advanced", "analytics", "cdc_q", "dedup", "events", "extensions",
                 "json_props", "multimodal", "pipeline_q", "sampling_q",
                 "similarity", "sources_q", "text", "tokens", "tpch"):
         try:

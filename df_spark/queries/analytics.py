@@ -1,0 +1,337 @@
+"""Analytics-surface extensions: full-outer join, set operations
+(INTERSECT / EXCEPT), skew-salted join, cohort retention, and BM25
+ranked retrieval. All exact-match against the DuckDB oracle.
+
+Reference parity note: angelini/df stops at inner equi-joins
+(src/dataframe.rs join path) and has no set ops beyond union
+(src/api.rs); these queries extend that surface with the remaining
+relational operators a user would expect, expressed as built-in
+Spark operators (no UDFs, no driver loops).
+
+Determinism:
+- counts / keys are integers → exact.
+- money sums go through DECIMAL(18,2) (associative) per the registry
+  policy.
+- BM25 uses the *rational* IDF form (N - df + 0.5) / (df + 0.5)
+  instead of ln(·): libm log rounding is not guaranteed identical
+  across engines, division is (same policy as tfidf_top_terms). The
+  per-term scores are combined by explicit fixed-order addition —
+  not SUM — so the FP operation order is identical on both engines
+  and the result is bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized, normalized_sql
+from ..operators.joins import salted_join
+from ..operators.partitioning import barrier_width
+from ..sources.tables import load_sdf
+from . import register
+
+
+@register(
+    "join_full_outer",
+    sql="""
+    SELECT COALESCE(o.custkey, c.c_custkey) AS custkey,
+           c.c_name AS name,
+           o.n_orders,
+           o.total_spent
+    FROM (SELECT o_custkey AS custkey,
+                 COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_spent
+          FROM orders
+          WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 1
+          GROUP BY 1) o
+    FULL OUTER JOIN (SELECT c_custkey, c_name FROM customer
+                     WHERE c_acctbal < 0) c
+      ON o.custkey = c.c_custkey
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    # full-outer equi-join with null rows on BOTH sides: debtors with no
+    # Jan-1995 orders (right-only; every customer has SOME order in the
+    # synthetic data, so the left side is month-scoped) and Jan-1995
+    # buyers outside the balance filter (left-only). One shuffle on
+    # custkey; at 100 TB this is a plain hash-partitioned SMJ/SHJ — AQE
+    # decides.
+    orders = load_sdf(spark, sf_dir, "orders").filter(
+        (F.year("o_orderdate") == 1995) & (F.month("o_orderdate") == 1)
+    )
+    customer = load_sdf(spark, sf_dir, "customer")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_spent"),
+    )
+    debtors = customer.filter(F.col("c_acctbal") < 0).select(
+        "c_custkey", "c_name"
+    )
+    return (
+        per_cust.join(
+            debtors, per_cust.custkey == debtors.c_custkey, "full_outer"
+        )
+        .select(
+            F.coalesce("custkey", "c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            "n_orders",
+            "total_spent",
+        )
+    )
+
+
+@register(
+    "set_ops",
+    sql="""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE year(o_orderdate) = 1995),
+         b AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE year(o_orderdate) = 1996)
+    SELECT 'both' AS segment, o_custkey AS custkey
+    FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+    UNION ALL
+    SELECT 'only_1995' AS segment, o_custkey AS custkey
+    FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+    UNION ALL
+    SELECT 'only_1996' AS segment, o_custkey AS custkey
+    FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+    """,
+)
+def set_ops(spark, sf_dir):
+    # INTERSECT / EXCEPT compile to left-semi / left-anti hash joins
+    # over the distinct key sets — one shuffle each on the key, no
+    # full-row comparison. The year filter is pushed to the scan.
+    orders = load_sdf(spark, sf_dir, "orders")
+    year = F.year("o_orderdate")
+    a = orders.filter(year == 1995).select("o_custkey").distinct()
+    b = orders.filter(year == 1996).select("o_custkey").distinct()
+    tag = lambda df, s: df.select(  # noqa: E731
+        F.lit(s).alias("segment"), F.col("o_custkey").alias("custkey")
+    )
+    return (
+        tag(a.intersect(b), "both")
+        .unionByName(tag(a.subtract(b), "only_1995"))
+        .unionByName(tag(b.subtract(a), "only_1996"))
+    )
+
+
+@register(
+    "skew_salted_join",
+    sql="""
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def skew_salted_join(spark, sf_dir):
+    # the salted-join operator under an exact oracle: the plain-SQL
+    # join result must survive salting unchanged (each left row meets
+    # exactly its one replica). At 100 TB this is the mitigation for a
+    # power-law FK where one key floods a single task and AQE's
+    # skew-split isn't available (e.g. a bucketed pre-shuffle layout
+    # that AQE won't break); salt=8 caps any key's share of a task at
+    # 1/8 of its rows.
+    lineitem = load_sdf(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_sdf(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = salted_join(lineitem, orders, "l_orderkey", "o_orderkey", salt=8)
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
+    "cohort_retention",
+    sql="""
+    WITH e AS (SELECT user_id,
+                      CAST(floor(epoch_us(CAST(ts AS TIMESTAMP))
+                                 / 86400000000) AS BIGINT) AS day
+               FROM events),
+         f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1)
+    SELECT strftime(DATE '1970-01-01' + INTERVAL (f.cohort_day) DAY,
+                    '%Y-%m-%d') AS cohort_day,
+           CAST((e.day - f.cohort_day) // 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM e JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    # classic cohort/retention matrix: users bucketed by first-seen
+    # day, activity counted per whole-week offset. All time arithmetic
+    # is integer (epoch-µs → day number → week offset) so both engines
+    # agree exactly; the cohort label is formatted from the day number,
+    # never via engine-specific week truncation. Two shuffles: the
+    # per-user MIN (|users| rows out — tiny vs |events|) and the final
+    # (cohort, offset) agg; the events→firsts join is on user_id and
+    # AQE will broadcast the firsts side.
+    ev = load_sdf(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).alias("day"),
+    )
+    firsts = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        e.join(firsts, "user_id")
+        .groupBy(
+            F.date_format(
+                F.date_add(F.lit("1970-01-01").cast("date"), F.col("cohort_day").cast("int")),
+                "yyyy-MM-dd",
+            ).alias("cohort_day"),
+            F.floor((F.col("day") - F.col("cohort_day")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# BM25 constants: k1/b are the classic defaults; terms are chosen for
+# spread in document frequency (dup is rare, vector/key are common)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("dup", "vector", "key")
+_BM25_TOPK = 25
+
+
+def _bm25_term_score_sql(tf: str, dl: str, avgdl: str, df: str, n: str) -> str:
+    k1, b = _BM25_K1, _BM25_B
+    idf = f"(({n} - {df} + 0.5) / ({df} + 0.5))"
+    sat = (
+        f"({tf} * ({k1} + 1.0) / "
+        f"({tf} + {k1} * (1.0 - {b} + {b} * {dl} / {avgdl})))"
+    )
+    return f"({idf} * {sat})"
+
+
+@register(
+    "bm25_rank",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split({normalized_sql('text')}, ' ')) AS token
+      FROM documents
+    ), tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY 1),
+    stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                     COUNT(*) AS n_docs FROM dl),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM tok2 WHERE token IN {str(tuple(_BM25_TERMS))}
+           GROUP BY 1, 2),
+    dfreq AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+              FROM tok2 WHERE token IN {str(tuple(_BM25_TERMS))}
+              GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             {_bm25_term_score_sql(
+                 'tf.tf', 'CAST(dl.dl AS DOUBLE)', 'stats.avgdl',
+                 'dfreq.df', 'CAST(stats.n_docs AS DOUBLE)')} AS s
+      FROM tf
+      JOIN dl ON tf.doc_id = dl.doc_id
+      JOIN dfreq ON tf.token = dfreq.token
+      CROSS JOIN stats
+    ), pivoted AS (
+      SELECT doc_id,
+             COALESCE(MAX(CASE WHEN token = '{_BM25_TERMS[0]}' THEN s END), 0.0)
+             + COALESCE(MAX(CASE WHEN token = '{_BM25_TERMS[1]}' THEN s END), 0.0)
+             + COALESCE(MAX(CASE WHEN token = '{_BM25_TERMS[2]}' THEN s END), 0.0)
+               AS score
+      FROM scored GROUP BY 1
+    )
+    SELECT doc_id, score, rank FROM (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM pivoted) t
+    WHERE rank <= {_BM25_TOPK}
+    """,
+)
+def bm25_rank(spark, sf_dir):
+    """BM25-style ranked retrieval over the documents corpus for a
+    fixed term set — the scoring pass of a search/retrieval pipeline.
+
+    Scale shape: tokenize is a narrow map; per-doc length and per-term
+    tf are one hash-agg each on uniform keys; df and corpus stats are
+    3-row / 1-row aggregates broadcast back onto the term rows (AQE
+    broadcasts them — no shuffle of the corpus-sized side); the final
+    global top-k compiles to TakeOrderedAndProject. The only global
+    barrier is the 1-row corpus-stats agg, unavoidable in any engine.
+
+    Per-term scores are combined by explicit fixed-order addition of
+    the three pivoted columns (not SUM) so the FP operation order
+    matches the oracle bit-for-bit; IDF is the rational form (see
+    module docstring).
+    """
+    docs = load_sdf(spark, sf_dir, "documents")
+    base = docs.select("doc_id", normalized(F.col("text")).alias("__t"))
+    base = base.repartition(barrier_width(base))
+    tok = base.select(
+        "doc_id", F.explode(F.split(F.col("__t"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+    )
+    hits = tok.filter(F.col("token").isin(*_BM25_TERMS))
+    tf = hits.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfreq = hits.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    sat = (F.col("tf") * (k1 + F.lit(1.0))) / (
+        F.col("tf")
+        + k1
+        * (
+            F.lit(1.0)
+            - b
+            + b * F.col("dl").cast("double") / F.col("avgdl")
+        )
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "token", (idf * sat).alias("s"))
+    )
+    term_col = [
+        F.coalesce(
+            F.max(F.when(F.col("token") == t, F.col("s"))), F.lit(0.0)
+        )
+        for t in _BM25_TERMS
+    ]
+    pivoted = scored.groupBy("doc_id").agg(
+        (term_col[0] + term_col[1] + term_col[2]).alias("score")
+    )
+    # global top-k FIRST (TakeOrderedAndProject — per-partition heaps,
+    # never a single-partition window over the full scored set), then
+    # rank assignment runs on only k rows
+    top = pivoted.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    ).limit(_BM25_TOPK)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id", "score", F.row_number().over(w).alias("rank")
+    )

@@ -1,0 +1,111 @@
+"""Semantics pins for the analytics-surface extensions (full-outer
+join, set ops, salted join, cohort retention, BM25): properties the
+oracle hash alone wouldn't explain if they regressed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from df_spark.queries import load_registry
+
+REGISTRY = load_registry()
+
+
+def test_full_outer_has_both_null_sides(spark, sf_dir):
+    out = REGISTRY["join_full_outer"].fn(spark, sf_dir)
+    left_only = out.filter(F.col("name").isNull()).count()
+    right_only = out.filter(F.col("n_orders").isNull()).count()
+    assert left_only > 0, "expected ordering customers outside the debtor filter"
+    assert right_only > 0, "expected debtors with no orders"
+    # custkey is the coalesced key: never null, never duplicated
+    assert out.filter(F.col("custkey").isNull()).count() == 0
+    assert out.select("custkey").distinct().count() == out.count()
+
+
+def test_set_ops_segments_partition_the_union(spark, sf_dir):
+    out = REGISTRY["set_ops"].fn(spark, sf_dir).collect()
+    seen: dict[int, str] = {}
+    for r in out:
+        assert r.custkey not in seen, (
+            f"custkey {r.custkey} in both {seen[r.custkey]} and {r.segment}"
+        )
+        seen[r.custkey] = r.segment
+    segments = {r.segment for r in out}
+    assert segments == {"both", "only_1995", "only_1996"}
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    salted = {
+        (r.priority, r.n_lines, round(r.revenue, 2))
+        for r in REGISTRY["skew_salted_join"].fn(spark, sf_dir).collect()
+    }
+    from df_spark.sources.tables import load_sdf
+
+    plain = {
+        (r.priority, r.n_lines, round(r.revenue, 2))
+        for r in (
+            load_sdf(spark, sf_dir, "lineitem")
+            .join(
+                load_sdf(spark, sf_dir, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+            .collect()
+        )
+    }
+    assert salted == plain
+
+
+def test_cohort_retention_week_zero_dominates(spark, sf_dir):
+    rows = REGISTRY["cohort_retention"].fn(spark, sf_dir).collect()
+    assert all(r.week_offset >= 0 for r in rows)
+    # a user's cohort week always contains their first event, so every
+    # cohort must have a week-0 row, and cohort user counts at offset 0
+    # are >= any later offset of the same cohort
+    by_cohort: dict[str, dict[int, int]] = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_day, {})[r.week_offset] = r.n_users
+    for cohort, offs in by_cohort.items():
+        assert 0 in offs, f"cohort {cohort} missing week 0"
+        assert offs[0] == max(offs.values()), (
+            f"cohort {cohort}: week 0 should have every cohort member active"
+        )
+
+
+def test_bm25_rare_term_outranks_common(spark, sf_dir):
+    """Docs containing the rare term ('dup', df~5%) should fill the top
+    ranks ahead of docs with only common terms — the defining IDF
+    property."""
+    from df_spark.queries.analytics import _BM25_TOPK
+
+    out = REGISTRY["bm25_rank"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == _BM25_TOPK
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(
+        range(1, _BM25_TOPK + 1)
+    )
+    assert all(r.score > 0 for r in rows)
+
+    from df_spark.functions.text import normalized
+    from df_spark.sources.tables import load_sdf
+
+    docs = load_sdf(spark, sf_dir, "documents").select(
+        "doc_id", normalized(F.col("text")).alias("t")
+    )
+    dup_docs = {
+        r.doc_id
+        for r in docs.filter(
+            F.array_contains(F.split("t", " "), "dup")
+        ).collect()
+    }
+    top5 = [r.doc_id for r in sorted(rows, key=lambda r: r.rank)[:5]]
+    assert any(d in dup_docs for d in top5), (
+        "no rare-term doc in the top 5 — IDF weighting broken"
+    )
