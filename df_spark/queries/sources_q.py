@@ -68,3 +68,41 @@ def csv_roundtrip(spark, sf_dir):
             F.min("s_name").alias("first_name"),
         )
     )
+
+
+@register(
+    "parquet_partitioned_sink",
+    sql="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM documents
+    WHERE lang IN ('en', 'de')
+    GROUP BY 1, 2
+    """,
+)
+def parquet_partitioned_sink(spark, sf_dir):
+    """Partitioned parquet sink + pruned read-back — the write path the
+    reference lacks entirely (SURVEY §2 checklist: 'No sinks'). Writes
+    ``documents`` hive-partitioned by ``lang``, reads it back with a
+    partition filter, and aggregates; the oracle runs the same
+    aggregate on the original table, so any corruption in the
+    write→layout→read→prune path is a hash mismatch.
+
+    100 TB story: partitionBy on a low-cardinality column is the
+    standard lake layout — the read-back filter becomes a
+    PartitionFilters entry (directories never listed), not a data
+    filter, which test_partition_pruned_readback pins in the plan.
+    """
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "df_spark_part_sink",
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    docs = load_sdf(spark, sf_dir, "documents")
+    (docs.write.mode("overwrite").partitionBy("lang").parquet(out))
+    back = spark.read.parquet(out).filter(F.col("lang").isin("en", "de"))
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -153,3 +153,57 @@ def pack_sequences(spark, sf_dir):
     return toks.select(
         "doc_id", "lang", "n_tokens", offset.alias("token_offset")
     ).withColumn("bin_id", F.expr(f"token_offset div {_PACK_CAPACITY}"))
+
+
+@register(
+    "doc_rarity",
+    sql=f"""
+    WITH tok AS ({_TOKENS_SQL}),
+    tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    freq AS (SELECT token, COUNT(*) AS cnt FROM tok2 GROUP BY 1),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok2)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           SUM(f.cnt) AS total_freq,
+           CAST(SUM(f.cnt) AS DOUBLE) / COUNT(*) AS mean_token_freq,
+           SUM(CASE WHEN f.cnt >= nd.n_docs THEN 1 ELSE 0 END) AS n_common
+    FROM tok2 t JOIN freq f ON t.token = f.token CROSS JOIN nd
+    GROUP BY 1
+    """,
+)
+def doc_rarity(spark, sf_dir):
+    """Corpus-statistics document scoring — the quality-filter pass
+    that drops documents dominated by ultra-common (boilerplate) or
+    ultra-rare (garbage) tokens. Unlike text_stats (per-doc only),
+    every token is scored against its whole-corpus frequency.
+
+    Determinism: per-doc sums are over BIGINT corpus counts (exact,
+    associative — no FP accumulation ordering); the only double is one
+    final division. The common-token threshold is relative (count >=
+    corpus doc count, i.e. "averages once per document") so the query
+    is scale-invariant.
+
+    Scale shape: the token table is corpus-sized but the frequency
+    table is vocabulary-sized — AQE broadcasts it; the single
+    corpus-wide shuffle is the per-doc aggregate on the uniform doc_id
+    key. The n_docs scalar joins as a broadcast literal row, never a
+    driver round-trip inside the plan.
+    """
+    tok = _tokens_sdf(spark, sf_dir)
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    nd = tok.agg(F.count_distinct("doc_id").alias("n_docs"))
+    return (
+        tok.join(freq, "token")
+        .crossJoin(F.broadcast(nd))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").alias("total_freq"),
+            (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias(
+                "mean_token_freq"
+            ),
+            F.sum(
+                F.when(F.col("cnt") >= F.col("n_docs"), 1).otherwise(0)
+            ).alias("n_common"),
+        )
+    )

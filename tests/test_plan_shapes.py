@@ -86,3 +86,26 @@ def test_event_windows_scan_prunes_columns(spark, name):
     assert "ReadSchema" in plan
     scan = plan[plan.index("ReadSchema"):].splitlines()[0]
     assert "props" not in scan
+
+
+def test_partitioned_sink_readback_prunes(spark):
+    # the lang filter must resolve against the hive layout at planning
+    # time (PartitionFilters), not as a row-level data filter
+    plan = plan_of(spark, "parquet_partitioned_sink")
+    assert "PartitionFilters" in plan
+    i = plan.index("PartitionFilters")
+    assert "lang" in plan[i : i + 200], "lang filter not applied to partitions"
+
+
+def test_bm25_topk_and_broadcast_stats(spark):
+    plan = plan_of(spark, "bm25_rank")
+    # global top-k via per-partition heaps, corpus-stats rows broadcast
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_doc_rarity_vocab_broadcast(spark):
+    # the vocabulary-sized frequency table must broadcast onto the
+    # corpus-sized token table — never shuffle the token table per join
+    plan = plan_of(spark, "doc_rarity")
+    assert "BroadcastHashJoin" in plan
