@@ -149,3 +149,113 @@ def price_histogram(spark, sf_dir):
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@register(
+    "dq_checks",
+    sql="""
+    SELECT 'orders_null_custkey' AS check_name,
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+             AS n_violations
+    UNION ALL
+    SELECT 'orders_duplicate_pk',
+           (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem_nonpositive_price',
+           (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= 0)
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 0.5)
+    UNION ALL
+    SELECT 'orders_date_range',
+           (SELECT COUNT(*) FROM orders
+            WHERE year(o_orderdate) < 1990 OR year(o_orderdate) > 2005)
+    """,
+)
+def dq_checks(spark, sf_dir):
+    """Data-quality constraint audit (dbt-test style): null keys,
+    primary-key uniqueness, referential integrity, and domain ranges,
+    one violation count per check. The pre-ingestion gate of a training
+    pipeline — a nonzero row is a quarantine signal.
+
+    Scale shape: each check is an aggregate or a LEFT-ANTI join on the
+    key it audits — no check materializes violating rows, only counts;
+    the FK checks shuffle once on the key (AQE broadcasts the dim side
+    when it fits). The 7 one-row results union into a single plan so
+    one pass schedules them all.
+
+    All-integer output — exact by construction.
+    """
+    orders = load_sdf(spark, sf_dir, "orders")
+    customer = load_sdf(spark, sf_dir, "customer")
+    lineitem = load_sdf(spark, sf_dir, "lineitem")
+
+    def one(name, cnt_df):
+        return cnt_df.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    checks = [
+        one(
+            "orders_null_custkey",
+            orders.filter(F.col("o_custkey").isNull()).agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+        ),
+        one(
+            "orders_duplicate_pk",
+            orders.agg(
+                (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("n")
+            ),
+        ),
+        one(
+            "orders_fk_customer",
+            orders.join(
+                customer,
+                orders.o_custkey == customer.c_custkey,
+                "left_anti",
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        one(
+            "lineitem_fk_orders",
+            lineitem.join(
+                orders,
+                lineitem.l_orderkey == orders.o_orderkey,
+                "left_anti",
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        one(
+            "lineitem_nonpositive_price",
+            lineitem.filter(F.col("l_extendedprice") <= 0).agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+        ),
+        one(
+            "lineitem_discount_range",
+            lineitem.filter(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5)
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        one(
+            "orders_date_range",
+            orders.filter(
+                (F.year("o_orderdate") < 1990) | (F.year("o_orderdate") > 2005)
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

@@ -264,3 +264,81 @@ def events_rolling(spark, sf_dir):
         prev_n.cast("long").alias("prev6_buckets"),
         spike.alias("spike"),
     )
+
+
+@register(
+    "events_gapfill",
+    sql="""
+    WITH b AS (
+      SELECT CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000)
+                  AS BIGINT) AS hour_bucket,
+             event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_value
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT MIN(hour_bucket) AS lo, MAX(hour_bucket) AS hi FROM b),
+    hours AS (SELECT unnest(range(lo, hi + 1)) AS hour_bucket FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events)
+    SELECT h.hour_bucket, t.event_type,
+           COALESCE(b.n, 0) AS n_events,
+           LAST_VALUE(b.avg_value IGNORE NULLS)
+             OVER (PARTITION BY t.event_type ORDER BY h.hour_bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS carried_avg
+    FROM hours h CROSS JOIN types t
+    LEFT JOIN b ON b.hour_bucket = h.hour_bucket AND b.event_type = t.event_type
+    """,
+)
+def events_gapfill(spark, sf_dir):
+    """Time-series gap filling + forward fill: the dense hour × type
+    grid is generated IN-PLAN (explode over a sequence between the
+    1-row min/max bounds — no driver collect, no Python range), empty
+    buckets get zero counts, and the last observed per-type average is
+    carried forward with last_value(ignorenulls).
+
+    Scale shape: the grid is |hours| × |types| — tiny relative to the
+    events it summarizes; the per-bucket agg is the only corpus-sized
+    shuffle. The forward-fill window partitions by type, so state per
+    task is one running value — the same shape as the streaming
+    carry-forward in the as-of join (operators/joins.py).
+
+    Determinism: bucket math is integer epoch-µs; per-bucket averages
+    divide a DECIMAL-exact sum once.
+    """
+    ev = load_sdf(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            F.floor(F.unix_micros("ts") / F.lit(3_600_000_000)).alias(
+                "hour_bucket"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
+        )
+    )
+    hours = (
+        b.agg(F.min("hour_bucket").alias("lo"), F.max("hour_bucket").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("hour_bucket"))
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(types)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(b, ["hour_bucket", "event_type"], "left")
+        .select(
+            "hour_bucket",
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("carried_avg"),
+        )
+    )
