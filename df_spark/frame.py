@@ -99,6 +99,29 @@ class Df:
         return Df(sdf, fingerprint=fingerprint_source("csv", path))
 
     @staticmethod
+    def from_jsonl(
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+    ) -> "Df":
+        """JSON-lines source (one JSON object per line — the interchange
+        format LLM training corpora actually ship in). Explicit schema,
+        same no-inference policy as ``from_csv``: schema inference on
+        JSON costs a full extra pass over 100 TB and can flip types
+        between runs. Splittable when uncompressed or zstd-framed, so
+        Spark fans the read out exactly like CSV input splits."""
+        sdf = spark.read.schema(schema).json(path)
+        return Df(sdf, fingerprint=fingerprint_source("jsonl", path))
+
+    @staticmethod
+    def from_orc(spark: SparkSession, path: str) -> "Df":
+        """ORC source — second columnar format; same pushdown/pruning
+        properties as parquet (predicate pushdown, column projection,
+        stripe-level statistics)."""
+        sdf = spark.read.orc(path)
+        return Df(sdf, fingerprint=fingerprint_source("orc", path))
+
+    @staticmethod
     def from_vecs(spark: SparkSession, columns: Sequence[tuple[str, Sequence[Any]]]) -> "Df":
         """In-memory source from per-column vectors (reference
         ``from_vecs!`` — src/block.rs:1117-1134). Test-scale only."""
@@ -515,6 +538,21 @@ class Df:
                   header: bool = False) -> None:
         (self._resolved()._sdf.write.mode(mode)
          .option("delimiter", delimiter).option("header", str(header).lower()).csv(path))
+
+    def write_jsonl(self, path: str, mode: str = "overwrite",
+                    compression: str | None = None) -> None:
+        """JSON-lines sink (one object per line per Spark's json writer).
+        Uncompressed by default so the files stay splittable for the
+        next reader; pass e.g. ``compression='gzip'`` for archival."""
+        w = self._resolved()._sdf.write.mode(mode)
+        if compression:
+            w = w.option("compression", compression)
+        w.json(path)
+
+    def write_orc(self, path: str, mode: str = "overwrite",
+                  compression: str = "zstd") -> None:
+        (self._resolved()._sdf.write.mode(mode)
+         .option("compression", compression).orc(path))
 
     # ------------------------------------------------------------------
 

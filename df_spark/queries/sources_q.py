@@ -106,3 +106,139 @@ def parquet_partitioned_sink(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+def _scratch(prefix: str, sf_dir: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(),
+        prefix,
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+
+
+_ORDERS_JSONL_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderpriority", T.StringType()),
+        T.StructField("o_orderdate", T.StringType()),
+    ]
+)
+
+
+@register(
+    "jsonl_roundtrip",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_date
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def jsonl_roundtrip(spark, sf_dir):
+    """JSON-lines sink + source round-trip — the interchange format LLM
+    corpora ship in (the reference reads only CSV, src/reader.rs). The
+    query exports ``orders`` as ndjson, reads it back through
+    ``Df.from_jsonl`` with an explicit schema (no inference pass), and
+    aggregates; the oracle aggregates the original parquet, so any
+    serialize→parse→coercion defect (number formatting, quoting, null
+    encoding, field order) is a hash mismatch.
+
+    Timestamps are written as formatted date strings — ndjson has no
+    timestamp type, so the export pins the representation instead of
+    trusting two engines' JSON timestamp conventions to agree.
+    """
+    out = _scratch("df_spark_jsonl_roundtrip", sf_dir)
+    src = Df(
+        load_sdf(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderpriority",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+    )
+    src.write_jsonl(out)
+    back = Df.from_jsonl(spark, out, _ORDERS_JSONL_SCHEMA)
+    return (
+        back.to_spark()
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.min("o_orderdate").alias("first_date"),
+        )
+    )
+
+
+@register(
+    "orc_roundtrip",
+    sql="""
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM part
+    GROUP BY 1
+    """,
+)
+def orc_roundtrip(spark, sf_dir):
+    """ORC sink + source round-trip — second columnar format beside
+    parquet; same pushdown/pruning contract. The read-back keeps only
+    two of the table's columns, so the scan must project (ORC column
+    pruning), and the aggregate must match the parquet oracle exactly.
+    """
+    out = _scratch("df_spark_orc_roundtrip", sf_dir)
+    part = load_sdf(spark, sf_dir, "part")
+    Df(part).write_orc(out)
+    back = Df.from_orc(spark, out)
+    return (
+        back.to_spark()
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "compact_files",
+    sql="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           MIN(doc_id) AS first_doc
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def compact_files(spark, sf_dir):
+    """Small-file compaction — the lake-maintenance op a 100 TB corpus
+    needs continuously: ingest produces thousands of small files (here:
+    an explicit repartition(64) write), compaction rewrites them into
+    few scan-friendly ones (coalesce(4): a NARROW rewrite — no shuffle,
+    each output task concatenates ~16 inputs). The aggregate over the
+    compacted copy must match the oracle over the original table, so
+    any row lost or duplicated by the rewrite is a hash mismatch.
+    test_sources.py pins the actual file counts via input_file_name.
+    """
+    small = _scratch("df_spark_compact_small", sf_dir)
+    compacted = _scratch("df_spark_compact_big", sf_dir)
+    docs = load_sdf(spark, sf_dir, "documents")
+    docs.repartition(64).write.mode("overwrite").parquet(small)
+    spark.read.parquet(small).coalesce(4).write.mode("overwrite").parquet(compacted)
+    back = spark.read.parquet(compacted)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )

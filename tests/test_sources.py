@@ -65,3 +65,72 @@ def test_testdata_tables_load(spark, sf_dir):
         assert df.count() > 0
     events = load_table(spark, sf_dir, "events")
     assert dict((f.name, f.dataType.simpleString()) for f in events.schema.fields)["ts"] == "timestamp"
+
+
+JSONL_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("score", T.DoubleType()),
+])
+
+
+def test_jsonl_roundtrip_unit(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"id": 1, "text": "hello \\"quoted\\" world", "score": 0.5}\n'
+        '{"id": 2, "text": null, "score": -1.25}\n'
+        '{"id": 3, "text": "uni\\u00e7ode", "score": 3e10}\n'
+    )
+    df = Df.from_jsonl(spark, str(p), JSONL_SCHEMA)
+    rows = sorted(tuple(r) for r in df.collect())
+    assert rows == [
+        (1, 'hello "quoted" world', 0.5),
+        (2, None, -1.25),
+        (3, "uniçode", 3e10),
+    ]
+    out = tmp_path / "out_jsonl"
+    df.write_jsonl(str(out))
+    back = Df.from_jsonl(spark, str(out), JSONL_SCHEMA)
+    assert sorted(tuple(r) for r in back.collect()) == rows
+
+
+def test_jsonl_missing_field_is_null(spark, tmp_path):
+    # explicit schema: absent keys land as NULL, never a parse error —
+    # the behavior heterogenous 100 TB corpora need
+    p = tmp_path / "sparse.jsonl"
+    p.write_text('{"id": 1}\n{"id": 2, "score": 1.0}\n')
+    rows = sorted(tuple(r) for r in Df.from_jsonl(spark, str(p), JSONL_SCHEMA).collect())
+    assert rows == [(1, None, None), (2, None, 1.0)]
+
+
+def test_orc_roundtrip_unit(spark, tmp_path):
+    df = Df.from_vecs(spark, [
+        ("k", [1, 2, 3]),
+        ("v", ["a", "b", None]),
+    ])
+    out = tmp_path / "out_orc"
+    df.write_orc(str(out))
+    back = Df.from_orc(spark, str(out))
+    assert sorted(tuple(r) for r in back.collect()) == [(1, "a"), (2, "b"), (3, None)]
+
+
+def test_compact_files_counts(spark, sf_dir):
+    """The compaction query's small→compacted layout: 64 ingest files
+    become exactly 4 (coalesce is a narrow rewrite — no shuffle)."""
+    from pyspark.sql import functions as F
+
+    from df_spark.queries import load_registry
+
+    load_registry()["compact_files"].fn(spark, sf_dir).collect()
+    import hashlib
+    import os
+    import tempfile
+    base = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    small = os.path.join(tempfile.gettempdir(), "df_spark_compact_small", base)
+    big = os.path.join(tempfile.gettempdir(), "df_spark_compact_big", base)
+    n_small = (spark.read.parquet(small)
+               .select(F.input_file_name().alias("f")).distinct().count())
+    n_big = (spark.read.parquet(big)
+             .select(F.input_file_name().alias("f")).distinct().count())
+    assert n_small == 64
+    assert n_big == 4
