@@ -342,3 +342,67 @@ def events_gapfill(spark, sf_dir):
             F.last("avg_value", ignorenulls=True).over(w).alias("carried_avg"),
         )
     )
+
+
+@register(
+    "events_anomaly",
+    sql="""
+    WITH hc AS (
+      SELECT event_type,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             hour(CAST(ts AS TIMESTAMP)) AS hh,
+             COUNT(*)::BIGINT AS n_events
+      FROM events GROUP BY 1, 2, 3
+    ),
+    st AS (
+      SELECT event_type, COUNT(*)::BIGINT AS n_buckets,
+             SUM(n_events)::BIGINT AS s, SUM(n_events * n_events)::BIGINT AS q
+      FROM hc GROUP BY 1
+    )
+    SELECT event_type, day, hh, n_events, n_buckets,
+           s AS type_total
+    FROM hc JOIN st USING (event_type)
+    WHERE n_events * n_buckets - s > 0
+      AND (n_events * n_buckets - s) * (n_events * n_buckets - s)
+          > 9 * (n_buckets * q - s * s)
+    """,
+)
+def events_anomaly(spark, sf_dir):
+    """Volume-spike detection: hourly event counts per type, flagging
+    buckets more than 3 population-sigmas above that type's mean rate —
+    the monitoring query an ingestion pipeline runs continuously.
+
+    Determinism: the z-test is evaluated ENTIRELY in integers. With
+    per-type bucket count n, sum S = Σc and sum of squares Q = Σc²,
+
+        (c - S/n)² > 9·(Q/n - S²/n²)   ⟺   (c·n - S)² > 9·(n·Q - S²)
+
+    so no floating-point mean/stddev ever exists — both engines compute
+    bit-identical BIGINTs (c ≤ 1e6, n ≤ 1e5 keeps every product far
+    under 2^63 even at 1000× this data).
+
+    100 TB shape: two hash aggregates (hour buckets, then per-type
+    stats — the second input is tiny) and a broadcast join of the
+    per-type stats back onto the buckets. No window function, no sort.
+    """
+    ev = load_sdf(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.hour("ts").alias("hh"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    st = hc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("q"),
+    )
+    dev = F.col("n_events") * F.col("n_buckets") - F.col("s")
+    var_n2 = F.col("n_buckets") * F.col("q") - F.col("s") * F.col("s")
+    return (
+        hc.join(F.broadcast(st), "event_type")
+        .filter((dev > 0) & (dev * dev > 9 * var_n2))
+        .select(
+            "event_type", "day", "hh", "n_events", "n_buckets",
+            F.col("s").alias("type_total"),
+        )
+    )

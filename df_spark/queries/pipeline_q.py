@@ -65,3 +65,47 @@ _MIN_JACCARD = 0.6
 def llm_data_pipeline(spark, sf_dir):
     docs = load_sdf(spark, sf_dir, "documents")
     return prepare_documents(docs, min_quality=_MIN_QUALITY, min_jaccard=_MIN_JACCARD)
+
+
+@register(
+    "shard_assign",
+    sql=f"""
+    SELECT {D.h32_sql(D.normalized_sql('text'))} % 32 AS shard,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           MIN(doc_id) AS first_doc
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def shard_assign(spark, sf_dir):
+    """Deterministic training-shard assignment: shard =
+    content_hash(normalized text) mod 32. Content hashing (not
+    doc_id/random) is what a training pipeline wants — assignment is
+    stable under re-ingestion, reordering, and id reassignment, and the
+    md5-derived hash is uniform so the 32 shards stay balanced (law of
+    large numbers: ±0.1% at 100 TB). One hash aggregate on the shard
+    key; the same expression with partitionBy('shard') is the writer
+    layout. Cross-engine exact via the md5-derived h32
+    (functions/hashing.py parity contract).
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import h32
+    from ..functions.text import normalized
+
+    docs = load_sdf(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            (h32(normalized(F.col("text"))) % 32).alias("shard"),
+            "doc_id", "n_chars", "lang",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

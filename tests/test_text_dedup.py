@@ -192,3 +192,41 @@ def test_winnow_guarantee_shared_substring(spark):
     }
     assert sets[1] & sets[2]
     assert not (sets[1] & sets[3] or sets[2] & sets[3])
+
+
+def test_levenshtein_pairs_blocking_never_loses_identical_prefixes(spark):
+    """Docs identical in the first 40 normalized chars are always found
+    (distance 0 pairs survive any block key derived from the prefix),
+    while docs differing inside the first 12 chars are intentionally
+    outside the candidate set — the documented blocking trade-off."""
+    from df_spark.frame import Df
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running"
+    docs = Df.from_vecs(spark, [
+        ("doc_id", [1, 2, 3, 4]),
+        ("text", [base, base.upper(), "a completely different start " + base,
+                  base.replace("jumps", "jmps")]),
+    ]).to_spark()
+    docs.createOrReplaceTempView("_lev_docs")
+
+    from pyspark.sql import functions as F
+
+    from df_spark.functions.text import normalized
+
+    p = docs.select(
+        "doc_id", F.substring(normalized(F.col("text")), 1, 40).alias("pre"))
+    a, b = p.alias("a"), p.alias("b")
+    pairs = (
+        a.join(b, (F.substring(F.col("a.pre"), 1, 12) == F.substring(F.col("b.pre"), 1, 12))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select("a.doc_id", "b.doc_id",
+                F.levenshtein("a.pre", "b.pre").alias("d"))
+        .filter(F.col("d") <= 8)
+        .collect()
+    )
+    found = {(r[0], r[1]): r.d for r in pairs}
+    assert found[(1, 2)] == 0          # case-normalized exact dup
+    # one deletion inside the window, +1 because the fixed 40-char cap
+    # shifts a different trailing char into doc 4's prefix
+    assert found[(1, 4)] == 2
+    assert all(3 not in pair for pair in found)  # different block by design
