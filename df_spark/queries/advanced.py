@@ -259,3 +259,70 @@ def dq_checks(spark, sf_dir):
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+@register(
+    "profile_table",
+    sql="""
+    SELECT 'o_orderkey' AS col,
+           COUNT(*) AS n_rows,
+           COUNT(o_orderkey) AS n_nonnull,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def profile_table(spark, sf_dir):
+    """Column-profile operator (the schema-discovery pass a pipeline
+    runs before writing constraints like ``dq_checks``): one row per
+    profiled column with row/non-null/distinct counts and min/max.
+
+    Plan shape: ONE scan and ONE aggregation node for all columns
+    (count/min/max per column are independent agg expressions; the
+    distinct counts become one Expand — Spark's standard
+    multiple-count-distinct rewrite: rows × profiled-columns, then a
+    single hash agg). The naive per-column UNION of scans — what the
+    oracle SQL spells — reads the table K times; this reads it once.
+    Min/max are rendered to strings so heterogenous column types share
+    one result schema.
+    """
+    from pyspark.sql import functions as F
+
+    orders = load_sdf(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.count(c).alias(f"{c}__nonnull"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    # unpivot the single wide row into one row per column: stack() is a
+    # generator over the already-aggregated scalars (no second scan)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nonnull, {c}__distinct, {c}__min, {c}__max"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col, n_rows, n_nonnull, n_distinct, min_val, max_val)"
+    )

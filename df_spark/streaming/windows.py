@@ -204,3 +204,45 @@ def decontaminate_stream(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def interval_join_streams(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each ``purchase`` event to
+    ``click`` events by the same user within the preceding ``horizon``
+    (the attribution join of an event pipeline).
+
+    Both sides carry watermarks and the join condition bounds
+    purchase.ts - click.ts to [0, horizon], so Spark can evict buffered
+    state as the watermarks advance — state is O(users active inside
+    the horizon), not O(stream). Equality on user_id keys the
+    state-store partitioning: one shuffle per side on user_id.
+
+    The batch twin is the identical expression on static frames (what
+    ``test_stream_stream_interval_join_matches_batch`` asserts), the
+    same contract as the other streaming twins in this module.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id", "purchase_id", "click_ts", "purchase_ts", "purchase_value",
+    )

@@ -109,3 +109,21 @@ def test_doc_rarity_vocab_broadcast(spark):
     # corpus-sized token table — never shuffle the token table per join
     plan = plan_of(spark, "doc_rarity")
     assert "BroadcastHashJoin" in plan
+
+
+def test_profile_table_single_scan(spark):
+    """The K-column profile reads the table ONCE (independent agg
+    expressions + one Expand for the distinct counts) — not the K scans
+    the equivalent per-column UNION (the oracle SQL) would do."""
+    plan = plan_of(spark, "profile_table")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan  # the multi-count-distinct rewrite
+
+
+def test_mv_incremental_no_base_rescan_shape(spark):
+    """Incremental MV refresh: two pruned scans (base split + delta
+    split of the same source here) feeding partial aggs, merged by one
+    join — no third scan for a recompute."""
+    plan = plan_of(spark, "mv_incremental")
+    assert plan.count("Scan parquet") == 2
+    assert "SortMergeJoin FullOuter" in plan or "ShuffledHashJoin FullOuter" in plan or "FullOuter" in plan

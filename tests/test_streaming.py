@@ -223,3 +223,36 @@ def test_streaming_decontaminate_matches_batch(spark, sf_dir):
     want = {(r.doc_id, r.n_shared)
             for r in contamination_scores(train, bench, min_shared=25).collect()}
     assert got == want and want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join (click→purchase attribution within
+    30 min) equals the identical join on static frames. Append-mode
+    stream-stream joins only hold back rows the watermark hasn't
+    released; with availableNow over a bounded file the final watermark
+    is max(ts) - 2h, so results inside the horizon match exactly."""
+    stream = SW.read_events_stream(spark, sf_dir)
+    clicks_s = stream.filter(F.col("event_type") == "click")
+    purchases_s = stream.filter(F.col("event_type") == "purchase")
+    joined = SW.interval_join_streams(clicks_s, purchases_s)
+    _, out = SW.run_stream_to_memory(joined, output_mode="append")
+    got = {(r.click_id, r.purchase_id) for r in out.collect()}
+
+    ev = load_sdf(spark, sf_dir, "events")
+    batch = SW.interval_join_streams(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    expected_rows = batch.collect()
+    expected = {(r.click_id, r.purchase_id) for r in expected_rows}
+
+    assert got, "stream-stream join emitted nothing"
+    # everything the stream emitted is a true batch pair (no spurious rows)
+    assert got <= expected
+    # only pairs inside the final-watermark holdback may be missing
+    max_ts = max(r.purchase_ts for r in expected_rows)
+    import datetime
+    horizon = max_ts - datetime.timedelta(hours=2)
+    must_have = {(r.click_id, r.purchase_id) for r in expected_rows
+                 if r.purchase_ts <= horizon}
+    assert must_have <= got
