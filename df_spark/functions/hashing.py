@@ -53,3 +53,30 @@ def minhash_perm(hash_col: Column, i: int) -> Column:
 
 def minhash_perm_sql(hash_expr: str, i: int) -> str:
     return f"(({MINHASH_A[i]} * ({hash_expr} % {MERSENNE_P}) + {MINHASH_B[i]}) % {MERSENNE_P})"
+
+
+def zvalue(x: Column, y: Column, bits: int = 12) -> Column:
+    """Morton/Z-order interleave of two non-negative ints (``bits`` low
+    bits each → one ``2·bits``-bit key). Sorting by the z-value gives a
+    write layout whose files are small rectangles in (x, y) space, so
+    file-level min/max statistics prune scans filtered on EITHER
+    dimension — the multi-column clustering trick single-key sorting
+    can't provide. Pure shift/mask arithmetic: identical in DuckDB
+    (:func:`zvalue_sql`), exact, JVM-codegen'd.
+    """
+    terms = None
+    for i in range(bits):
+        tx = F.shiftleft(F.shiftrightunsigned(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        ty = F.shiftleft(F.shiftrightunsigned(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        t = tx + ty
+        terms = t if terms is None else terms + t
+    return terms.cast("long")
+
+
+def zvalue_sql(x: str, y: str, bits: int = 12) -> str:
+    """DuckDB twin of :func:`zvalue` (same shift/mask arithmetic)."""
+    parts = []
+    for i in range(bits):
+        parts.append(f"(((({x}) >> {i}) & 1) << {2 * i})")
+        parts.append(f"(((({y}) >> {i}) & 1) << {2 * i + 1})")
+    return "CAST((" + " + ".join(parts) + ") AS BIGINT)"

@@ -326,3 +326,49 @@ def profile_table(spark, sf_dir):
         f"stack({len(cols)}, {stack_args}) AS "
         "(col, n_rows, n_nonnull, n_distinct, min_val, max_val)"
     )
+
+
+from ..functions.hashing import zvalue_sql as _zvalue_sql  # noqa: E402
+
+_ZY = "hour(CAST(ts AS TIMESTAMP)) * 60 + minute(CAST(ts AS TIMESTAMP))"
+
+
+@register(
+    "zorder_key",
+    sql=f"""
+    SELECT event_id,
+           user_id % 4096 AS x,
+           ({_ZY}) AS y,
+           {_zvalue_sql("user_id % 4096", _ZY)} AS zval
+    FROM events
+    ORDER BY zval, event_id
+    LIMIT 200
+    """,
+)
+def zorder_key(spark, sf_dir):
+    """Z-order clustering key: Morton-interleave (user_id mod 4096,
+    minute-of-day) so ONE sort column clusters BOTH dimensions. This is
+    the write-layout operator for 100 TB lakes — sortWithinPartitions
+    on ``zval`` before the sink puts each file in a small (user, time)
+    rectangle, and parquet min/max statistics then prune scans filtered
+    on either column (``test_zorder_layout_bounds_both_dims`` measures
+    the per-file rectangle widths against a single-key sort). The query
+    pins the bit-interleave arithmetic exactly against the oracle.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import zvalue
+
+    ev = load_sdf(spark, sf_dir, "events")
+    x = (F.col("user_id") % 4096).cast("int")
+    y = (F.hour("ts") * 60 + F.minute("ts")).cast("int")
+    return (
+        ev.select(
+            "event_id",
+            x.alias("x"),
+            y.alias("y"),
+            zvalue(x, y).alias("zval"),
+        )
+        .orderBy("zval", "event_id")
+        .limit(200)
+    )
