@@ -995,3 +995,173 @@ def cross_near_dups_sql(
                 / (CAST(len(sn.sh) + len(sb.sh) AS DOUBLE)
                    - len(list_intersect(sn.sh, sb.sh))), 6) >= {min_jaccard}
     """
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered exact set-similarity self-join (AllPairs / PPJoin family)
+# ---------------------------------------------------------------------------
+
+def prefix_filtered_pairs(
+    docs: DataFrame,
+    min_jaccard: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 7,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """EXACT Jaccard ≥ t self-join via prefix filtering (Bayardo et al.
+    AllPairs / Xiao et al. PPJoin): order every doc's shingles by one
+    global rarity order (document frequency asc, hash asc) and keep
+    only each doc's first ``|s| - ceil(t·|s|) + 1`` shingles as its
+    PREFIX. Any pair with J ≥ t provably shares a prefix shingle, so
+    candidates come from a prefix×prefix equi-join — rare shingles
+    only — instead of the full co-occurrence join. Two further PPJoin
+    prunes run INSIDE the candidate join, both integer-exact:
+
+    - length filter: 20·|b| ≥ t20·|a| (a J ≥ t pair can't differ in
+      size by more than 1/t);
+    - positional filter: from matching prefix positions (rk_a, rk_b),
+      the overlap can't exceed 1 + min(|a|−rk_a, |b|−rk_b); require
+      that bound to reach α = ceil(t/(1+t)·(|a|+|b|)), i.e.
+      (1 + min(...))·(20 + t20) ≥ t20·(|a|+|b|).
+
+    Unlike LSH banding (probabilistic) or length-bucket blocking
+    (heuristic), the result is IDENTICAL to the exhaustive join; the
+    oracle runs the exhaustive form, so the hash match is a
+    completeness proof on real data.
+
+    ``partition_cols`` scopes the join (and the oracle) to pairs that
+    agree on those columns — the within-ingest-partition dedup pattern
+    (cross-partition near-dup is the minhash/cross_near_dups family).
+    This synthetic corpus draws from a ~6k-shingle vocabulary, so even
+    rarity-ordered prefixes collide broadly (measured: 7.6M candidates
+    over 50k docs corpus-wide at sf0.1); partitioning by source keeps
+    the candidate set proportional to Σ per-partition n², which is the
+    deployment shape anyway.
+
+    min_jaccard must be a multiple of 0.05 — thresholds are evaluated
+    as 20·c ≥ t20·(|a|+|b|−c) in BIGINTs, never in floats.
+
+    100 TB shape: shingle df is one hash agg; ranking is a window over
+    each doc's ~dozens of shingles; the candidate join keys on the
+    RAREST content in the corpus (self-skew-resistant by construction)
+    plus the partition columns; verify joins candidates back to
+    shingle rows and counts matches — no arrays cross a shuffle.
+    """
+    from pyspark.sql import Window as W
+
+    t20 = int(round(min_jaccard * 20))
+    assert abs(min_jaccard * 20 - t20) < 1e-9, "min_jaccard must be a multiple of 0.05"
+    pcols = partition_cols or []
+
+    # distinct (id, h): shingle STRINGS are distinct per doc, but h32
+    # collisions could double-count a pair's overlap — the oracle
+    # SELECTs DISTINCT, so the engine must too
+    base = docs.select(F.col(id_col), *[F.col(c) for c in pcols], F.col(text_col))
+    sh = shingle_hashes(base.select(id_col, text_col), id_col, text_col, k).distinct()
+    sh = sh.localCheckpoint(eager=True)  # shared by rank, sizes, and verify
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(dfreq, "h")
+        .withColumn(
+            "rk", F.row_number().over(W.partitionBy(id_col).orderBy("df", "h"))
+        )
+        .join(sizes, id_col)
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("sz") - F.ceil(F.lit(min_jaccard) * F.col("sz")) + 1
+    ).select(id_col, "h", "rk", "sz")
+    if pcols:
+        prefix = prefix.join(base.select(id_col, *pcols), id_col)
+
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), F.col("h"),
+        F.col("rk").alias("rk_a"), F.col("sz").alias("sa"),
+        *[F.col(c) for c in pcols],
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), F.col("h"),
+        F.col("rk").alias("rk_b"), F.col("sz").alias("sb"),
+        *[F.col(c) for c in pcols],
+    )
+    overlap_bound = F.lit(1) + F.least(
+        F.col("sa") - F.col("rk_a"), F.col("sb") - F.col("rk_b")
+    )
+    cand = (
+        a.join(b, ["h", *pcols])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter (both directions)
+            & (F.lit(20) * F.col("sb") >= F.lit(t20) * F.col("sa"))
+            & (F.lit(20) * F.col("sa") >= F.lit(t20) * F.col("sb"))
+            # positional filter
+            & (overlap_bound * F.lit(20 + t20) >= F.lit(t20) * (F.col("sa") + F.col("sb")))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # verify: count common shingles per candidate pair (no arrays moved)
+    common = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), "h"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), "h"), ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sa"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sb"))
+    return (
+        common.join(sz_a, "id_a")
+        .join(sz_b, "id_b")  # AQE broadcasts these iff they measure small
+        # 20c ≥ t20·(sa+sb−c)  ⟺  c/(sa+sb−c) ≥ t — integer-exact
+        .filter(F.lit(20) * F.col("c") >= F.lit(t20) * (F.col("sa") + F.col("sb") - F.col("c")))
+        .select(
+            "id_a", "id_b", F.col("c").alias("n_common"),
+            F.round(
+                F.col("c").cast("double")
+                / (F.col("sa") + F.col("sb") - F.col("c")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def prefix_filtered_pairs_sql(
+    table: str = "documents", min_jaccard: float = 0.7,
+    id_col: str = "doc_id", text_col: str = "text", k: int = 7,
+    partition_cols: list[str] | None = None,
+) -> str:
+    """Oracle twin of :func:`prefix_filtered_pairs` — deliberately the
+    EXHAUSTIVE co-occurrence join (no prefix/length/positional
+    filters), so equality with the Spark result proves the filters
+    drop nothing."""
+    t20 = int(round(min_jaccard * 20))
+    pcols = partition_cols or []
+    # partition equality via the per-doc columns carried into sh
+    pc_sel = "".join(f", {c}" for c in pcols)
+    part_join = "".join(f" AND a.{c} = b.{c}" for c in pcols)
+    norm = normalized_sql(text_col)
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT {id_col} AS id{pc_sel}, {h32_sql('s')} AS h FROM (
+        SELECT {id_col}{pc_sel}, unnest(list_distinct(list_transform(
+          range(1, len({norm}) - {k - 2}),
+          i -> substr({norm}, CAST(i AS INT), {k})))) AS s
+        FROM {table}
+        WHERE len({norm}) >= {k}
+      )
+    ),
+    sz AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    co AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.h = b.h AND a.id < b.id{part_join}
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, c AS n_common,
+           round(CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE), 6)
+             AS jaccard
+    FROM co
+    JOIN sz sa ON co.id_a = sa.id
+    JOIN sz sb ON co.id_b = sb.id
+    WHERE 20 * c >= {t20} * (sa.sz + sb.sz - c)
+    """

@@ -201,3 +201,18 @@ def levenshtein_pairs(spark, sf_dir):
         )
         .filter(F.col("edit_dist") <= 8)
     )
+
+
+@register(
+    "prefix_sim_join",
+    sql=D.prefix_filtered_pairs_sql("documents", 0.7, partition_cols=["source"]),
+)
+def prefix_sim_join(spark, sf_dir):
+    """Prefix-filtered EXACT Jaccard ≥ 0.7 self-join (AllPairs/PPJoin
+    family) scoped within each ingest source. The oracle runs the
+    EXHAUSTIVE co-occurrence join, so the hash match is a data-level
+    completeness proof: every candidate the prefix + length +
+    positional filters skipped provably couldn't reach the
+    threshold."""
+    docs = load_sdf(spark, sf_dir, "documents")
+    return D.prefix_filtered_pairs(docs, min_jaccard=0.7, partition_cols=["source"])

