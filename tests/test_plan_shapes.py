@@ -127,3 +127,12 @@ def test_mv_incremental_no_base_rescan_shape(spark):
     plan = plan_of(spark, "mv_incremental")
     assert plan.count("Scan parquet") == 2
     assert "SortMergeJoin FullOuter" in plan or "ShuffledHashJoin FullOuter" in plan or "FullOuter" in plan
+
+
+def test_rollup_hypertable_single_scan_expand(spark):
+    """Three time granularities from ONE scan: GROUPING SETS compiles to
+    a single Expand + hash aggregate — not the three scans the
+    UNION-of-GROUP-BYs oracle spells."""
+    plan = plan_of(spark, "rollup_hypertable")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
