@@ -56,19 +56,22 @@ PRIORITY = [
     "filter_predicates", "select_arith", "orderby_limit", "group_collect",
     "agg_global", "join_inner", "join_3way_agg", "join_left_outer",
     "join_anti_semi", "union_distinct", "csv_roundtrip",
-    "dedup_exact", "minhash_signatures", "minhash_lsh_pairs",
+    "dedup_exact", "minhash_lsh_pairs",
     "minhash_near_dups", "dedup_clusters", "cross_near_dups", "simhash",
     "ngram_jaccard", "decontaminate",
-    "cosine_topk", "ann_lsh_topk", "ann_multi_lsh", "ann_ivf_topk",
+    "cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "embed_near_dup", "embed_norms",
     "cdc_scd2",
     "events_tumbling", "events_sliding", "events_sessions",
-    "events_type_stats", "asof_join_events", "range_join_bands",
-    "window_topk", "window_running",
+    "asof_join_events", "range_join_bands",
+    "window_topk",
     "cube_agg", "rollup_agg", "pivot_status", "explode_arrays",
-    "json_extract", "json_agg", "percentiles",
+    "json_extract", "percentiles",
     "text_stats", "lang_id", "lang_quality_rollup", "doc_fingerprint",
-    "doc_repetition", "llm_data_pipeline", "sample_stratified",
+    "llm_data_pipeline", "sample_stratified",
+    # round-5 families: each gets one driver-window hash check
+    "prefix_sim_join", "mv_incremental", "profile_table",
+    "jsonl_roundtrip", "zorder_key", "events_anomaly",
 ]
 
 
