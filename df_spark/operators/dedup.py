@@ -1035,7 +1035,8 @@ def prefix_filtered_pairs(
     (cross-partition near-dup is the minhash/cross_near_dups family).
     This synthetic corpus draws from a ~6k-shingle vocabulary, so even
     rarity-ordered prefixes collide broadly (measured: 7.6M candidates
-    over 50k docs corpus-wide at sf0.1); partitioning by source keeps
+    over 5k docs corpus-wide at sf0.1 — 61% of all pairs, the dense
+    vocabulary defeats rarity prefixes alone); partitioning by source keeps
     the candidate set proportional to Σ per-partition n², which is the
     deployment shape anyway.
 

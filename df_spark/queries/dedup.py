@@ -167,7 +167,7 @@ def levenshtein_pairs(spark, sf_dir):
 
     - block key = first 12 chars of the normalized prefix → candidate
       pairs come from a hash equi-join on the block, never all-pairs
-      (measured: 6k candidates for 50k docs at sf0.1, vs 1.2B
+      (measured: 6k candidates for 5k docs at sf0.1, vs 12.5M
       all-pairs);
     - verify = levenshtein on a CAPPED 40-char prefix, so the
       per-pair cost is O(40^2) regardless of document length — the cap
