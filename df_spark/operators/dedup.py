@@ -1049,10 +1049,55 @@ def prefix_filtered_pairs(
     plus the partition columns; verify joins candidates back to
     shingle rows and counts matches — no arrays cross a shuffle.
     """
+    t20 = int(round(min_jaccard * 20))
+    assert abs(min_jaccard * 20 - t20) < 1e-9, "min_jaccard must be a multiple of 0.05"
+    sh, sizes, cand = prefix_candidate_pairs(
+        docs, min_jaccard, id_col, text_col, k, partition_cols
+    )
+    # verify: count common shingles per candidate pair (no arrays moved)
+    common = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), "h"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), "h"), ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sa"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sb"))
+    return (
+        common.join(sz_a, "id_a")
+        .join(sz_b, "id_b")  # AQE broadcasts these iff they measure small
+        # 20c ≥ t20·(sa+sb−c)  ⟺  c/(sa+sb−c) ≥ t — integer-exact
+        .filter(F.lit(20) * F.col("c") >= F.lit(t20) * (F.col("sa") + F.col("sb") - F.col("c")))
+        .select(
+            "id_a", "id_b", F.col("c").alias("n_common"),
+            F.round(
+                F.col("c").cast("double")
+                / (F.col("sa") + F.col("sb") - F.col("c")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def prefix_candidate_pairs(
+    docs: DataFrame,
+    min_jaccard: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 7,
+    partition_cols: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Candidate-generation stage of :func:`prefix_filtered_pairs`.
+    Returns (shingle rows, set sizes, candidate id pairs) so callers —
+    the verify stage, and the scale probe's candidates/sec metric —
+    share one build. Candidate COUNT is the operator's true scale
+    variable: verify cost is proportional to it, and on a
+    closed-vocabulary corpus it grows with the real near-dup density
+    (quadratic here by data construction, near-linear on an
+    open-vocabulary corpus whose rare shingles stay rare)."""
     from pyspark.sql import Window as W
 
     t20 = int(round(min_jaccard * 20))
-    assert abs(min_jaccard * 20 - t20) < 1e-9, "min_jaccard must be a multiple of 0.05"
     pcols = partition_cols or []
 
     # distinct (id, h): shingle STRINGS are distinct per doc, but h32
@@ -1102,29 +1147,7 @@ def prefix_filtered_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # verify: count common shingles per candidate pair (no arrays moved)
-    common = (
-        cand.join(sh.select(F.col(id_col).alias("id_a"), "h"), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), "h"), ["id_b", "h"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sa"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sb"))
-    return (
-        common.join(sz_a, "id_a")
-        .join(sz_b, "id_b")  # AQE broadcasts these iff they measure small
-        # 20c ≥ t20·(sa+sb−c)  ⟺  c/(sa+sb−c) ≥ t — integer-exact
-        .filter(F.lit(20) * F.col("c") >= F.lit(t20) * (F.col("sa") + F.col("sb") - F.col("c")))
-        .select(
-            "id_a", "id_b", F.col("c").alias("n_common"),
-            F.round(
-                F.col("c").cast("double")
-                / (F.col("sa") + F.col("sb") - F.col("c")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
-    )
+    return sh, sizes, cand
 
 
 def prefix_filtered_pairs_sql(

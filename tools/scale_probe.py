@@ -98,6 +98,19 @@ def main() -> None:
         S.ann_multi_lsh_topk(embN, embN.filter(F.col("vec_id") < 5)),
     )
     probe("exact_dedup", D.exact_dedup_stats(docs1), D.exact_dedup_stats(docsN))
+    # prefix-filtered exact similarity join: like lsh_pairs below, its
+    # scale variable is the CANDIDATE count, which on this
+    # closed-vocabulary corpus grows quadratically by data construction
+    # (replicas reuse the same ~6k shingles, so "rare" prefixes collide
+    # across copies; an open-vocabulary corpus keeps rare shingles rare
+    # and candidates near-linear). The honest metric is candidates/sec.
+    print("prefix_sim_join (candidate-bound):")
+    for label, docs in [("1x", docs1), (f"{copies}x", docsN)]:
+        _, _, cand = D.prefix_candidate_pairs(docs, 0.7, partition_cols=["source"])
+        t0 = time.time()
+        n = cand.count()
+        dt = time.time() - t0
+        print(f"  {label}: {n:,} candidates in {dt:.2f}s -> {n / dt:,.0f} cand/s")
 
     # LSH candidates are OUTPUT-bound on this corpus: the synthetic
     # vocabulary is ~30 words, so random doc pairs have Jaccard ~0.3-0.5
