@@ -1106,7 +1106,8 @@ def prefix_candidate_pairs(
     base = docs.select(F.col(id_col), *[F.col(c) for c in pcols], F.col(text_col))
     sh = shingle_hashes(base.select(id_col, text_col), id_col, text_col, k).distinct()
     sh = sh.localCheckpoint(eager=True)  # shared by rank, sizes, and verify
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    # sizes feeds the rank join AND both verify sides — materialize once
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz")).localCheckpoint(eager=True)
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
         sh.join(dfreq, "h")
@@ -1120,6 +1121,10 @@ def prefix_candidate_pairs(
     ).select(id_col, "h", "rk", "sz")
     if pcols:
         prefix = prefix.join(base.select(id_col, *pcols), id_col)
+    # both sides of the candidate self-join consume `prefix`; without a
+    # materialization barrier Spark re-runs the df-join + rank window
+    # once per side (ReusedExchange only kicks in for the leaf shuffle)
+    prefix = prefix.localCheckpoint(eager=True)
 
     a = prefix.select(
         F.col(id_col).alias("id_a"), F.col("h"),
@@ -1146,6 +1151,8 @@ def prefix_candidate_pairs(
         )
         .select("id_a", "id_b")
         .distinct()
+        # consumed twice by the verify joins — cut the DAG here
+        .localCheckpoint(eager=True)
     )
     return sh, sizes, cand
 
