@@ -147,3 +147,37 @@ def test_shard_assign_stable_and_complete(spark, sf_dir):
     rows2 = {r.shard: (r.n_docs, r.total_chars)
              for r in reg["shard_assign"].fn(spark, sf_dir).collect()}
     assert rows == rows2
+
+
+def test_mv_incremental_any_split_equals_recompute(spark, sf_dir):
+    """Incremental refresh is split-invariant: merging the base MV with
+    ANY delta partitioning of the events yields the same MV as a full
+    recompute (the registry query proves the mod-10 split against
+    DuckDB; this pins two other splits)."""
+    from pyspark.sql import functions as F
+
+    from df_spark.sources.tables import load_sdf
+
+    ev = load_sdf(spark, sf_dir, "events")
+
+    def rollup(df):
+        return df.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("tv"),
+        )
+
+    full = {(r.event_type, r.day): (r.n, str(r.tv)) for r in rollup(ev).collect()}
+
+    for pred in [F.col("event_id") % 3 == 0, F.col("user_id") % 7 == 0]:
+        base = rollup(ev.filter(~pred)).alias("m")
+        delta = rollup(ev.filter(pred)).alias("d")
+        merged = base.join(delta, ["event_type", "day"], "full_outer").select(
+            "event_type", "day",
+            (F.coalesce(F.col("m.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))).alias("n"),
+            (F.coalesce(F.col("m.tv"), F.lit(0).cast("decimal(18,2)"))
+             + F.coalesce(F.col("d.tv"), F.lit(0).cast("decimal(18,2)"))).alias("tv"),
+        )
+        got = {(r.event_type, r.day): (r.n, str(r.tv)) for r in merged.collect()}
+        assert got == full

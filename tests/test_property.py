@@ -80,3 +80,67 @@ def test_join_multiplicity_matches_sql(prop_spark, la, ra):
     con.executemany("INSERT INTO r VALUES (?, ?)", rrows)
     want = sorted(con.execute("SELECT k, x, j, y FROM l JOIN r ON k = j").fetchall())
     assert got == want
+
+
+def _z_py(x: int, y: int, bits: int = 12) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def _z_decode(z: int, bits: int = 12) -> tuple[int, int]:
+    x = y = 0
+    for i in range(bits):
+        x |= ((z >> (2 * i)) & 1) << i
+        y |= ((z >> (2 * i + 1)) & 1) << i
+    return x, y
+
+
+@settings(max_examples=200, deadline=None)
+@given(x=st.integers(min_value=0, max_value=4095),
+       y=st.integers(min_value=0, max_value=4095))
+def test_zvalue_bijective(x, y):
+    """Morton interleave is a bijection on 12-bit pairs — decode
+    recovers exactly (x, y), so z-clustering loses no information."""
+    assert _z_decode(_z_py(x, y)) == (x, y)
+
+
+def test_zvalue_spark_matches_python_mirror(prop_spark):
+    """The Spark shift/mask expression computes the same Morton code as
+    the bit-twiddling reference implementation."""
+    from pyspark.sql import functions as F
+
+    from df_spark.functions.hashing import zvalue
+
+    pts = [(0, 0), (1, 0), (0, 1), (4095, 4095), (2748, 1365), (123, 4000)]
+    df = prop_spark.createDataFrame(pts, "x int, y int")
+    got = {(r.x, r.y): r.z for r in
+           df.select("x", "y", zvalue(F.col("x"), F.col("y")).alias("z")).collect()}
+    for x, y in pts:
+        assert got[(x, y)] == _z_py(x, y)
+
+
+@settings(max_examples=200, deadline=None)
+@given(counts=st.lists(st.integers(min_value=0, max_value=10_000),
+                       min_size=2, max_size=50))
+def test_anomaly_integer_test_equals_float_z(counts):
+    """The BIGINT inequality (c·n−S)² > 9·(n·Q−S²) flags exactly the
+    buckets a float 3σ population z-test flags (strict inequality on
+    both sides; ties cannot occur because one side is rational with
+    denominator n² and the other is an integer times it)."""
+    n = len(counts)
+    s = sum(counts)
+    q = sum(c * c for c in counts)
+    mean = s / n
+    var = q / n - mean * mean
+    for c in counts:
+        int_flag = (c * n - s) > 0 and (c * n - s) ** 2 > 9 * (n * q - s * s)
+        float_flag = c > mean and (c - mean) ** 2 * n * n > 9 * (n * q - s * s) * (1 + 0)
+        # evaluate float test in the exact same scaled form to avoid FP
+        # rounding ambiguity, then the unscaled float form loosely
+        z_flag = c > mean and (var > 0 and (c - mean) > 3 * var ** 0.5 - 1e-9)
+        assert int_flag == float_flag
+        if var > 0:
+            assert int_flag == z_flag or abs((c - mean) - 3 * var ** 0.5) < 1e-6
