@@ -372,3 +372,59 @@ def zorder_key(spark, sf_dir):
         .orderBy("zval", "event_id")
         .limit(200)
     )
+
+
+@register(
+    "sketch_rollup",
+    sql="""
+    SELECT event_type AS scope,
+           COUNT(DISTINCT user_id) AS n_exact,
+           TRUE AS hll_ok
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT '_all', COUNT(DISTINCT user_id), TRUE FROM events
+    """,
+)
+def sketch_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup — the reason sketches matter at 100 TB:
+    per-partition HLL sketches (DataSketches ``hll_sketch_agg``) are
+    tiny, storable, and RE-AGGREGATABLE, so the global distinct count
+    comes from ``hll_union_agg`` over the per-type sketches — no second
+    scan, no giant count-distinct Expand over raw data.
+
+    Falsifiability (the ``approx_distinct`` gate pattern): each row
+    carries the EXACT distinct count plus ``hll_ok`` asserting the HLL
+    estimate lands within max(5, 5%) of it — ~3 sigma for the default
+    lgK=12 sketch, and HLL is deterministic for fixed data, so the flag
+    is stable. The oracle supplies exact counts and literal TRUE; any
+    estimator drift (or a broken merge) flips a flag and hash-fails.
+    The '_all' row is computed ONLY from the merged per-type sketches,
+    so it specifically certifies merge correctness.
+    """
+    from pyspark.sql import functions as F
+
+    ev = load_sdf(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("n_exact"),
+    )
+    tol = lambda n: F.greatest(F.lit(5.0), n.cast("double") * 0.05)  # noqa: E731
+    per_rows = per.select(
+        F.col("event_type").alias("scope"),
+        "n_exact",
+        (
+            F.abs(F.hll_sketch_estimate("sk").cast("double") - F.col("n_exact"))
+            <= tol(F.col("n_exact"))
+        ).alias("hll_ok"),
+    )
+    merged = per.agg(F.hll_union_agg("sk").alias("sk"))
+    exact_all = ev.agg(F.count_distinct("user_id").alias("n_exact"))
+    all_row = merged.crossJoin(exact_all).select(
+        F.lit("_all").alias("scope"),
+        "n_exact",
+        (
+            F.abs(F.hll_sketch_estimate("sk").cast("double") - F.col("n_exact"))
+            <= tol(F.col("n_exact"))
+        ).alias("hll_ok"),
+    )
+    return per_rows.unionByName(all_row)
