@@ -428,3 +428,75 @@ def sketch_rollup(spark, sf_dir):
         ).alias("hll_ok"),
     )
     return per_rows.unionByName(all_row)
+
+
+@register(
+    "theta_segments",
+    sql="""
+    SELECT 'intersection' AS op,
+           (SELECT COUNT(*) FROM (
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+              INTERSECT
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+           )) AS n_exact,
+           TRUE AS theta_ok
+    UNION ALL
+    SELECT 'difference',
+           (SELECT COUNT(*) FROM (
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+              EXCEPT
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+           )),
+           TRUE
+    UNION ALL
+    SELECT 'union',
+           (SELECT COUNT(DISTINCT user_id) FROM events
+            WHERE event_type IN ('click', 'purchase')),
+           TRUE
+    """,
+)
+def theta_segments(spark, sf_dir):
+    """Theta-sketch audience segmentation: |clickers ∩ purchasers|,
+    |clickers \\ purchasers|, |clickers ∪ purchasers| estimated purely
+    from two per-segment sketches — the capability HLL lacks
+    (intersection/difference), and the 100 TB pattern for audience
+    overlap: keep one tiny sketch per segment, answer any boolean
+    combination without touching raw data.
+
+    Same falsifiability gate as ``sketch_rollup``: each row carries the
+    exact cardinality (computed relationally here; by definition in the
+    oracle) and a flag that the sketch estimate lands within
+    max(5, 5%) — theta sketches are exact below their nominal-entries
+    threshold (default 4096 > the user counts at test SFs), so the
+    flags are deterministically TRUE unless the sketch algebra breaks.
+    """
+    from pyspark.sql import functions as F
+
+    ev = load_sdf(spark, sf_dir, "events")
+    sk = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+    )
+    both = (
+        sk.groupBy()
+        .pivot("event_type", ["click", "purchase"])
+        .agg(F.first("sk"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = {
+        "intersection": clicks.intersect(buys).count(),
+        "difference": clicks.exceptAll(buys).count(),
+        "union": clicks.union(buys).distinct().count(),
+    }
+    est = both.select(
+        F.expr("theta_sketch_estimate(theta_intersection(click, purchase))").alias("intersection"),
+        F.expr("theta_sketch_estimate(theta_difference(click, purchase))").alias("difference"),
+        F.expr("theta_sketch_estimate(theta_union(click, purchase))").alias("union"),
+    ).collect()[0]
+    rows = [
+        (op, exact[op], abs(float(est[op]) - exact[op]) <= max(5.0, 0.05 * exact[op]))
+        for op in ("intersection", "difference", "union")
+    ]
+    return spark.createDataFrame(rows, "op string, n_exact bigint, theta_ok boolean")
