@@ -500,3 +500,67 @@ def theta_segments(spark, sf_dir):
         for op in ("intersection", "difference", "union")
     ]
     return spark.createDataFrame(rows, "op string, n_exact bigint, theta_ok boolean")
+
+
+@register(
+    "kll_quantiles",
+    sql="""
+    SELECT o_orderpriority AS scope,
+           COUNT(*) AS n_rows,
+           quantile_cont(o_totalprice, 0.5) AS p50_exact,
+           TRUE AS kll_ok
+    FROM orders GROUP BY 1
+    UNION ALL
+    SELECT '_all', COUNT(*), quantile_cont(o_totalprice, 0.5), TRUE
+    FROM orders
+    """,
+)
+def kll_quantiles(spark, sf_dir):
+    """Mergeable quantile sketches (DataSketches KLL): one sketch of
+    order prices per priority class, and the GLOBAL median estimated
+    from ``kll_merge_agg`` over the per-class sketches — the
+    store-partials / merge-later quantile pattern (``sketch_rollup``'s
+    HLL twin). A KLL sketch answers any quantile after one pass; merged
+    sketches answer lake-wide quantiles without rescanning.
+
+    Gate: each row carries the EXACT interpolated median plus kll_ok
+    asserting the sketch estimate lies within the exact p45..p55 band.
+    KLL compaction is randomized, so the estimate itself is not
+    hash-comparable — but the band is ~30x the default k=200 sketch's
+    ~1.7% rank error, so the boolean flag is stable across runs and a
+    broken sketch or merge still flips it.
+    """
+    from pyspark.sql import functions as F
+
+    orders = load_sdf(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority").agg(
+        F.expr("kll_sketch_agg_double(o_totalprice)").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50_exact"),
+        F.expr("percentile(o_totalprice, 0.45)").alias("p45"),
+        F.expr("percentile(o_totalprice, 0.55)").alias("p55"),
+    )
+    per_rows = per.select(
+        F.col("o_orderpriority").alias("scope"),
+        "n_rows",
+        "p50_exact",
+        F.expr("kll_sketch_get_quantile_double(sk, 0.5)")
+        .between(F.col("p45"), F.col("p55"))
+        .alias("kll_ok"),
+    )
+    merged = per.agg(F.expr("kll_merge_agg_double(sk)").alias("sk"))
+    exact_all = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50_exact"),
+        F.expr("percentile(o_totalprice, 0.45)").alias("p45"),
+        F.expr("percentile(o_totalprice, 0.55)").alias("p55"),
+    )
+    all_row = merged.crossJoin(exact_all).select(
+        F.lit("_all").alias("scope"),
+        "n_rows",
+        "p50_exact",
+        F.expr("kll_sketch_get_quantile_double(sk, 0.5)")
+        .between(F.col("p45"), F.col("p55"))
+        .alias("kll_ok"),
+    )
+    return per_rows.unionByName(all_row)
