@@ -246,3 +246,26 @@ def interval_join_streams(
         F.col("c_user").alias("user_id"),
         "click_id", "purchase_id", "click_ts", "purchase_ts", "purchase_value",
     )
+
+
+def tumbling_distinct_users(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming per-window user cardinality via approx_count_distinct —
+    exact distinct over a stream needs unbounded per-window state, the
+    HLL±-backed estimator needs a constant few KB per open window
+    regardless of stream volume (the same reason the batch side keeps
+    sketches: sketch_rollup). Bounded state = watermark-evicted windows
+    x constant sketch size."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "approx_users",
+        )
+    )

@@ -256,3 +256,33 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     must_have = {(r.click_id, r.purchase_id) for r in expected_rows
                  if r.purchase_ts <= horizon}
     assert must_have <= got
+
+
+def test_streaming_distinct_users_matches_batch_estimate(spark, sf_dir):
+    """Streaming windowed approx-distinct: every emitted window's
+    estimate equals the batch estimator on the same rows (identical
+    HLL++ relativeSD → identical deterministic sketch), and estimates
+    sit within 10% of exact distinct counts."""
+    stream = SW.read_events_stream(spark, sf_dir)
+    _, out = SW.run_stream_to_memory(SW.tumbling_distinct_users(stream))
+    got = {(r.window_start, r.event_type): r.approx_users for r in out.collect()}
+    assert got, "no windows emitted"
+
+    ev = load_sdf(spark, sf_dir, "events")
+    batch = {
+        (r.ws, r.event_type): (r.approx, r.exact)
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx"),
+            F.count_distinct("user_id").alias("exact"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "event_type", "approx", "exact",
+        )
+        .collect()
+    }
+    for key, est in got.items():
+        b_est, b_exact = batch[key]
+        assert est == b_est  # same sketch, same rows, same estimate
+        assert abs(est - b_exact) <= max(2, 0.1 * b_exact)
