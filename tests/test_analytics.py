@@ -181,3 +181,74 @@ def test_mv_incremental_any_split_equals_recompute(spark, sf_dir):
         )
         got = {(r.event_type, r.day): (r.n, str(r.tv)) for r in merged.collect()}
         assert got == full
+
+
+def test_events_gapfill_grid_dense_and_carry(spark, sf_dir):
+    """Gap-fill invariants: the output is the FULL dense hour x type
+    grid (|hours| x |types| rows exactly), zero-count buckets exist and
+    carry the last observed average forward, and observed buckets agree
+    with a direct aggregate."""
+    from pyspark.sql import functions as F
+
+    from df_spark.queries import load_registry
+    from df_spark.sources.tables import load_sdf
+
+    rows = load_registry()["events_gapfill"].fn(spark, sf_dir).collect()
+    ev = load_sdf(spark, sf_dir, "events")
+    n_types = ev.select("event_type").distinct().count()
+    lo, hi = ev.agg(
+        F.min(F.floor(F.unix_micros("ts") / F.lit(3_600_000_000))),
+        F.max(F.floor(F.unix_micros("ts") / F.lit(3_600_000_000))),
+    ).collect()[0]
+    assert len(rows) == (hi - lo + 1) * n_types
+
+    by_type = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.hour_bucket)):
+        by_type.setdefault(r.event_type, []).append(r)
+    filled_gap_seen = False
+    for series in by_type.values():
+        last_avg = None
+        for r in series:
+            if r.n_events == 0:
+                # carried value == previous non-gap average
+                if last_avg is not None:
+                    assert r.carried_avg == last_avg
+                    filled_gap_seen = True
+            else:
+                last_avg = r.carried_avg
+    assert filled_gap_seen, "fixture has no gaps — test data assumption broken"
+
+
+def test_events_funnel_counts_monotone(spark, sf_dir):
+    """Ordered funnel: each successive stage's user count can never
+    exceed the previous stage's (a user must pass stage k before k+1)."""
+    from df_spark.queries import load_registry
+
+    rows = load_registry()["events_funnel"].fn(spark, sf_dir).collect()
+    assert rows
+    cols = rows[0].asDict()
+    stage_cols = [c for c in cols if c.startswith("n_")]
+    if len(rows) > 1 and not stage_cols:
+        counts = [r[-1] for r in sorted(rows, key=lambda r: r[0])]
+        assert all(a >= b for a, b in zip(counts, counts[1:]))
+    elif stage_cols:
+        for r in rows:
+            vals = [r[c] for c in stage_cols]
+            assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_quality_deciles_partition_sizes(spark, sf_dir):
+    """NTILE(10) per language: decile bucket sizes within a language
+    differ by at most one document (the defining NTILE property)."""
+    from df_spark.queries import load_registry
+
+    rows = load_registry()["quality_deciles"].fn(spark, sf_dir).collect()
+    assert rows
+    sizes: dict[tuple, int] = {}
+    for r in rows:  # one row per doc: (doc_id, lang, decile)
+        sizes[(r.lang, r.decile)] = sizes.get((r.lang, r.decile), 0) + 1
+    langs = {lang for lang, _ in sizes}
+    for lang in langs:
+        buckets = [n for (lg, _), n in sizes.items() if lg == lang]
+        assert max(buckets) - min(buckets) <= 1, (lang, buckets)
+        assert len(buckets) == min(10, sum(buckets))  # 10 deciles unless tiny
