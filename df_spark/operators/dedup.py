@@ -1105,26 +1105,29 @@ def prefix_candidate_pairs(
     # SELECTs DISTINCT, so the engine must too
     base = docs.select(F.col(id_col), *[F.col(c) for c in pcols], F.col(text_col))
     sh = shingle_hashes(base.select(id_col, text_col), id_col, text_col, k).distinct()
-    sh = sh.localCheckpoint(eager=True)  # shared by rank, sizes, and verify
-    # sizes feeds the rank join AND both verify sides — materialize once
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz")).localCheckpoint(eager=True)
+    sh = sh.localCheckpoint(eager=True)  # shared by rank and verify
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        sh.join(dfreq, "h")
-        .withColumn(
-            "rk", F.row_number().over(W.partitionBy(id_col).orderBy("df", "h"))
-        )
-        .join(sizes, id_col)
+    # rank AND set size from ONE window partitioning (row_number +
+    # count share the doc_id partition → a single shuffle, no separate
+    # sizes aggregate/join)
+    wp = W.partitionBy(id_col)
+    ranked = sh.join(dfreq, "h").select(
+        id_col, "h",
+        F.row_number().over(wp.orderBy("df", "h")).alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("sz"),
     )
     prefix = ranked.filter(
         F.col("rk") <= F.col("sz") - F.ceil(F.lit(min_jaccard) * F.col("sz")) + 1
-    ).select(id_col, "h", "rk", "sz")
+    )
     if pcols:
         prefix = prefix.join(base.select(id_col, *pcols), id_col)
     # both sides of the candidate self-join consume `prefix`; without a
     # materialization barrier Spark re-runs the df-join + rank window
     # once per side (ReusedExchange only kicks in for the leaf shuffle)
     prefix = prefix.localCheckpoint(eager=True)
+    # every doc keeps ≥ 1 prefix row (p ≥ 1), so set sizes for the
+    # verify stage come off the materialized prefix — no extra pass
+    sizes = prefix.select(id_col, "sz").distinct()
 
     a = prefix.select(
         F.col(id_col).alias("id_a"), F.col("h"),
