@@ -252,3 +252,24 @@ def test_quality_deciles_partition_sizes(spark, sf_dir):
         buckets = [n for (lg, _), n in sizes.items() if lg == lang]
         assert max(buckets) - min(buckets) <= 1, (lang, buckets)
         assert len(buckets) == min(10, sum(buckets))  # 10 deciles unless tiny
+
+
+def test_pack_sequences_layout_invariants(spark, sf_dir):
+    """Packing invariants per shard (lang): offsets start at 0, each
+    doc's offset is the previous doc's offset + token count (dense, no
+    holes, no overlap), and bin_id is the 2048-token bin of the doc's
+    first token."""
+    from df_spark.queries import load_registry
+
+    rows = load_registry()["pack_sequences"].fn(spark, sf_dir).collect()
+    assert rows
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for series in by_lang.values():
+        series.sort(key=lambda r: r.doc_id)
+        expect = 0
+        for r in series:
+            assert r.token_offset == expect
+            assert r.bin_id == r.token_offset // 2048
+            expect += r.n_tokens
