@@ -78,3 +78,47 @@ def sql_surface(spark, sf_dir):
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "variant_stats",
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+           COUNT(CASE WHEN json_extract(props, '$.missing') IS NULL
+                      THEN NULL ELSE 1 END) AS n_missing_key
+    FROM events GROUP BY 1
+    """,
+)
+def variant_stats(spark, sf_dir):
+    """Spark 4 VariantType ingestion: ``parse_json`` converts the JSON
+    string ONCE into the binary variant encoding; every subsequent
+    ``variant_get`` is a typed path read on that encoding — no
+    re-parsing per extraction, and at lake scale variant columns shred
+    into parquet so pushdown reaches the paths. (``json_extract``-style
+    string functions re-parse the full JSON per call — the right shape
+    for one field, wrong for many.)
+
+    ``try_variant_get`` on an absent path returns NULL rather than
+    erroring (counted here as n_missing_key = 0 rows), pinning the
+    sparse-key semantics heterogenous event streams need. Integer
+    sums/min/max → hash-exact vs the oracle's JSON operators.
+    """
+    ev = load_sdf(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.variant_get("v", "$.k", "bigint").alias("k"),
+        F.try_variant_get("v", "$.missing", "bigint").alias("m"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.count("m").alias("n_missing_key"),
+    )
