@@ -60,18 +60,18 @@ PRIORITY = [
     "minhash_near_dups", "dedup_clusters", "cross_near_dups", "simhash",
     "ngram_jaccard", "decontaminate",
     "cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
-    "embed_near_dup", "embed_norms",
-    "cdc_scd2",
-    "events_tumbling", "events_sliding", "events_sessions",
+    "embed_near_dup", "cdc_scd2",
+    "events_tumbling", "events_sessions",
     "asof_join_events", "range_join_bands",
     "window_topk",
     "cube_agg", "rollup_agg", "pivot_status", "explode_arrays",
-    "json_extract", "percentiles",
+    "percentiles",
     "text_stats", "lang_id", "lang_quality_rollup", "doc_fingerprint",
     "llm_data_pipeline", "sample_stratified",
     # round-5 families: each gets one driver-window hash check
     "prefix_sim_join", "mv_incremental", "profile_table",
     "jsonl_roundtrip", "zorder_key", "events_anomaly",
+    "rollup_hypertable", "sketch_rollup", "variant_stats",
 ]
 
 
