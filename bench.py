@@ -77,11 +77,14 @@ HEADLINE = [
 
 
 def jvm_cpu_seconds() -> float:
-    """Total CPU seconds (utime+stime) of every live ``java`` process —
-    in local mode that is exactly the one driver+executor JVM. Per-query
-    deltas of this counter measure compute burned, independent of how
-    long co-tenants made the wall clock stretch around it."""
+    """CPU seconds (utime+stime) of THIS session's JVM — the ``java``
+    process whose ancestry includes this python pid. Per-query deltas
+    of this counter measure compute burned, independent of how long
+    co-tenants made the wall clock stretch around it; filtering by
+    ancestry (not just comm == "java") keeps co-tenant JVMs on the
+    shared host out of the signal."""
     tick = os.sysconf("SC_CLK_TCK")
+    me = os.getpid()
     total = 0.0
     for path in glob.glob("/proc/[0-9]*/stat"):
         try:
@@ -89,10 +92,19 @@ def jvm_cpu_seconds() -> float:
                 parts = f.read().rsplit(")", 1)[1].split()
             with open(path.rsplit("/", 1)[0] + "/comm") as f:
                 comm = f.read().strip()
-            if comm == "java":
-                # fields after comm: state(0) ... utime(11) stime(12)
-                total += (int(parts[11]) + int(parts[12])) / tick
-        except OSError:
+            if comm != "java":
+                continue
+            # walk up the ppid chain; count only JVMs under this process
+            ppid = int(parts[1])
+            seen = 0
+            while ppid > 1 and seen < 16:
+                if ppid == me:
+                    total += (int(parts[11]) + int(parts[12])) / tick
+                    break
+                with open(f"/proc/{ppid}/stat") as f:
+                    ppid = int(f.read().rsplit(")", 1)[1].split()[1])
+                seen += 1
+        except (OSError, ValueError, IndexError):
             continue
     return total
 

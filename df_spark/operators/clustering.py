@@ -118,7 +118,7 @@ def connected_components(
     # moved a label.
     prev_sum = None
     converged = False
-    for _ in range(max(1, max_iter // 2)):
+    for _ in range(max(1, (max_iter + 1) // 2)):
         new_labels = propagate(propagate(labels))
         # localCheckpoint TRUNCATES the lineage — persist alone caches
         # data but Catalyst still re-analyzes the ever-deepening plan

@@ -835,14 +835,28 @@ def _cross_verify(
         F.zip_with("mins_n", "mins_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0), lambda acc, x: acc + x,
     )
-    side_n = F.broadcast(
+    # size-gated like minhash_near_dups' verify: the base corpus at
+    # 100 TB will NOT fit a broadcast — size_hinted degrades each side
+    # independently to a shuffle join past the cap instead of dying on
+    # Spark's broadcast limit. Bytes are measured, not assumed: rows x
+    # (16 minima + avg set payload).
+    def side_bytes(prof: DataFrame, sets: DataFrame) -> int:
+        stats = sets.select(
+            F.count(F.lit(1)).alias("n"), F.sum(F.size("sh")).alias("nh")
+        ).collect()[0]
+        n_docs = stats["n"] or 0
+        return (stats["nh"] or 0) * 4 + n_docs * (NUM_HASHES * 8 + 56)
+
+    side_n = size_hinted(
         prof_n.join(sets_n, id_col).select(
             F.col(id_col).alias("id_new"), mins_arr.alias("mins_n"),
-            F.col("sh").alias("sh_n")))
-    side_b = F.broadcast(
+            F.col("sh").alias("sh_n")),
+        side_bytes(prof_n, sets_n))
+    side_b = size_hinted(
         prof_b.join(sets_b, id_col).select(
             F.col(id_col).alias("id_base"), mins_arr.alias("mins_b"),
-            F.col("sh").alias("sh_b")))
+            F.col("sh").alias("sh_b")),
+        side_bytes(prof_b, sets_b))
     sized = (
         cand.repartition(width)
         .join(side_n, "id_new").join(side_b, "id_base")

@@ -464,42 +464,58 @@ def theta_segments(spark, sf_dir):
     combination without touching raw data.
 
     Same falsifiability gate as ``sketch_rollup``: each row carries the
-    exact cardinality (computed relationally here; by definition in the
-    oracle) and a flag that the sketch estimate lands within
+    exact cardinality plus a flag that the sketch estimate lands within
     max(5, 5%) — theta sketches are exact below their nominal-entries
     threshold (default 4096 > the user counts at test SFs), so the
     flags are deterministically TRUE unless the sketch algebra breaks.
+
+    Fully lazy, two scans, no driver actions: exact counts come from
+    ONE per-user flag aggregate (not intersect/except set ops), the
+    sketch algebra runs in a second single-row aggregate, and the two
+    1-row frames cross-join and unpivot via stack() into the 3-row
+    result.
     """
     from pyspark.sql import functions as F
 
-    ev = load_sdf(spark, sf_dir, "events")
-    sk = (
-        ev.filter(F.col("event_type").isin("click", "purchase"))
-        .groupBy("event_type")
-        .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+    ev = load_sdf(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
     )
-    both = (
-        sk.groupBy()
+    flags = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("p"),
+    )
+    exact = flags.agg(
+        F.sum(F.when((F.col("c") == 1) & (F.col("p") == 1), 1).otherwise(0))
+        .alias("x_intersection"),
+        F.sum(F.when((F.col("c") == 1) & (F.col("p") == 0), 1).otherwise(0))
+        .alias("x_difference"),
+        F.count(F.lit(1)).alias("x_union"),  # every row clicked or purchased
+    )
+    sk = (
+        ev.groupBy("event_type")
+        .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+        .groupBy()
         .pivot("event_type", ["click", "purchase"])
         .agg(F.first("sk"))
+        .select(
+            F.expr("theta_sketch_estimate(theta_intersection(click, purchase))")
+            .alias("e_intersection"),
+            F.expr("theta_sketch_estimate(theta_difference(click, purchase))")
+            .alias("e_difference"),
+            F.expr("theta_sketch_estimate(theta_union(click, purchase))")
+            .alias("e_union"),
+        )
     )
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
-    buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
-    exact = {
-        "intersection": clicks.intersect(buys).count(),
-        "difference": clicks.exceptAll(buys).count(),
-        "union": clicks.union(buys).distinct().count(),
-    }
-    est = both.select(
-        F.expr("theta_sketch_estimate(theta_intersection(click, purchase))").alias("intersection"),
-        F.expr("theta_sketch_estimate(theta_difference(click, purchase))").alias("difference"),
-        F.expr("theta_sketch_estimate(theta_union(click, purchase))").alias("union"),
-    ).collect()[0]
-    rows = [
-        (op, exact[op], abs(float(est[op]) - exact[op]) <= max(5.0, 0.05 * exact[op]))
-        for op in ("intersection", "difference", "union")
-    ]
-    return spark.createDataFrame(rows, "op string, n_exact bigint, theta_ok boolean")
+    ok = (
+        "abs(CAST(e_{op} AS DOUBLE) - x_{op}) <= greatest(5.0D, 0.05D * x_{op})"
+    )
+    return exact.crossJoin(sk).selectExpr(
+        "stack(3, "
+        "'intersection', x_intersection, " + ok.format(op="intersection") + ", "
+        "'difference', x_difference, " + ok.format(op="difference") + ", "
+        "'union', x_union, " + ok.format(op="union") + ") "
+        "AS (op, n_exact, theta_ok)"
+    )
 
 
 @register(

@@ -49,13 +49,16 @@ TABLES = [
 # Python session wrappers whose NTZ-inference conf has been ensured —
 # the conf is session-global, so one RPC per session wrapper, not one
 # per table load. ``get_spark`` sets it at build time; this covers
-# driver-provided sessions that bypass the factory.
-_NTZ_ENSURED: set[int] = set()
+# driver-provided sessions that bypass the factory. A WeakSet (not a
+# set of id()s): CPython reuses addresses after GC, so a plain id key
+# could mark a brand-new session as already ensured.
+import weakref
+
+_NTZ_ENSURED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def _ensure_ntz_conf(spark: SparkSession) -> None:
-    key = id(spark)
-    if key in _NTZ_ENSURED:
+    if spark in _NTZ_ENSURED:
         return
     try:
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
@@ -67,7 +70,7 @@ def _ensure_ntz_conf(spark: SparkSession) -> None:
             RuntimeWarning,
             stacklevel=3,
         )
-    _NTZ_ENSURED.add(key)
+    _NTZ_ENSURED.add(spark)
 
 
 def load_sdf(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -186,17 +186,22 @@ def decontaminate_stream(
     )
     # same normalize→shingle→h32 expressions as the batch operator;
     # only its repartition barrier is stream-unsafe, so the shingle
-    # array is built inline here (micro-batches are already narrow)
+    # array is built inline here (micro-batches are already narrow).
+    # Order matters for twin-exactness: dedup the shingle STRINGS and
+    # hash after the explode, exactly like batch shingle_hashes — a
+    # distinct-over-hashes variant would count intra-doc h32 collisions
+    # once where the batch side counts them per colliding string.
     idx = F.sequence(F.lit(1), F.length("__t") - (k - 1))
-    hashed = F.explode(
+    shingle = F.explode(
         F.array_distinct(
-            F.transform(idx, lambda i: h32(F.substring(F.col("__t"), i, k)))
+            F.transform(idx, lambda i: F.substring(F.col("__t"), i, k))
         )
     )
     stream_hashes = (
         doc_stream.select(F.col("doc_id"), normalized(F.col("text")).alias("__t"))
         .filter(F.length("__t") >= k)
-        .select("doc_id", hashed.alias("h"))
+        .select("doc_id", shingle.alias("__s"))
+        .select("doc_id", h32(F.col("__s")).alias("h"))
     )
     return (
         stream_hashes.join(F.broadcast(bench_hashes), "h")

@@ -106,8 +106,11 @@ def main() -> None:
     # and candidates near-linear). The honest metric is candidates/sec.
     print("prefix_sim_join (candidate-bound):")
     for label, docs in [("1x", docs1), (f"{copies}x", docsN)]:
-        _, _, cand = D.prefix_candidate_pairs(docs, 0.7, partition_cols=["source"])
+        # time the WHOLE candidate build: prefix_candidate_pairs
+        # materializes eagerly (localCheckpoint), so starting the clock
+        # after it would time a cached-RDD count, not the work
         t0 = time.time()
+        _, _, cand = D.prefix_candidate_pairs(docs, 0.7, partition_cols=["source"])
         n = cand.count()
         dt = time.time() - t0
         print(f"  {label}: {n:,} candidates in {dt:.2f}s -> {n / dt:,.0f} cand/s")
