@@ -54,6 +54,45 @@ DEDUP_MEMO = FrameMemo(capacity=8)
 # shift back before applying MinHash permutations
 H32_INT_SHIFT = 2_147_483_648
 
+
+def minhash_mins_array() -> Column:
+    """The 16 per-doc minima as ONE array column (same bytes as 16 long
+    columns, a third of the per-row field handling through joins)."""
+    return F.array(*[F.col(f"m{i}") for i in range(NUM_HASHES)])
+
+
+def minhash_est(mins_left: str, mins_right: str) -> Column:
+    """Estimated signature agreement: one 16-element zip_with/aggregate
+    instead of a 16-term CASE chain (the verify stages run off
+    whole-stage codegen — session.py hugeMethodLimit — so expression
+    COUNT is cost). Shared by the in-corpus and cross-corpus verifies."""
+    return F.aggregate(
+        F.zip_with(mins_left, mins_right,
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, x: acc + x,
+    )
+
+
+def jaccard_projection(
+    pairs: DataFrame, id_left: str, id_right: str,
+    sh_left: str, sh_right: str, min_jaccard: float,
+) -> DataFrame:
+    """(id_left, id_right, jaccard >= t) from per-pair shingle arrays.
+    The intersect size materializes ONCE in its own projection —
+    referencing it twice inside the jaccard expression would re-evaluate
+    the intersect per use whenever codegen subexpression elimination is
+    off. Shared by the in-corpus and cross-corpus verifies."""
+    sized = pairs.select(
+        id_left, id_right,
+        F.size(F.array_intersect(sh_left, sh_right)).cast("double").alias("__i"),
+        (F.size(sh_left) + F.size(sh_right)).cast("double").alias("__t"),
+    )
+    jac = F.round(F.col("__i") / (F.col("__t") - F.col("__i")), 6)
+    return (
+        sized.select(id_left, id_right, jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -441,34 +480,12 @@ def minhash_near_dups(
         sets_bytes = (stats["nh"] or 0) * 4 + n_docs * 32
         mins_bytes = n_docs * (NUM_HASHES * 8 + 24)
 
-        # the 16 per-doc minima travel as ONE array column, not 16
-        # long columns: same bytes, but a third of the per-row field
-        # handling through the joins, and the estimate becomes a single
-        # 16-element zip_with/aggregate instead of a 16-term CASE chain
-        # (the verify stage is deliberately off whole-stage codegen —
-        # see session.py hugeMethodLimit — so expression COUNT is cost)
-        mins_arr = F.array(*[F.col(f"m{i}") for i in range(NUM_HASHES)])
-        est = F.aggregate(
-            F.zip_with("mins_a", "mins_b",
-                       lambda x, y: F.when(x == y, 1).otherwise(0)),
-            F.lit(0), lambda acc, x: acc + x,
-        )
+        mins_arr = minhash_mins_array()
+        est = minhash_est("mins_a", "mins_b")
 
         def verify(pairs: DataFrame) -> DataFrame:
-            # the intersect size is materialized ONCE per pair in its own
-            # projection — referencing it inside the jaccard expression
-            # twice (numerator and union) would re-evaluate the intersect
-            # per use whenever codegen subexpression elimination is off
-            sized = pairs.select(
-                "id_a", "id_b",
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double").alias("__i"),
-                (F.size("sh_a") + F.size("sh_b")).cast("double").alias("__t"),
-            )
-            jac = F.round(F.col("__i") / (F.col("__t") - F.col("__i")), 6)
-            return (
-                sized.select("id_a", "id_b", jac.alias("jaccard"))
-                .filter(F.col("jaccard") >= min_jaccard)
-            )
+            return jaccard_projection(
+                pairs, "id_a", "id_b", "sh_a", "sh_b", min_jaccard)
 
         if sets_bytes + mins_bytes < BROADCAST_BYTES_CAP:
             # fused single-stage verify: mins + shingle array per side
@@ -830,11 +847,8 @@ def _cross_verify(
     par = cand.sparkSession.sparkContext.defaultParallelism
     width = max(par, min(n_cand // 20_000 + 1, 8 * par))
 
-    mins_arr = F.array(*[F.col(f"m{i}") for i in range(NUM_HASHES)])
-    est = F.aggregate(
-        F.zip_with("mins_n", "mins_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0), lambda acc, x: acc + x,
-    )
+    mins_arr = minhash_mins_array()
+    est = minhash_est("mins_n", "mins_b")
     # size-gated like minhash_near_dups' verify: the base corpus at
     # 100 TB will NOT fit a broadcast — size_hinted degrades each side
     # independently to a shuffle join past the cap instead of dying on
@@ -857,21 +871,13 @@ def _cross_verify(
             F.col(id_col).alias("id_base"), mins_arr.alias("mins_b"),
             F.col("sh").alias("sh_b")),
         side_bytes(prof_b, sets_b))
-    sized = (
+    screened = (
         cand.repartition(width)
         .join(side_n, "id_new").join(side_b, "id_base")
         .filter(est >= min_est_matches)
-        .select(
-            "id_new", "id_base",
-            F.size(F.array_intersect("sh_n", "sh_b")).cast("double").alias("__i"),
-            (F.size("sh_n") + F.size("sh_b")).cast("double").alias("__t"),
-        )
     )
-    jac = F.round(F.col("__i") / (F.col("__t") - F.col("__i")), 6)
-    return (
-        sized.select("id_new", "id_base", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= min_jaccard)
-    )
+    return jaccard_projection(
+        screened, "id_new", "id_base", "sh_n", "sh_b", min_jaccard)
 
 
 def cross_near_dups(
