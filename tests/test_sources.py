@@ -134,3 +134,36 @@ def test_compact_files_counts(spark, sf_dir):
              .select(F.input_file_name().alias("f")).distinct().count())
     assert n_small == 64
     assert n_big == 4
+
+
+def test_orc_filter_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = Df.from_vecs(spark, [
+        ("k", list(range(100))),
+        ("v", [f"row{i}" for i in range(100)]),
+    ])
+    out = tmp_path / "orc_push"
+    df.write_orc(str(out))
+    back = Df.from_orc(spark, str(out)).to_spark().filter(F.col("k") > 90)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), GreaterThan(k,90)]" in plan
+    assert back.count() == 9
+
+
+def test_jsonl_malformed_line_permissive(spark, tmp_path):
+    """PERMISSIVE mode (Spark's default): a corrupt line becomes a
+    null-filled row instead of failing the 100 TB read job."""
+    p = tmp_path / "bad.jsonl"
+    p.write_text(
+        '{"id": 1, "text": "good", "score": 1.0}\n'
+        'this is not json at all\n'
+        '{"id": 3, "text": "also good", "score": 3.0}\n'
+    )
+    rows = sorted(
+        (tuple(r) for r in Df.from_jsonl(spark, str(p), JSONL_SCHEMA).collect()),
+        key=str,
+    )
+    assert (1, "good", 1.0) in rows and (3, "also good", 3.0) in rows
+    assert (None, None, None) in rows  # the corrupt line, not an exception
+    assert len(rows) == 3
