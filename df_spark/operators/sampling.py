@@ -162,3 +162,29 @@ def mix_sources_sql(
     JOIN rates ON t.{source_col} = rates.src
     WHERE CAST({keep_sql(f't.{id_col}', denom)} AS DOUBLE) < rate * {denom}
     """
+
+
+def weighted_sample(
+    df: DataFrame, weight: Column, id_col: str, denom: int = SAMPLE_DENOM
+) -> DataFrame:
+    """Importance sampling: keep each row with probability equal to its
+    ``weight`` (a [0,1] column) — deterministically, from the id hash,
+    with no RNG state. keep ⟺ draw/denom < weight, evaluated as the
+    same double product on both engines (the stratified-sampler
+    contract, with a per-ROW rate instead of a per-stratum one).
+
+    The LLM-pipeline use: quality-weighted corpus downsampling — high-
+    quality docs survive at their score, junk is kept at junk's rate —
+    in one map-side pass, reproducible across re-ingestions. Map-only:
+    no shuffle, pushes through any downstream aggregate."""
+    return df.filter(
+        _keep(id_col, denom).cast("double") < weight.cast("double") * denom
+    )
+
+
+def weighted_sample_sql(
+    weight_sql: str, id_col: str, denom: int = SAMPLE_DENOM
+) -> str:
+    return (
+        f"CAST({keep_sql(id_col, denom)} AS DOUBLE) < ({weight_sql}) * {denom}"
+    )

@@ -18,6 +18,8 @@ from ..operators.sampling import (
     stratified_sample,
     stratified_sample_sql,
 )
+from ..functions import text as X
+from ..operators import sampling as S
 from ..sources.tables import load_sdf
 from . import register
 
@@ -116,4 +118,33 @@ def sample_exact_k(spark, sf_dir):
         docs.select("doc_id", "lang", F.row_number().over(win).alias("rn"))
         .filter(F.col("rn") <= _EXACT_K)
         .select("doc_id", "lang")
+    )
+
+
+@register(
+    "sample_weighted",
+    sql=f"""
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM documents
+    WHERE {S.weighted_sample_sql(X.quality_score_sql('text'), 'doc_id')}
+    GROUP BY lang
+    """,
+)
+def sample_weighted(spark, sf_dir):
+    """Quality-weighted importance sampling: each doc survives with
+    probability equal to its quality score — the one-pass, reproducible
+    curriculum/downsampling op (vs the uniform `sample_bernoulli` and
+    per-stratum `sample_stratified`). Deterministic hash draw; exact
+    cross-engine because draw and weight compare as identical
+    double products."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import quality_score
+    from ..operators.sampling import weighted_sample
+
+    docs = load_sdf(spark, sf_dir, "documents")
+    kept = weighted_sample(docs, quality_score(F.col("text")), "doc_id")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
     )

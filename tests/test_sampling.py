@@ -79,3 +79,23 @@ def test_mix_sources_feasibility_and_drop(spark):
              mix_sources(df, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, "doc_id")
              .groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert again == by_src
+
+
+def test_weighted_sample_rate_tracks_weight(spark):
+    """Rows with weight w survive at ~w: construct 4000 rows at two
+    fixed weights and check survival counts land near n*w (binomial-ish
+    bounds are safe at 6 sigma for the deterministic uniform hash)."""
+    from pyspark.sql import functions as F
+
+    from df_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 0.9 if i % 2 == 0 else 0.1) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    kept = weighted_sample(df, F.col("w"), "id").groupBy("w").count().collect()
+    by_w = {round(r.w, 1): r["count"] for r in kept}
+    assert abs(by_w[0.9] - 1800) < 120  # 2000 * 0.9
+    assert abs(by_w[0.1] - 200) < 120   # 2000 * 0.1
+    # weight 0 and 1 are exact boundaries: nothing / everything
+    edge = spark.createDataFrame([(1, 0.0), (2, 1.0)], "id long, w double")
+    got = {r.id for r in weighted_sample(edge, F.col("w"), "id").collect()}
+    assert got == {2}
