@@ -40,16 +40,11 @@ def keep_sql(id_col: str, denom: int = SAMPLE_DENOM) -> str:
 def bernoulli_sample(
     df: DataFrame, rate: float, id_col: str, denom: int = SAMPLE_DENOM
 ) -> DataFrame:
-    """Keep ~``rate`` of rows, chosen deterministically by id hash.
-
-    The threshold comparison is the same IEEE-double product the
-    stratified/mix samplers (and their SQL twins) use — ``int()``
-    truncation would disagree with them on boundary draws for rates
-    whose product lands just below an integer (e.g. 0.57 * 10000 =
-    5699.999...)."""
-    return df.filter(
-        _keep(id_col, denom).cast("double") < F.lit(float(rate) * denom)
-    )
+    """Keep ~``rate`` of rows, chosen deterministically by id hash:
+    the constant-weight case of :func:`weighted_sample`, delegated so
+    the boundary-sensitive double-product comparison (0.57 * 10000 =
+    5699.999...) lives in exactly one place."""
+    return weighted_sample(df, F.lit(float(rate)), id_col, denom)
 
 
 def stratified_sample(

@@ -137,13 +137,8 @@ def sample_weighted(spark, sf_dir):
     per-stratum `sample_stratified`). Deterministic hash draw; exact
     cross-engine because draw and weight compare as identical
     double products."""
-    from pyspark.sql import functions as F
-
-    from ..functions.text import quality_score
-    from ..operators.sampling import weighted_sample
-
     docs = load_sdf(spark, sf_dir, "documents")
-    kept = weighted_sample(docs, quality_score(F.col("text")), "doc_id")
+    kept = S.weighted_sample(docs, X.quality_score(F.col("text")), "doc_id")
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
