@@ -65,11 +65,8 @@ def stratified_sample(
     spark = df.sparkSession
     rate_rows = [(k, float(v)) for k, v in sorted(rates.items())]
     rates_df = spark.createDataFrame(rate_rows, f"{strata_col} string, __rate double")
-    return (
-        df.join(F.broadcast(rates_df), strata_col)
-        .filter(_keep(id_col, denom).cast("double") < F.col("__rate") * denom)
-        .drop("__rate")
-    )
+    joined = df.join(F.broadcast(rates_df), strata_col)
+    return weighted_sample(joined, F.col("__rate"), id_col, denom).drop("__rate")
 
 
 def stratified_sample_sql(
@@ -126,7 +123,7 @@ def mix_sources(
     )
     return (
         df.join(F.broadcast(rates), source_col)
-        .filter(_keep(id_col, denom).cast("double") < F.col("__rate") * denom)
+        .transform(lambda j: weighted_sample(j, F.col("__rate"), id_col, denom))
         .drop("__rate")
     )
 
