@@ -167,3 +167,28 @@ def test_jsonl_malformed_line_permissive(spark, tmp_path):
     assert (1, "good", 1.0) in rows and (3, "also good", 3.0) in rows
     assert (None, None, None) in rows  # the corrupt line, not an exception
     assert len(rows) == 3
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across ingest generations: an old shard without
+    the new column and a new shard with it read together under
+    mergeSchema — union schema, old rows NULL in the new column. The
+    lake contract that lets a 100 TB corpus add fields without
+    rewriting history."""
+    from pyspark.sql import functions as F
+
+    old_gen = Df.from_vecs(spark, [("id", [1, 2]), ("text", ["a", "b"])])
+    new_gen = Df.from_vecs(spark, [
+        ("id", [3]), ("text", ["c"]), ("quality", [0.9]),
+    ])
+    old_gen.write_parquet(str(tmp_path / "gen" / "g=0"))
+    new_gen.write_parquet(str(tmp_path / "gen" / "g=1"))
+    merged = (spark.read.option("mergeSchema", "true")
+              .parquet(str(tmp_path / "gen")))
+    assert set(merged.columns) == {"id", "text", "quality", "g"}
+    rows = {r.id: (r.text, r.quality) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 0.9)}
+    # and the new column still filters with pushdown on the merged scan
+    plan = (merged.filter(F.col("quality") > 0.5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters" in plan and "GreaterThan(quality,0.5)" in plan
