@@ -472,3 +472,69 @@ def near_dup_pairs(
         pairs.select("id_a", "id_b", cosine_fast(F.col("__va"), F.col("__vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    n_cells: int = 8,
+    tau: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings, then dropping all but one
+    of each tau-similar group WITHIN a cluster — the cluster bound is
+    what makes the pairwise step tractable at corpus scale (pairs are
+    scored per cell, never across the whole corpus).
+
+    Returns (id, cell, keep) for EVERY input row — an audit table, not
+    just the survivors — keep=1 unless a same-cell vector with a
+    smaller id is tau-similar. Priority is the id order (deterministic
+    on any engine); the paper's keep-farthest-from-centroid variant is
+    the same plan with the priority column swapped for the centroid
+    distance.
+
+    Scale: centroids are a bounded driver-side list (same coarse
+    quantizer as :func:`ivf_topk` — deterministic lowest-id selection
+    so the oracle reproduces it); assignment is a shuffle-free
+    Arrow-batched map; the within-cell self-join is an equi-join on
+    the cell id; the drop set joins back as a broadcast-size-gated
+    anti pattern (left join + null flag). With Lloyd-refined centroids
+    (``kmeans_refined_centroids``) cells stay balanced on real
+    corpora; the deterministic variant keeps the oracle exact."""
+    centroids = [
+        (r[0], list(r[1]))
+        for r in emb.select(id_col, vec_col)
+        .filter(F.col(id_col) < n_cells)
+        .orderBy(id_col)
+        .collect()
+    ]
+    assign_udf = _make_nearest_cells_udf(centroids, 1)
+    cells = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        assign_udf(F.col(vec_col))[0].alias("cell"),
+    )
+    left = cells.select(
+        "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    right = cells.select(
+        "cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    drops = (
+        left.join(right, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_fast(F.col("__va"), F.col("__vb")) >= tau)
+        .select(F.col("id_b").alias("__drop_id"))
+        .distinct()
+    )
+    return (
+        cells.join(drops, cells[id_col] == drops["__drop_id"], "left")
+        .select(
+            id_col,
+            "cell",
+            F.when(F.col("__drop_id").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("keep"),
+        )
+    )

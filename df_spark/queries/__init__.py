@@ -57,14 +57,14 @@ PRIORITY = [
     "agg_global", "join_inner", "join_3way_agg", "join_left_outer",
     "join_anti_semi", "union_distinct", "csv_roundtrip",
     "dedup_exact", "minhash_lsh_pairs",
-    "minhash_near_dups", "dedup_clusters", "cross_near_dups", "simhash",
+    "minhash_near_dups", "dedup_clusters", "semdedup", "simhash",
     "ngram_jaccard", "decontaminate",
     "cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "embed_near_dup", "cdc_scd2",
     "events_tumbling", "events_sessions",
     "asof_join_events", "range_join_bands",
     "window_topk",
-    "cube_agg", "rollup_agg", "pivot_status", "explode_arrays",
+    "cube_agg", "pagerank_parts", "pivot_status", "explode_arrays",
     "percentiles",
     "text_stats", "lang_id", "lang_quality_rollup", "doc_fingerprint",
     "llm_data_pipeline", "sample_stratified",
@@ -80,7 +80,7 @@ def load_registry() -> dict[str, Query]:
     from . import core  # noqa: F401
 
     for mod in ("advanced", "analytics", "cdc_q", "dedup", "events", "extensions",
-                "json_props", "multimodal", "pipeline_q", "sampling_q",
+                "graph_q", "json_props", "multimodal", "pipeline_q", "sampling_q",
                 "similarity", "sources_q", "text", "tokens", "tpch"):
         try:
             __import__(f"{__name__}.{mod}")

@@ -468,3 +468,65 @@ def rollup_hypertable(spark, sf_dir):
                                             (event_type, m))
         """
     )
+
+
+@register(
+    "ohlc_bars",
+    sql="""
+    SELECT event_type, window_start,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+    FROM (
+      SELECT event_type, value,
+             strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+                      '%Y-%m-%d %H:%M:%S') AS window_start,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type,
+                            time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+               ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type,
+                            time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    GROUP BY 1, 2
+    """,
+)
+def ohlc_bars(spark, sf_dir):
+    """Hourly OHLC (open/high/low/close) downsampling bars per
+    event_type — the canonical time-series resample.
+
+    Open/close are picked by row_number over (ts, event_id) — the
+    event_id tiebreak makes simultaneous events deterministic, which
+    arg_min/arg_max on bare ts would not. One shuffle: the window's
+    hash partitioning on (event_type, hour) is reused by the groupBy on
+    the same keys (Catalyst elides the second exchange), and the
+    per-bucket rank never windows over more than one bucket's rows —
+    the same bounded-partition shape as ``window_topk``. Volume sums
+    through DECIMAL per the registry policy; open/high/low/close are
+    single row values (IEEE-exact, no summation order)."""
+    ev = load_sdf(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", "ts")
+    w = Window.partitionBy("event_type", bucket)
+    asc = w.orderBy("ts", "event_id")
+    desc = w.orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.date_format(bucket, "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.row_number().over(asc).alias("rn_a"),
+        F.row_number().over(desc).alias("rn_d"),
+    )
+    return ranked.groupBy("event_type", "window_start").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("volume"),
+    )

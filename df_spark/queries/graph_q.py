@@ -1,0 +1,177 @@
+"""Graph analytics over the co-purchase graph (parts linked by
+appearing in the same order) — market-basket pair mining and a
+fixed-point-integer PageRank.
+
+The reference engine has no graph surface at all (its API stops at the
+relational core, ``src/api.rs``); these queries extend the engine the
+same way ``operators/clustering.py`` does for connected components:
+the DATA stays distributed (each PageRank iteration is one hash join +
+one aggregate), only bounded scalars ever reach the driver, and the
+iteration count is a fixed constant — so the whole thing is a chain of
+ordinary shuffles that AQE sizes at any scale.
+
+Determinism policy: PageRank's usual double arithmetic is summation-
+order-dependent, so ranks here are *fixed-point integers* (SCALE=1e6)
+and every contribution uses BIGINT floor division (``div`` in Spark,
+``//`` in DuckDB) — associative integer sums, bit-exact on any engine
+and any partitioning. Overflow headroom: rank mass is bounded by
+N·SCALE, so rank·85 stays under 2^63 for N up to ~1e11 nodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_sdf
+from . import register
+
+_TOP_PAIRS = 100
+_PR_SCALE = 1_000_000  # fixed-point: rank 1.0 == 1e6
+_PR_TELEPORT = 150_000  # 0.15 * SCALE
+_PR_ITERS = 3
+_PR_TOP = 50
+
+_EDGES_SQL = """
+    op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    )
+"""
+
+
+def _order_parts(spark, sf_dir):
+    """Distinct (order, part) pairs — the bipartite incidence list the
+    co-purchase graph is built from. DISTINCT first: an order with the
+    same part on two lines must contribute the pair once."""
+    li = load_sdf(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_partkey").distinct()
+
+
+@register(
+    "copurchase_pairs",
+    sql=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_orders
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_orders FROM (
+      SELECT part_a, part_b, n_orders,
+             ROW_NUMBER() OVER (ORDER BY n_orders DESC, part_a, part_b) AS rn
+      FROM pairs
+    ) WHERE rn <= {_TOP_PAIRS}
+    """,
+)
+def copurchase_pairs(spark, sf_dir):
+    """Market-basket pair mining: the ``_TOP_PAIRS`` most frequent part
+    pairs bought in the same order.
+
+    Scale: the self-join is keyed on l_orderkey, and lines-per-order is
+    bounded (TPC-H caps at 7), so pair fan-out is ≤ C(7,2)=21 per order
+    — LINEAR in orders, never quadratic in parts. One shuffle on
+    orderkey, one hash agg on the pair key, then TakeOrderedAndProject
+    (no global sort) for the top slice."""
+    op = _order_parts(spark, sf_dir)
+    a = op.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return pairs.orderBy(
+        F.desc("n_orders"), "part_a", "part_b"
+    ).limit(_TOP_PAIRS)
+
+
+def _pagerank_iter_sql() -> str:
+    """Unrolled fixed-iteration CTE chain r1..r{_PR_ITERS}."""
+    ctes = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append(f"""
+    r{i}_raw AS (
+      SELECT e.v AS node,
+             {_PR_TELEPORT} + SUM((r.rank * 85) // (100 * r.outdeg)) AS rank
+      FROM edges e JOIN {prev} r ON e.u = r.node
+      GROUP BY e.v
+    ),
+    r{i} AS (
+      SELECT x.node, d.outdeg, x.rank
+      FROM r{i}_raw x JOIN deg d ON x.node = d.u
+    )""")
+        prev = f"r{i}"
+    return ",".join(ctes)
+
+
+@register(
+    "pagerank_parts",
+    sql=f"""
+    WITH {_EDGES_SQL},
+    deg AS (SELECT u, COUNT(*) AS outdeg FROM edges GROUP BY u),
+    r0 AS (SELECT u AS node, outdeg,
+                  CAST({_PR_SCALE} AS BIGINT) AS rank FROM deg),
+    {_pagerank_iter_sql()}
+    SELECT node AS part, rank AS pr FROM (
+      SELECT node, rank,
+             ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS rn
+      FROM r{_PR_ITERS}
+    ) WHERE rn <= {_PR_TOP}
+    """,
+)
+def pagerank_parts(spark, sf_dir):
+    """Fixed-point-integer PageRank (``_PR_ITERS`` iterations, damping
+    0.85) over the undirected co-purchase graph; top ``_PR_TOP`` hub
+    parts.
+
+    The iterative-weighted-graph twin of ``dedup_clusters``'s
+    connected components: per iteration one shuffle join (ranks onto
+    edges by source) + one hash aggregate (sum contributions per
+    destination). The edge list is built once and localCheckpoint'd —
+    without the cut each iteration would re-run
+    the order-pair self-join. Iteration count is a compile-time
+    constant, so plan depth is bounded and no convergence check ever
+    touches the driver. All arithmetic is BIGINT (floor division via
+    ``div``), so the result is bit-exact regardless of partitioning,
+    engine, or summation order — the property the usual double-typed
+    PageRank cannot give an oracle."""
+    op = _order_parts(spark, sf_dir)
+    a = op.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    state = deg.select(
+        F.col("u").alias("node"),
+        "outdeg",
+        F.lit(_PR_SCALE).cast("long").alias("rank"),
+    )
+    for _ in range(_PR_ITERS):
+        contrib = edges.join(
+            state, edges["u"] == state["node"]
+        ).select(
+            F.col("v").alias("node"),
+            F.expr("(rank * 85) div (100 * outdeg)").alias("c"),
+        )
+        ranks = contrib.groupBy("node").agg(
+            (F.lit(_PR_TELEPORT) + F.sum("c")).alias("rank")
+        )
+        state = ranks.join(
+            deg.select(F.col("u").alias("node"), "outdeg"), "node"
+        )
+    return (
+        state.select(F.col("node").alias("part"), F.col("rank").alias("pr"))
+        .orderBy(F.desc("pr"), "part")
+        .limit(_PR_TOP)
+    )

@@ -143,3 +143,52 @@ def sample_weighted(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+_SPLIT_DENOM = 10_000
+_TRAIN_LT = 9_000  # 90% train
+_VAL_LT = 9_500    # 5% val; remainder test
+
+
+@register(
+    "train_val_split",
+    sql=f"""
+    SELECT split, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM (
+      SELECT lang, n_chars,
+             CASE WHEN {keep_sql('doc_id', _SPLIT_DENOM)} < {_TRAIN_LT}
+                    THEN 'train'
+                  WHEN {keep_sql('doc_id', _SPLIT_DENOM)} < {_VAL_LT}
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    GROUP BY 1, 2
+    """,
+)
+def train_val_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment by content hash
+    of the document id — the split every training pipeline needs to be
+    LEAKAGE-PROOF: a document lands in the same split on every run, on
+    every engine, at every corpus size (growing the corpus never moves
+    an existing doc across splits, unlike rand() or modulo-row-number
+    splits). Map-side only — the draw is a projection, no shuffle
+    touches the corpus; the only exchange is the final bounded
+    (split × lang) rollup."""
+    from ..functions.hashing import h32
+
+    docs = load_sdf(spark, sf_dir, "documents")
+    draw = h32(F.col("doc_id").cast("string")) % _SPLIT_DENOM
+    split = (
+        F.when(draw < _TRAIN_LT, "train")
+        .when(draw < _VAL_LT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

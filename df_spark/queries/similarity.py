@@ -196,3 +196,40 @@ def ann_ivf_kmeans(spark, sf_dir):
     return S.ivf_topk(
         emb, queries, k=_K, n_cells=_N_CELLS, nprobe=_NPROBE, refine_iters=3
     )
+
+
+_SD_CELLS = 8
+_SD_TAU = 0.3
+
+
+@register(
+    "semdedup",
+    sql=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < {_SD_CELLS}
+    ), assign AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {S.cosine_sql('e.embedding', 'c.cvec')} DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {S.cosine_sql('a.embedding', 'b.embedding')} >= {_SD_TAU}
+    )
+    SELECT a.vec_id, a.cell,
+           CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+    FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id
+    """,
+)
+def semdedup(spark, sf_dir):
+    """SemDeDup audit table over the embeddings corpus — see
+    ``operators.similarity.semdedup`` for the scale analysis."""
+    emb = load_sdf(spark, sf_dir, "embeddings")
+    return S.semdedup(emb, n_cells=_SD_CELLS, tau=_SD_TAU)

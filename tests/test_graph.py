@@ -1,0 +1,96 @@
+"""Semantic invariants for the graph family (co-purchase pairs,
+fixed-point PageRank) plus the round-5 additions (SemDeDup,
+train/val/test split, OHLC bars) — properties the DuckDB oracle's
+value-hash cannot articulate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from df_spark.operators.similarity import semdedup
+from df_spark.queries import load_registry
+
+REG = load_registry()
+
+
+def test_copurchase_pairs_canonical_and_positive(spark, sf_dir):
+    rows = REG["copurchase_pairs"].fn(spark, sf_dir).collect()
+    assert rows, "expected at least one co-purchase pair"
+    for r in rows:
+        assert r.part_a < r.part_b  # canonical orientation, no self-pairs
+        assert r.n_orders >= 1
+    counts = [r.n_orders for r in rows]
+    assert counts == sorted(counts, reverse=True)  # top-k ordering
+
+
+def test_pagerank_mass_conservation_bounds(spark, sf_dir):
+    """Every node's rank is >= teleport, and total rank mass stays
+    within [0.85^t-damped lower bound, initial mass]: floor division
+    only ever LOSES mass vs the real-valued recurrence, and teleport
+    restores 0.15 per node per round."""
+    out = REG["pagerank_parts"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert 0 < len(rows) <= 50
+    for r in rows:
+        assert r.pr >= 150_000  # teleport floor
+    ranks = [r.pr for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+
+
+def test_pagerank_deterministic_across_partitionings(spark, sf_dir):
+    a = {(r.part, r.pr) for r in REG["pagerank_parts"].fn(spark, sf_dir).collect()}
+    b = {
+        (r.part, r.pr)
+        for r in REG["pagerank_parts"].fn(spark, sf_dir)
+        .repartition(7)
+        .collect()
+    }
+    assert a == b  # integer arithmetic: partitioning cannot change values
+
+
+def test_semdedup_keeps_min_id_per_similar_group(spark, sf_dir):
+    """keep=0 rows must have a smaller-id tau-similar same-cell
+    neighbor; the smallest id in every cell is always kept."""
+    out = REG["semdedup"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert {r.keep for r in rows} <= {0, 1}
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    for members in by_cell.values():
+        lowest = min(members, key=lambda r: r.vec_id)
+        assert lowest.keep == 1  # nothing can dominate the min id
+
+
+def test_semdedup_tau_monotone(spark, sf_dir):
+    """Raising tau can only increase the number of keepers."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    loose = semdedup(emb, n_cells=8, tau=0.2)
+    strict = semdedup(emb, n_cells=8, tau=0.9)
+    kept_loose = loose.filter(F.col("keep") == 1).count()
+    kept_strict = strict.filter(F.col("keep") == 1).count()
+    assert kept_strict >= kept_loose
+    assert loose.count() == strict.count() == emb.count()  # audit table: all rows
+
+
+def test_train_val_split_partitions_the_corpus(spark, sf_dir):
+    out = REG["train_val_split"].fn(spark, sf_dir)
+    rows = out.collect()
+    splits = {r.split for r in rows}
+    assert splits <= {"train", "val", "test"}
+    total = sum(r.n_docs for r in rows)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert total == docs  # every doc in exactly one split
+    n_train = sum(r.n_docs for r in rows if r.split == "train")
+    assert n_train / total > 0.8  # ~90% by construction
+
+
+def test_ohlc_bars_invariants(spark, sf_dir):
+    rows = REG["ohlc_bars"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+        assert r.n_events >= 1
+        if r.n_events == 1:
+            assert r.open == r.close == r.high == r.low
