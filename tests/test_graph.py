@@ -94,3 +94,36 @@ def test_ohlc_bars_invariants(spark, sf_dir):
         assert r.n_events >= 1
         if r.n_events == 1:
             assert r.open == r.close == r.high == r.low
+
+
+def test_triangle_counts_match_bruteforce(spark, sf_dir):
+    """Degree-ordered enumeration must equal a brute-force itertools
+    count on the (small) test graph — algorithm independence is the
+    whole point of the oracle, so pin it in-process too."""
+    from itertools import combinations
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    op = li.select("l_orderkey", "l_partkey").distinct().collect()
+    by_order: dict[int, set] = {}
+    for r in op:
+        by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        for x, y in combinations(sorted(parts), 2):
+            edges.add((x, y))
+    adj: dict[int, set] = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    expected: dict[int, int] = {}
+    for x, y in edges:
+        for z in adj[x] & adj[y]:
+            if z > y:  # x < y < z: count each triangle once
+                for node in (x, y, z):
+                    expected[node] = expected.get(node, 0) + 1
+    top = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = [
+        (r.part, r.n_triangles)
+        for r in REG["triangle_counts"].fn(spark, sf_dir).collect()
+    ]
+    assert got == top
