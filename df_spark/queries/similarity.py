@@ -233,3 +233,74 @@ def semdedup(spark, sf_dir):
     ``operators.similarity.semdedup`` for the scale analysis."""
     emb = load_sdf(spark, sf_dir, "embeddings")
     return S.semdedup(emb, n_cells=_SD_CELLS, tau=_SD_TAU)
+
+
+@register(
+    "knn_classify",
+    sql=f"""
+    WITH b AS (
+      SELECT vec_id, label, {S.lsh_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ), votes AS (
+      SELECT a.vec_id, n.label AS nlabel, COUNT(*) AS n_votes
+      FROM b a JOIN b n ON a.bucket = n.bucket AND a.vec_id <> n.vec_id
+      GROUP BY 1, 2
+    ), pred AS (
+      SELECT vec_id, nlabel AS predicted FROM (
+        SELECT vec_id, nlabel,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY n_votes DESC, nlabel
+               ) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT b.label, p.predicted, COUNT(*) AS n
+    FROM b LEFT JOIN pred p ON b.vec_id = p.vec_id
+    GROUP BY 1, 2
+    """,
+)
+def knn_classify(spark, sf_dir):
+    """Nearest-neighbor classification by LSH-bucket majority vote,
+    reported as a confusion matrix (true label x predicted, with
+    predicted NULL for vectors alone in their bucket).
+
+    The scale shape is the point: no per-query scan of the corpus —
+    candidates come from the same sign-LSH bucket equi-join every ANN
+    operator here uses, votes are one hash aggregate on (vec, label),
+    and the argmax is a bucket-bounded window (ties break toward the
+    smaller label, so the result is engine-independent without any
+    floating-point distance at all). The confusion-matrix rollup is a
+    bounded (n_labels^2) aggregate — the standard model-eval pattern
+    over a distributed corpus."""
+    emb = load_sdf(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id", "label", S.lsh_bucket(F.col("embedding")).alias("bucket")
+    )
+    a = b.select("bucket", "vec_id")
+    n = b.select(
+        "bucket",
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+    )
+    votes = (
+        a.join(n, "bucket")
+        .filter(F.col("vec_id") != F.col("nid"))
+        .groupBy("vec_id", "nlabel")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.desc("n_votes"), "nlabel")
+    )
+    pred = (
+        votes.select("vec_id", "nlabel", rn.alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("nlabel").alias("predicted"))
+    )
+    return (
+        b.join(pred, "vec_id", "left")
+        .groupBy("label", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

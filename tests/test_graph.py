@@ -102,7 +102,15 @@ def test_triangle_counts_match_bruteforce(spark, sf_dir):
     whole point of the oracle, so pin it in-process too."""
     from itertools import combinations
 
+    from pyspark.sql import functions as F2
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F2.year("o_orderdate") == 1995
+    )
+    li = li.join(
+        orders.select(F2.col("o_orderkey").alias("l_orderkey")), "l_orderkey"
+    )
     op = li.select("l_orderkey", "l_partkey").distinct().collect()
     by_order: dict[int, set] = {}
     for r in op:
@@ -127,3 +135,18 @@ def test_triangle_counts_match_bruteforce(spark, sf_dir):
         for r in REG["triangle_counts"].fn(spark, sf_dir).collect()
     ]
     assert got == top
+
+
+def test_knn_classify_confusion_matrix_totals(spark, sf_dir):
+    """Confusion-matrix cells sum to the corpus size; predictions beat
+    uniform-random accuracy on the clustered synthetic labels."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    total = emb.count()
+    n_labels = emb.select("label").distinct().count()
+    rows = REG["knn_classify"].fn(spark, sf_dir).collect()
+    assert sum(r.n for r in rows) == total
+    classified = [r for r in rows if r.predicted is not None]
+    hits = sum(r.n for r in classified if r.label == r.predicted)
+    covered = sum(r.n for r in classified)
+    if covered:
+        assert hits / covered > 1.0 / n_labels  # better than chance

@@ -120,6 +120,34 @@ def main() -> None:
     # and the candidate-pair count itself grows ~quadratically — that's
     # the data's true near-dup structure, not an algorithmic term. The
     # honest throughput metric is emitted pairs/sec.
+    # graph family: shift BOTH l_orderkey and l_partkey per copy so
+    # every replica contributes a disjoint component — the graph itself
+    # grows by `copies`, which is the honest scale variable for
+    # PageRank (per-iteration join+agg over edges) and degree-ordered
+    # triangles (wedge join bounded by E^1.5)
+    from df_spark.queries.graph_q import (  # noqa: E402
+        order_parts,
+        pagerank_from_order_parts,
+        triangles_from_order_parts,
+    )
+
+    liG = None
+    for i in range(copies):
+        part = li1.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(i * 10_000_000)
+        ).withColumn("l_partkey", F.col("l_partkey") + F.lit(i * 10_000_000))
+        liG = part if liG is None else liG.unionByName(part)
+    probe(
+        "pagerank",
+        pagerank_from_order_parts(order_parts(li1)),
+        pagerank_from_order_parts(order_parts(liG)),
+    )
+    probe(
+        "triangles",
+        triangles_from_order_parts(order_parts(li1)),
+        triangles_from_order_parts(order_parts(liG)),
+    )
+
     print("lsh_pairs (output-bound):")
     for label, docs in [("1x", docs1), (f"{copies}x", docsN)]:
         pairs = D.lsh_candidate_pairs(D.minhash_signatures(docs))
