@@ -80,8 +80,8 @@ def load_registry() -> dict[str, Query]:
     from . import core  # noqa: F401
 
     for mod in ("advanced", "analytics", "cdc_q", "dedup", "events", "extensions",
-                "graph_q", "json_props", "multimodal", "pipeline_q", "sampling_q",
-                "similarity", "sources_q", "text", "tokens", "tpch"):
+                "governance", "graph_q", "json_props", "multimodal", "pipeline_q",
+                "sampling_q", "similarity", "sources_q", "text", "tokens", "tpch"):
         try:
             __import__(f"{__name__}.{mod}")
         except ImportError:

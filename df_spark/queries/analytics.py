@@ -335,3 +335,64 @@ def bm25_rank(spark, sf_dir):
     return top.select(
         "doc_id", "score", F.row_number().over(w).alias("rank")
     )
+
+
+@register(
+    "last_touch_attribution",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_type, value,
+             last_value(CASE WHEN event_type IN ('click', 'view', 'signup')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+      FROM events
+    )
+    SELECT coalesce(channel, 'direct') AS channel,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS attributed_value
+    FROM seq
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def last_touch_attribution(spark, sf_dir):
+    """Marketing-style last-touch attribution: each purchase is
+    credited to the user's most recent preceding touch event (click /
+    view / signup — errors and earlier purchases never attribute),
+    'direct' when no touch precedes it. One window over (user_id, ts,
+    event_id) with an ignore-nulls running last — the as-of-join
+    semantics expressed as a single pass instead of a self-join.
+
+    100 TB story: exactly one shuffle (hash on user_id), then a
+    map-side running state per user and a tiny rollup; the event_id
+    tiebreak makes the frame deterministic under equal timestamps on
+    both engines.
+    """
+    events = load_sdf(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin("click", "view", "signup"), F.col("event_type")
+    )
+    seq = events.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.last(touch, ignorenulls=True).over(w).alias("channel"),
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )

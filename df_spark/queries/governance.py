@@ -1,0 +1,123 @@
+"""Data-governance queries (north-star LLM-pipeline extensions):
+PII redaction and binary MIME sniffing.
+
+The synthetic corpus contains no real PII or media headers, so both
+queries INJECT deterministic instances in-plan (same expression tree on
+the Spark and DuckDB sides) and then detect/redact them — the detection
+logic reads the bytes/text, never the injection key, so a regex or
+magic-table bug surfaces as a value mismatch, not a vacuous pass.
+
+Scale: both are map-only (no shuffle until the final small rollup);
+at 100 TB they run at scan speed with full column pruning — exactly how
+a production PII scrubber or MIME classifier sits in an ingest pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_sdf
+from . import register
+
+# conservative cross-engine regexes: character classes and bounded
+# quantifiers only — identical semantics in Java regex (Spark) and RE2
+# (DuckDB). No \d / \b shorthands, no backrefs.
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+@register(
+    "pii_redact",
+    sql=f"""
+    WITH salted AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents
+    ),
+    red AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones,
+             regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_PHONE_RE}', '<PHONE>', 'g') AS clean
+      FROM salted
+    )
+    SELECT doc_id, n_emails, n_phones, md5(clean) AS clean_md5,
+           (NOT regexp_matches(clean, '{_EMAIL_RE}')
+            AND NOT regexp_matches(clean, '{_PHONE_RE}')) AS is_clean
+    FROM red
+    """,
+)
+def pii_redact(spark, sf_dir):
+    docs = load_sdf(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return salted.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(_PHONE_RE)).alias("n_phones"),
+        F.md5(clean).alias("clean_md5"),
+        (~clean.rlike(_EMAIL_RE) & ~clean.rlike(_PHONE_RE)).alias("is_clean"),
+    )
+
+
+# magic-byte table: first-4-bytes hex prefix -> container format.
+# (JPEG/JFIF, PNG, RIFF — the real-world sniff order for image/audio
+# ingest; everything else falls through to 'unknown'.)
+_MAGICS = [("FFD8FFE0", "jpeg"), ("89504E47", "png"), ("52494646", "riff")]
+
+
+@register(
+    "mime_sniff",
+    sql=f"""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             unhex(CASE doc_id % 4 WHEN 0 THEN 'FFD8FFE0'
+                                   WHEN 1 THEN '89504E47'
+                                   WHEN 2 THEN '52494646'
+                                   ELSE '' END) || encode(text) AS payload
+      FROM documents
+    )
+    SELECT media_id,
+           CASE substr(hex(payload), 1, 8)
+                {' '.join(f"WHEN '{h}' THEN '{n}'" for h, n in _MAGICS)}
+                ELSE 'unknown' END AS detected,
+           octet_length(payload) AS n_bytes
+    FROM media
+    """,
+)
+def mime_sniff(spark, sf_dir):
+    docs = load_sdf(spark, sf_dir, "documents")
+    magic_hex = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("FFD8FFE0"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("89504E47"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("52494646"))
+        .otherwise(F.lit(""))
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.unhex(magic_hex), F.encode(F.col("text"), "utf-8")).alias(
+            "payload"
+        ),
+    )
+    detected = F.hex(F.substring(F.col("payload"), 1, 4))
+    expr = F.lit("unknown")
+    for hexpfx, name in reversed(_MAGICS):
+        expr = F.when(detected.startswith(hexpfx), F.lit(name)).otherwise(expr)
+    return media.select(
+        "media_id",
+        expr.alias("detected"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )

@@ -242,3 +242,94 @@ def compact_files(spark, sf_dir):
         F.sum("n_chars").alias("total_chars"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@register(
+    "snapshot_diff",
+    sql="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1 AS DOUBLE)
+                  ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    j AS (
+      SELECT v1.o_orderkey AS k1, v2.o_orderkey AS k2,
+             v1.price AS p1, v2.price AS p2
+      FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    )
+    SELECT CASE WHEN k1 IS NULL THEN 'added'
+                WHEN k2 IS NULL THEN 'removed'
+                WHEN p1 = p2 THEN 'unchanged'
+                ELSE 'changed' END AS change_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(coalesce(p2, 0) AS DECIMAL(19,3))
+                    - CAST(coalesce(p1, 0) AS DECIMAL(19,3))) AS DOUBLE)
+             AS price_delta
+    FROM j
+    GROUP BY 1
+    """,
+)
+def snapshot_diff(spark, sf_dir):
+    """Snapshot time travel + diff — the lake-format feature (Iceberg /
+    Delta history) re-expressed on plain parquet: two deterministic
+    snapshot versions of ``orders`` are written hive-partitioned by
+    ``version``, each read back through a partition filter (the
+    "AS OF" read — pruned at the directory level, the other version's
+    files are never listed), and diffed with one full outer join into
+    added/removed/changed/unchanged counts plus an exact DECIMAL price
+    delta. The oracle recomputes both snapshots from the source table,
+    so a row lost/duplicated by the write, a version leaking through
+    the partition filter, or a float drift in the bump all surface as
+    hash mismatches.
+
+    100 TB story: snapshots differ by partition directory only — the
+    diff's scan cost is two pruned reads, and the join shuffles on the
+    snapshot key once (AQE picks the strategy). No driver-side state.
+    """
+    out = _scratch("df_spark_snapshots", sf_dir)
+    orders = load_sdf(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("price"), F.lit(1).alias("version")
+    )
+    bumped = (
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            (F.col("o_totalprice").cast("decimal(18,2)")
+             * F.lit("1.1").cast("decimal(2,1)")).cast("double"),
+        ).otherwise(F.col("o_totalprice"))
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", bumped.alias("price"), F.lit(2).alias("version")
+    )
+    v1.unionByName(v2).write.mode("overwrite").partitionBy("version").parquet(out)
+    snap = spark.read.parquet(out)
+    s1 = snap.filter(F.col("version") == 1).select(
+        F.col("o_orderkey").alias("k1"), F.col("price").alias("p1")
+    )
+    s2 = snap.filter(F.col("version") == 2).select(
+        F.col("o_orderkey").alias("k2"), F.col("price").alias("p2")
+    )
+    j = s1.join(s2, s1.k1 == s2.k2, "full_outer")
+    change = (
+        F.when(F.col("k1").isNull(), F.lit("added"))
+        .when(F.col("k2").isNull(), F.lit("removed"))
+        .when(F.col("p1") == F.col("p2"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(change.alias("change_type"), "p1", "p2").groupBy(
+        "change_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(
+                F.coalesce(F.col("p2"), F.lit(0.0)).cast("decimal(19,3)")
+                - F.coalesce(F.col("p1"), F.lit(0.0)).cast("decimal(19,3)")
+            )
+        ).cast("double").alias("price_delta"),
+    )
