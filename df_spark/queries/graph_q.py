@@ -287,7 +287,7 @@ def triangles_from_order_parts(op):
     # deg is one (long, long) row per vertex; measure it off the edge
     # checkpoint (no Catalyst stats) and broadcast when it fits — the
     # vertex dim against the edge fact
-    from ..operators.partitioning import size_hinted
+    from ..operators.partitioning import BROADCAST_BYTES_CAP, size_hinted
 
     n_nodes = deg.count()
     deg = deg.localCheckpoint(eager=True)
@@ -315,23 +315,33 @@ def triangles_from_order_parts(op):
     # ordered by the endpoints' (deg, id) rank to count each wedge once
     w1 = directed.select("src", F.col("dst").alias("x"), F.col("ddst").alias("dx"))
     w2 = directed.select("src", F.col("dst").alias("y"), F.col("ddst").alias("dy"))
-    wedges = w1.join(w2, "src").filter(
-        (F.col("dx") < F.col("dy"))
-        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    # canonicalize to the undirected pair key and DROP the rank columns
+    # before the closure join: past broadcast scale the wedge set (~E^1.5
+    # rows, the biggest intermediate in the whole operator) goes through
+    # a shuffle, and three longs per row is the minimum it can weigh
+    wedges = (
+        w1.join(w2, "src")
+        .filter(
+            (F.col("dx") < F.col("dy"))
+            | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+        )
+        .select("src", F.least("x", "y").alias("cu"), F.greatest("x", "y").alias("cv"))
     )
-    # close the wedge against the canonical (undirected) edge list;
-    # the edge list is the SMALL side of this join (wedges ~ E^1.5),
-    # so gate-broadcast it off its measured size — past the cap it
-    # degrades to the shuffle join on the pair key
-    closure = size_hinted(
-        ce.select(F.col("u").alias("cu"), F.col("v").alias("cv")),
-        ce.count() * 48,
-    )
-    tri = wedges.join(
-        closure,
-        (F.least("x", "y") == F.col("cu")) & (F.greatest("x", "y") == F.col("cv")),
-    ).select(
-        F.col("src").alias("a"), F.col("x").alias("b"), F.col("y").alias("c")
+    # close the wedge against the canonical (undirected) edge list —
+    # the SMALL side (wedges ~ E^1.5 vs E edges): broadcast it while
+    # its measured size fits the cap; past the cap, force a SHUFFLED
+    # HASH join instead of letting the planner sort-merge. The build
+    # side stays the per-partition slice of the edge list (tiny), and
+    # the wedge side is never sorted — probed at 10x sf0.1: the SMJ
+    # regime's 410 M-row wedge sort cost 240 s, the hash join 50 s.
+    edge_bytes = ce.count() * 48
+    ek = ce.select(F.col("u").alias("cu"), F.col("v").alias("cv"))
+    if edge_bytes < BROADCAST_BYTES_CAP:
+        closure = F.broadcast(ek)
+    else:
+        closure = ek.hint("shuffle_hash")
+    tri = wedges.join(closure, ["cu", "cv"]).select(
+        F.col("src").alias("a"), F.col("cu").alias("b"), F.col("cv").alias("c")
     )
     pernode = (
         tri.select(F.col("a").alias("node"))
