@@ -396,3 +396,121 @@ def last_touch_attribution(spark, sf_dir):
             .alias("attributed_value"),
         )
     )
+
+
+@register(
+    "interval_overlap_join",
+    sql="""
+    WITH w AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) AS s
+      FROM orders
+    ),
+    pairs AS (
+      SELECT a.o_custkey AS custkey
+      FROM w a JOIN w b
+        ON a.o_custkey = b.o_custkey
+       AND a.o_orderkey < b.o_orderkey
+       AND a.s < b.s + 30 * 86400
+       AND b.s < a.s + 30 * 86400
+    ),
+    counted AS (
+      SELECT custkey, COUNT(*) AS n_overlaps FROM pairs GROUP BY custkey
+    )
+    SELECT custkey, n_overlaps FROM (
+      SELECT custkey, n_overlaps,
+             ROW_NUMBER() OVER (ORDER BY n_overlaps DESC, custkey) AS rn
+      FROM counted
+    ) WHERE rn <= 100
+    """,
+)
+def interval_overlap_join(spark, sf_dir):
+    """Interval-overlap self-join: each order opens a 30-day service
+    window; count, per customer, the pairs of that customer's windows
+    that overlap (the double-charge / concurrent-subscription shape).
+    Overlap of half-open [s, s+30d) pairs reduces to |s_a - s_b| < 30d.
+
+    Scale: the join is an EQUI-join on the customer key — the interval
+    predicate is a post-join filter, never a cross product; fan-out is
+    bounded by orders-per-customer (TPC-H: ~10), so output is linear in
+    orders. One shuffle on custkey, a hash agg on the same key (no
+    second exchange), then TakeOrderedAndProject for the top slice. At
+    100 TB the same plan holds; a pathological mega-customer would be
+    AQE skew-split."""
+    orders = load_sdf(spark, sf_dir, "orders")
+    w = orders.select(
+        "o_custkey", "o_orderkey", F.unix_timestamp("o_orderdate").alias("s")
+    )
+    a = w.select(F.col("o_custkey").alias("custkey"),
+                 F.col("o_orderkey").alias("ka"), F.col("s").alias("sa"))
+    b = w.select(F.col("o_custkey").alias("custkey"),
+                 F.col("o_orderkey").alias("kb"), F.col("s").alias("sb"))
+    pairs = a.join(b, "custkey").filter(
+        (F.col("ka") < F.col("kb"))
+        & (F.col("sa") < F.col("sb") + 30 * 86400)
+        & (F.col("sb") < F.col("sa") + 30 * 86400)
+    )
+    counted = pairs.groupBy("custkey").agg(F.count(F.lit(1)).alias("n_overlaps"))
+    return counted.orderBy(F.desc("n_overlaps"), "custkey").limit(100)
+
+
+@register(
+    "events_regression",
+    sql="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS x,
+             CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS BIGINT) AS slope_centi_per_hour
+    FROM s
+    """,
+)
+def events_regression(spark, sf_dir):
+    """Per-group least-squares trend (does each event type's value
+    drift over the month?) with BIT-EXACT sums: x is the hour bucket,
+    y the value in integer cents, so every moment (Sx, Sy, Sxy, Sxx)
+    and the closed-form slope numerator/denominator are associative
+    BIGINT arithmetic — the oracle can hash them exactly, which no
+    double-typed regr_slope() can offer. Only the final ratio is a
+    single double division (one IEEE op, identical on both engines).
+
+    Overflow headroom: x <= 744 (a month of hours), y <= 5e4, so
+    n*Sxy < 4e18 stays in BIGINT up to ~1e6 rows/group (sf1); larger
+    corpora re-bucket x (day granularity) or widen to DECIMAL(38,0).
+
+    Scale: one map-side projection + one hash aggregate — partial
+    aggregation makes the shuffle six longs per (partition, group)."""
+    events = load_sdf(spark, sf_dir, "events")
+    pts = events.select(
+        "event_type",
+        F.expr("unix_timestamp(ts) div 3600").alias("x"),
+        (F.col("value").cast("decimal(10,2)") * 100).cast("long").alias("y"),
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("long")
+    return s.select(
+        "event_type",
+        "n",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        (num.cast("double") / den).alias("slope_centi_per_hour"),
+    )

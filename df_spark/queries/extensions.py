@@ -248,3 +248,44 @@ def pivot_status(spark, sf_dir):
             F.coalesce("P", F.lit(0)).alias("status_p"),
         )
     )
+
+
+@register(
+    "array_hof",
+    sql="""
+    SELECT vec_id,
+           len(embedding)::BIGINT AS dim,
+           len(list_filter(embedding, x -> x > 0))::BIGINT AS n_pos,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(floor(x * 1000) AS BIGINT))) AS BIGINT) AS checksum,
+           list_max(list_transform(embedding,
+                x -> CAST(floor(x * 1000) AS BIGINT))) AS max_milli,
+           list_min(list_transform(embedding,
+                x -> CAST(floor(x * 1000) AS BIGINT))) AS min_milli
+    FROM embeddings
+    """,
+)
+def array_hof(spark, sf_dir):
+    """Higher-order array-function surface (transform / filter /
+    aggregate lambdas) over the embedding column — the JVM-side array
+    toolkit that keeps vector feature engineering out of Python UDFs.
+    Elements are integerized with an explicit floor (truncation and
+    rounding casts disagree across engines; floor doesn't), so every
+    output is associative integer math the oracle hashes exactly.
+
+    Scale: map-only over the vector column — no shuffle, no Python;
+    at 100 TB this is scan-speed feature extraction."""
+    emb = load_sdf(spark, sf_dir, "embeddings")
+    milli = F.transform(
+        F.col("embedding"), lambda x: F.floor(x * 1000).cast("long")
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.aggregate(
+            milli, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("checksum"),
+        F.array_max(milli).alias("max_milli"),
+        F.array_min(milli).alias("min_milli"),
+    )

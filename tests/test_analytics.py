@@ -273,3 +273,41 @@ def test_pack_sequences_layout_invariants(spark, sf_dir):
             assert r.token_offset == expect
             assert r.bin_id == r.token_offset // 2048
             expect += r.n_tokens
+
+
+def test_interval_overlap_counts_positive_and_ranked(spark, sf_dir):
+    from df_spark.queries import load_registry
+
+    rows = load_registry()["interval_overlap_join"].fn(spark, sf_dir).collect()
+    assert rows
+    assert len({r.custkey for r in rows}) == len(rows)
+    counts = [r.n_overlaps for r in rows]
+    assert all(c >= 1 for c in counts)
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_events_regression_exact_moments(spark, sf_dir):
+    from df_spark.queries import load_registry
+    from df_spark.sources.tables import load_sdf
+    from pyspark.sql import functions as F
+
+    rows = load_registry()["events_regression"].fn(spark, sf_dir).collect()
+    n_events = load_sdf(spark, sf_dir, "events").count()
+    assert sum(r.n for r in rows) == n_events
+    for r in rows:
+        # den = n*Sxx - Sx^2 is n^2 * variance(x) -- strictly positive
+        # whenever x isn't constant within the group
+        assert r.slope_den > 0
+        assert r.slope_centi_per_hour == r.slope_num / r.slope_den
+
+
+def test_array_hof_bounds(spark, sf_dir):
+    from df_spark.queries import load_registry
+
+    rows = load_registry()["array_hof"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.dim == 64
+        assert 0 <= r.n_pos <= r.dim
+        assert r.min_milli <= r.max_milli
+        assert r.dim * r.min_milli <= r.checksum <= r.dim * r.max_milli
