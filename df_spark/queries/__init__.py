@@ -80,7 +80,8 @@ def load_registry() -> dict[str, Query]:
     from . import core  # noqa: F401
 
     for mod in ("advanced", "analytics", "cdc_q", "dedup", "events", "extensions",
-                "governance", "graph_q", "json_props", "multimodal", "pipeline_q",
+                "governance", "graph_q", "hierarchy_q", "json_props",
+                "multimodal", "pipeline_q",
                 "sampling_q", "similarity", "sources_q", "text", "tokens", "tpch"):
         try:
             __import__(f"{__name__}.{mod}")
