@@ -58,3 +58,17 @@ def zscore_per_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame
         return pdf
 
     return df.groupBy(group_col).applyInPandas(per_group, schema=out_schema)
+
+
+@F.pandas_udf(T.LongType())
+def zlib_bytes(s: pd.Series) -> pd.Series:
+    """Compressed size (zlib level 6) of a text column — the classic
+    compression-ratio quality heuristic (highly repetitive machine
+    text compresses far below natural prose). No builtin expresses
+    codec output, so this is genuine Arrow-batched UDF territory;
+    level is pinned for determinism within a zlib build."""
+    import zlib
+
+    return s.map(
+        lambda t: len(zlib.compress(t.encode("utf-8"), 6)) if t is not None else None
+    )

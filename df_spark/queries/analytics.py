@@ -514,3 +514,50 @@ def events_regression(spark, sf_dir):
         den.alias("slope_den"),
         (num.cast("double") / den).alias("slope_centi_per_hour"),
     )
+
+
+@register(
+    "nullsafe_join",
+    sql="""
+    WITH l AS (
+      SELECT CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  ELSE o_custkey % 50 END AS grp,
+             o_totalprice
+      FROM orders
+    ),
+    r AS (SELECT DISTINCT grp FROM l)
+    SELECT coalesce(CAST(r.grp AS VARCHAR), 'null') AS grp_label,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM l JOIN r ON l.grp IS NOT DISTINCT FROM r.grp
+    GROUP BY 1
+    """,
+)
+def nullsafe_join(spark, sf_dir):
+    """Null-safe equality join (Spark ``<=>`` / SQL IS NOT DISTINCT
+    FROM): a deterministic 1-in-11 slice of orders gets a NULL
+    grouping key, and the join against the distinct-key dim must MATCH
+    the NULL row (a plain equi-join silently drops that whole
+    partition of the data — the classic silent-loss bug in fact/dim
+    pipelines). The 'null' row in the hashed output is the proof.
+
+    Scale: null-safe equality still hash-partitions both sides (NULL
+    is just one more key value), so the plan is an ordinary shuffle or
+    broadcast hash join — no nested-loop fallback."""
+    orders = load_sdf(spark, sf_dir, "orders")
+    left = orders.select(
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("o_custkey") % 50)
+        .alias("grp"),
+        "o_totalprice",
+    )
+    right = left.select(F.col("grp").alias("rgrp")).distinct()
+    j = left.join(right, left["grp"].eqNullSafe(right["rgrp"]))
+    return j.groupBy(
+        F.coalesce(F.col("rgrp").cast("string"), F.lit("null")).alias("grp_label")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

@@ -256,3 +256,25 @@ def quality_deciles(spark, sf_dir):
     return docs.select(
         "doc_id", "lang", F.ntile(10).over(win).alias("decile")
     )
+
+
+@register("doc_compression", sql=None)
+def doc_compression(spark, sf_dir):
+    """Compression-ratio quality signal (zlib level 6 via the
+    Arrow-batched ``zlib_bytes`` UDF): repetitive low-quality text
+    compresses much harder than diverse prose, so ratio bands are a
+    cheap corpus filter. Codec output is not SQL-expressible — no
+    DuckDB oracle (driver records the rows-only check);
+    test_udfs.py pins the semantic invariants instead.
+
+    Scale: map-only; one Arrow round-trip per batch, no shuffle."""
+    from ..functions.udfs import zlib_bytes
+
+    docs = load_sdf(spark, sf_dir, "documents")
+    c_bytes = zlib_bytes(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        c_bytes.alias("c_bytes"),
+        F.round(c_bytes / F.length("text"), 6).alias("ratio"),
+    )

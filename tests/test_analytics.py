@@ -311,3 +311,14 @@ def test_array_hof_bounds(spark, sf_dir):
         assert 0 <= r.n_pos <= r.dim
         assert r.min_milli <= r.max_milli
         assert r.dim * r.min_milli <= r.checksum <= r.dim * r.max_milli
+
+
+def test_nullsafe_join_keeps_the_null_partition(spark, sf_dir):
+    from df_spark.queries import load_registry
+    from df_spark.sources.tables import load_sdf
+
+    rows = load_registry()["nullsafe_join"].fn(spark, sf_dir).collect()
+    labels = {r.grp_label for r in rows}
+    assert "null" in labels  # the partition a plain equi-join drops
+    n_orders = load_sdf(spark, sf_dir, "orders").count()
+    assert sum(r.n for r in rows) == n_orders
