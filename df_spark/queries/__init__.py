@@ -54,19 +54,19 @@ def register(name: str, sql: str | None = None):
 PRIORITY = [
     "q1_pricing_summary",
     "filter_predicates", "select_arith", "orderby_limit", "group_collect",
-    "agg_global", "join_inner", "join_3way_agg", "join_left_outer",
+    "agg_global", "join_inner", "join_3way_agg", "nullsafe_join",
     "join_anti_semi", "union_distinct", "csv_roundtrip",
     "dedup_exact", "minhash_lsh_pairs",
-    "minhash_near_dups", "dedup_clusters", "semdedup", "simhash",
-    "ngram_jaccard", "decontaminate",
-    "cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "minhash_near_dups", "dedup_clusters", "semdedup", "pii_redact",
+    "snapshot_diff", "decontaminate",
+    "interval_overlap_join", "ann_lsh_topk", "ann_ivf_topk",
     "embed_near_dup", "cdc_scd2",
     "events_tumbling", "events_sessions",
     "asof_join_events", "range_join_bands",
     "window_topk",
     "cube_agg", "pagerank_parts", "pivot_status", "explode_arrays",
     "percentiles",
-    "text_stats", "lang_id", "lang_quality_rollup", "doc_fingerprint",
+    "text_stats", "lang_id", "last_touch_attribution", "tree_depths",
     "llm_data_pipeline", "sample_stratified",
     # round-5 families: each gets one driver-window hash check
     "prefix_sim_join", "mv_incremental", "profile_table",
