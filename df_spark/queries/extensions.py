@@ -289,3 +289,108 @@ def array_hof(spark, sf_dir):
         F.array_max(milli).alias("max_milli"),
         F.array_min(milli).alias("min_milli"),
     )
+
+
+@register(
+    "window_distribution",
+    sql="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           RANK() OVER w AS rnk,
+           (RANK() OVER w - 1)
+             / CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) - 1 AS DOUBLE)
+             AS pct_rank,
+           CAST(COUNT(*) OVER
+                (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             / CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+             AS cume,
+           NTILE(10) OVER w AS decile
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution(spark, sf_dir):
+    """Distribution window functions — percent_rank / cume_dist /
+    ntile over (priority, price). Both sides spell percent_rank and
+    cume_dist from RANK and windowed COUNTs ((rank-1)/(n-1), and a
+    RANGE-framed running count over the same fully-deterministic
+    (price, key) ordering), so each output is ONE double division of
+    two exact integers — bit-identical across engines, no reliance on
+    either engine's native percent_rank tie convention.
+
+    Scale: one shuffle on the partition key; all four functions share
+    a single sort within the window partition."""
+    orders = load_sdf(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 97 == 0
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wcount = Window.partitionBy("o_orderpriority")
+    wrange = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(wcount)
+    rnk = F.rank().over(w)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        rnk.alias("rnk"),
+        ((rnk - 1) / (n - 1).cast("double")).alias("pct_rank"),
+        (F.count(F.lit(1)).over(wrange).cast("long") / n.cast("double")).alias(
+            "cume"
+        ),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+@register(
+    "unpivot_metrics",
+    sql="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n_lines,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS qty_centi,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS disc_centi
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, metric, value FROM (
+      SELECT l_returnflag, 'n_lines' AS metric, n_lines AS value FROM m
+      UNION ALL
+      SELECT l_returnflag, 'qty_centi', qty_centi FROM m
+      UNION ALL
+      SELECT l_returnflag, 'disc_centi', disc_centi FROM m
+    )
+    """,
+)
+def unpivot_metrics(spark, sf_dir):
+    """Wide-to-long UNPIVOT (the inverse of ``pivot_status``): a
+    3-metric aggregate melted into (key, metric, value) rows via the
+    native ``DataFrame.unpivot`` (compiles to one Expand — a single
+    pass, no self-union rescans; the oracle's UNION ALL spelling reads
+    the tiny aggregate CTE three times, which is fine for an oracle
+    and wrong at scale). Metrics are integerized (cents) so one LONG
+    value column types all three without float coercion.
+
+    Scale: the Expand triples only the AGGREGATED rows (|flags| × 3),
+    never the fact table."""
+    li = load_sdf(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("qty_centi"),
+        (F.sum(F.col("l_discount").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("disc_centi"),
+    )
+    return m.unpivot(
+        ["l_returnflag"],
+        ["n_lines", "qty_centi", "disc_centi"],
+        "metric",
+        "value",
+    )

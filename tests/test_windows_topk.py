@@ -119,3 +119,34 @@ def test_topk_groups_spanning_partitions(spark):
     )
     want = sorted((g, i) for g, i in want)
     assert out == want
+
+
+def test_window_distribution_bounds(spark, sf_dir):
+    from df_spark.queries import load_registry
+
+    rows = load_registry()["window_distribution"].fn(spark, sf_dir).collect()
+    assert rows
+    by_pri = {}
+    for r in rows:
+        assert 0.0 <= r.pct_rank <= 1.0
+        assert 0.0 < r.cume <= 1.0
+        assert 1 <= r.decile <= 10
+        by_pri.setdefault(r.o_orderpriority, []).append(r)
+    for pri, rs in by_pri.items():
+        assert max(r.cume for r in rs) == 1.0  # last row closes the CDF
+        assert min(r.pct_rank for r in rs) == 0.0
+
+
+def test_unpivot_metrics_melts_every_cell(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from df_spark.queries import load_registry
+    from df_spark.sources.tables import load_sdf
+
+    rows = load_registry()["unpivot_metrics"].fn(spark, sf_dir).collect()
+    flags = {r.l_returnflag for r in rows}
+    metrics = {r.metric for r in rows}
+    assert metrics == {"n_lines", "qty_centi", "disc_centi"}
+    assert len(rows) == len(flags) * 3
+    n_lines_total = sum(r.value for r in rows if r.metric == "n_lines")
+    assert n_lines_total == load_sdf(spark, sf_dir, "lineitem").count()
