@@ -333,3 +333,59 @@ def snapshot_diff(spark, sf_dir):
             )
         ).cast("double").alias("price_delta"),
     )
+
+
+@register(
+    "partition_backfill",
+    sql="""
+    WITH state AS (
+      SELECT doc_id, lang, source, n_chars FROM documents WHERE lang <> 'de'
+      UNION ALL
+      SELECT doc_id, lang, source, n_chars + 1000000 AS n_chars
+      FROM documents WHERE lang = 'de'
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           MIN(doc_id) AS first_doc
+    FROM state GROUP BY 1
+    """,
+)
+def partition_backfill(spark, sf_dir):
+    """Idempotent partition backfill — THE lake correction primitive:
+    rewrite exactly one hive partition of a partitioned table while
+    every other partition's files stay untouched. The initial state is
+    ``documents`` partitioned by ``lang``; the backfill writes ONLY the
+    corrected 'de' rows (n_chars shifted by 1e6 as the visible marker)
+    in overwrite mode with the writer-scoped
+    ``partitionOverwriteMode=dynamic`` option — static overwrite would
+    truncate the whole table, and a session-level conf would leak into
+    other writers. The oracle recomputes the expected end state from
+    the source table, so a backfill that clobbers a sibling partition
+    or misses the target one is a hash mismatch.
+    test_sources.py additionally pins that non-target partitions keep
+    their physical files.
+
+    100 TB story: the rewrite's cost is proportional to the CORRECTED
+    partition only; the job never lists or rewrites the other
+    partitions' files."""
+    out = _scratch("df_spark_backfill", sf_dir)
+    docs = load_sdf(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    fixed = (
+        docs.filter(F.col("lang") == "de")
+        .withColumn("n_chars", F.col("n_chars") + 1_000_000)
+    )
+    (
+        fixed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )

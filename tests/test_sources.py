@@ -192,3 +192,46 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     plan = (merged.filter(F.col("quality") > 0.5)
             ._jdf.queryExecution().executedPlan().toString())
     assert "PushedFilters" in plan and "GreaterThan(quality,0.5)" in plan
+
+
+def test_partition_backfill_leaves_siblings_untouched(spark, sf_dir, tmp_path):
+    """Dynamic partition overwrite must rewrite ONLY the target
+    partition's files; sibling partitions keep their exact files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from df_spark.sources.tables import load_sdf
+
+    out = str(tmp_path / "backfill")
+    docs = load_sdf(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+
+    def listing(lang):
+        d = os.path.join(out, f"lang={lang}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)), os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    before_en, before_de = listing("en"), listing("de")
+    (
+        docs.filter(F.col("lang") == "de")
+        .withColumn("n_chars", F.col("n_chars") + 1_000_000)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang")
+        .parquet(out)
+    )
+    assert listing("en") == before_en  # sibling physically untouched
+    assert listing("de") != before_de  # target rewritten
+    # and the data reflects exactly the one corrected partition
+    back = spark.read.parquet(out)
+    assert back.filter(F.col("lang") == "de").agg(
+        F.min("n_chars")
+    ).collect()[0][0] >= 1_000_000
+    n_docs = docs.count()
+    assert back.count() == n_docs
