@@ -389,3 +389,50 @@ def partition_backfill(spark, sf_dir):
         F.sum("n_chars").alias("total_chars"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@register(
+    "inmem_source_join",
+    sql="""
+    WITH dim(status, label, weight) AS (
+      VALUES ('O', 'open', 10), ('F', 'fulfilled', 20), ('P', 'pending', 30)
+    )
+    SELECT d.label,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           SUM(d.weight) AS total_weight
+    FROM orders o JOIN dim d ON o.o_orderstatus = d.status
+    GROUP BY 1
+    """,
+)
+def inmem_source_join(spark, sf_dir):
+    """In-memory source (`Df.from_vecs`, the reference's ``from_vecs!``
+    macro — src/block.rs:1117-1134) joined against a parquet fact table
+    — driver-visible coverage for the one SURVEY §2 source previously
+    exercised only by unit tests. The oracle spells the same dim as an
+    inline VALUES table, so the from_vecs type-inference and row
+    assembly path is value-hash-checked end to end.
+
+    Scale: a literal dim is driver-sized by definition; Spark
+    broadcasts it against the fact scan (no shuffle on the fact)."""
+    dim = Df.from_vecs(
+        spark,
+        [
+            ("status", ["O", "F", "P"]),
+            ("label", ["open", "fulfilled", "pending"]),
+            ("weight", [10, 20, 30]),
+        ],
+    ).to_spark()
+    orders = load_sdf(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(dim), orders["o_orderstatus"] == dim["status"])
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.sum("weight").alias("total_weight"),
+        )
+    )
