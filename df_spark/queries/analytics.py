@@ -459,7 +459,7 @@ def interval_overlap_join(spark, sf_dir):
     sql="""
     WITH pts AS (
       SELECT event_type,
-             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS x,
+             (CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) // 3600 AS x,
              CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS y
       FROM events
     ),
@@ -495,7 +495,10 @@ def events_regression(spark, sf_dir):
     events = load_sdf(spark, sf_dir, "events")
     pts = events.select(
         "event_type",
-        F.expr("unix_timestamp(ts) div 3600").alias("x"),
+        # anchored to the corpus epoch (2024-01-01 UTC): absolute epoch
+        # hours are ~4.7e5 and push n*Sxx past BIGINT at sf0.1 —
+        # caught by the sf0.1 oracle run as an ANSI overflow error
+        F.expr("(unix_timestamp(ts) - 1704067200) div 3600").alias("x"),
         (F.col("value").cast("decimal(10,2)") * 100).cast("long").alias("y"),
     )
     s = pts.groupBy("event_type").agg(
