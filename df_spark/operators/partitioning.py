@@ -67,8 +67,12 @@ BROADCAST_BYTES_CAP = 64 << 20
 
 
 def size_hinted(df: DataFrame, est_bytes: int | None,
-                cap: int = BROADCAST_BYTES_CAP) -> DataFrame | Column:
-    """Broadcast ``df`` iff its runtime-measured size fits the cap."""
+                cap: int = BROADCAST_BYTES_CAP,
+                fallback_hint: str | None = None) -> DataFrame | Column:
+    """Broadcast ``df`` iff its runtime-measured size fits the cap;
+    past the cap, optionally apply a join-strategy hint instead (e.g.
+    ``"shuffle_hash"`` when the probe side is a huge intermediate that
+    a sort-merge join would needlessly sort)."""
     if est_bytes is not None and est_bytes < cap:
         return F.broadcast(df)
-    return df
+    return df.hint(fallback_hint) if fallback_hint else df

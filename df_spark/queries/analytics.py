@@ -472,8 +472,10 @@ def interval_overlap_join(spark, sf_dir):
     SELECT event_type, n,
            CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
            CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
-           CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS BIGINT) AS slope_centi_per_hour
+           CASE WHEN CAST(n * sxx - sx * sx AS BIGINT) <> 0
+                THEN CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS BIGINT)
+           END AS slope_centi_per_hour
     FROM s
     """,
 )
@@ -515,7 +517,9 @@ def events_regression(spark, sf_dir):
         "n",
         num.alias("slope_num"),
         den.alias("slope_den"),
-        (num.cast("double") / den).alias("slope_centi_per_hour"),
+        # den = n^2 * var(x) is 0 for a group whose x is constant (one
+        # hour bucket): emit NULL slope instead of an ANSI div-by-zero
+        F.when(den != 0, num.cast("double") / den).alias("slope_centi_per_hour"),
     )
 
 

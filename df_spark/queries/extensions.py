@@ -297,9 +297,11 @@ def array_hof(spark, sf_dir):
     SELECT o_orderkey,
            o_orderpriority,
            RANK() OVER w AS rnk,
-           (RANK() OVER w - 1)
-             / CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) - 1 AS DOUBLE)
-             AS pct_rank,
+           CASE WHEN COUNT(*) OVER (PARTITION BY o_orderpriority) > 1
+                THEN (RANK() OVER w - 1)
+                     / CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) - 1
+                            AS DOUBLE)
+                ELSE 0.0 END AS pct_rank,
            CAST(COUNT(*) OVER
                 (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
@@ -338,7 +340,12 @@ def window_distribution(spark, sf_dir):
         "o_orderkey",
         "o_orderpriority",
         rnk.alias("rnk"),
-        ((rnk - 1) / (n - 1).cast("double")).alias("pct_rank"),
+        # singleton-partition guard: (n-1)=0 would raise under ANSI
+        # mode (and diverge from the oracle); SQL defines pct_rank of a
+        # 1-row partition as 0
+        F.when(n > 1, (rnk - 1) / (n - 1).cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("pct_rank"),
         (F.count(F.lit(1)).over(wrange).cast("long") / n.cast("double")).alias(
             "cume"
         ),

@@ -287,7 +287,7 @@ def triangles_from_order_parts(op):
     # deg is one (long, long) row per vertex; measure it off the edge
     # checkpoint (no Catalyst stats) and broadcast when it fits — the
     # vertex dim against the edge fact
-    from ..operators.partitioning import BROADCAST_BYTES_CAP, size_hinted
+    from ..operators.partitioning import size_hinted
 
     n_nodes = deg.count()
     deg = deg.localCheckpoint(eager=True)
@@ -334,12 +334,11 @@ def triangles_from_order_parts(op):
     # side stays the per-partition slice of the edge list (tiny), and
     # the wedge side is never sorted — probed at 10x sf0.1: the SMJ
     # regime's 410 M-row wedge sort cost 240 s, the hash join 50 s.
-    edge_bytes = ce.count() * 48
-    ek = ce.select(F.col("u").alias("cu"), F.col("v").alias("cv"))
-    if edge_bytes < BROADCAST_BYTES_CAP:
-        closure = F.broadcast(ek)
-    else:
-        closure = ek.hint("shuffle_hash")
+    closure = size_hinted(
+        ce.select(F.col("u").alias("cu"), F.col("v").alias("cv")),
+        ce.count() * 48,
+        fallback_hint="shuffle_hash",
+    )
     tri = wedges.join(closure, ["cu", "cv"]).select(
         F.col("src").alias("a"), F.col("cu").alias("b"), F.col("cv").alias("c")
     )

@@ -58,30 +58,36 @@ def tree_depths(spark, sf_dir):
     )
     n_nodes = par.count()
     state_bytes = n_nodes * 48
-    done = par.filter(F.col("anc") == 0)
-    active = par.filter(F.col("anc") != 0).localCheckpoint(eager=True)
-    # pointer doubling: jump through the CURRENT state (done rows jump
-    # straight to the root carrying their full depth), so the unknown
-    # remainder at least halves every round
-    while active.count() > 0:
+    # single state table (node, anc, d), CHECKPOINTED each round: every
+    # round is then exactly one join over one materialized input.
+    # (Keeping settled rows in a separate lazily-unioned accumulator
+    # re-executes all prior rounds every round — Θ(2^rounds) plan
+    # growth, caught by a plan probe showing 16 scans for 4 rounds.)
+    state = par
+    while True:
+        state = state.localCheckpoint(eager=True)
+        if state.filter(F.col("anc") != 0).count() == 0:
+            break
         jt = size_hinted(
-            done.unionByName(active).select(
+            state.select(
                 F.col("node").alias("j_node"),
                 F.col("anc").alias("j_anc"),
                 F.col("d").alias("j_d"),
             ),
             state_bytes,
         )
-        nxt = active.join(jt, active["anc"] == F.col("j_node")).select(
-            "node",
-            F.col("j_anc").alias("anc"),
-            (F.col("d") + F.col("j_d")).alias("d"),
+        settled = state.filter(F.col("anc") == 0)
+        nxt = (
+            state.filter(F.col("anc") != 0)
+            .join(jt, F.col("anc") == F.col("j_node"))
+            .select(
+                "node",
+                F.col("j_anc").alias("anc"),
+                (F.col("d") + F.col("j_d")).alias("d"),
+            )
         )
-        # done needs no checkpoint of its own: each union piece hangs
-        # off an already-checkpointed active, so its lineage stays flat
-        done = done.unionByName(nxt.filter(F.col("anc") == 0))
-        active = nxt.filter(F.col("anc") != 0).localCheckpoint(eager=True)
+        state = settled.unionByName(nxt)
     root = spark.createDataFrame([(0, 0)], "custkey: long, depth: long")
-    return done.select(
+    return state.select(
         F.col("node").alias("custkey"), F.col("d").alias("depth")
     ).unionByName(root)

@@ -276,5 +276,8 @@ def doc_compression(spark, sf_dir):
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
         c_bytes.alias("c_bytes"),
-        F.round(c_bytes / F.length("text"), 6).alias("ratio"),
+        # empty documents are legal ingest: NULL ratio, not div-by-zero
+        F.when(
+            F.length("text") > 0, F.round(c_bytes / F.length("text"), 6)
+        ).alias("ratio"),
     )
