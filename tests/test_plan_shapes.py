@@ -136,3 +136,53 @@ def test_rollup_hypertable_single_scan_expand(spark):
     plan = plan_of(spark, "rollup_hypertable")
     assert plan.count("Scan parquet") == 1
     assert "Expand" in plan
+
+
+def test_governance_queries_are_map_only(spark):
+    # PII scrub and MIME sniff are scan-speed ingest ops: any Exchange
+    # or Python eval in the plan is a regression
+    for name in ("pii_redact", "mime_sniff"):
+        plan = plan_of(spark, name)
+        assert "Exchange" not in plan, name
+        assert "EvalPython" not in plan, name
+
+
+def test_events_regression_single_shuffle(spark):
+    # map-side moment projection + one partial/final hash aggregate
+    plan = plan_of(spark, "events_regression")
+    assert count_in(plan, "Exchange") == 1
+    assert count_in(plan, "HashAggregate") >= 2  # partial + final
+
+
+def test_interval_overlap_no_second_agg_exchange(spark):
+    # equi-join on custkey and the count reuse the same partitioning;
+    # top-k via TakeOrderedAndProject (no global sort)
+    plan = plan_of(spark, "interval_overlap_join")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_unpivot_single_scan_expand(spark):
+    plan = plan_of(spark, "unpivot_metrics")
+    assert "Expand" in plan
+    assert count_in(plan, "Scan parquet") == 1
+
+
+def test_inmem_dim_broadcasts_fact_unshuffled_prejoin(spark):
+    plan = plan_of(spark, "inmem_source_join")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_array_hof_stays_jvm_side(spark):
+    plan = plan_of(spark, "array_hof")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_tree_depths_final_plan_is_flat(spark):
+    # the pointer-doubling loop must leave only the checkpointed state
+    # behind: re-planning prior rounds (Θ(2^rounds) growth) shows up as
+    # parquet scans / joins in the FINAL plan
+    plan = plan_of(spark, "tree_depths")
+    assert count_in(plan, "Scan parquet") == 0
+    assert count_in(plan, "Join") == 0
