@@ -160,17 +160,30 @@ def main() -> None:
         cpu[name] = round(statistics.median(good_cpu), 3) if good_cpu else -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     core = round(sum(t for n, t in timings.items() if t >= 0 and n in R4_SET), 3)
+    total_cpu = round(sum(c for c in cpu.values() if c >= 0), 3)
+    top_cost = dict(sorted(
+        ((n, t) for n, t in timings.items() if t >= 0),
+        key=lambda kv: -kv[1],
+    )[:10])
+    # Key order is deliberate: the driver's permanent record keeps only
+    # the LAST ~2000 chars of this line (r5 lost the totals and 51
+    # per-query rows to head-truncation), so the bulky per-query maps
+    # go FIRST and every decisive number — totals, CPU total, the 10
+    # most expensive queries — sits at the tail where it survives.
     print(json.dumps({
         "metric": "headline_queries_total_wall",
-        "value": total,
         "unit": "sec",
-        "value_core": core,  # round-4 query set only — cross-round comparable
         "queries": timings,
         "spread": spread,
         "queries_cpu": cpu,
         "passes": passes,
         "load_avg": [round(x, 2) for x in os.getloadavg()],
         "sf": sf,
+        "n_queries": len(timings),
+        "top_cost": top_cost,
+        "value_cpu": total_cpu,
+        "value_core": core,  # round-4 query set only — cross-round comparable
+        "value": total,
     }))
 
 

@@ -465,8 +465,8 @@ def interval_overlap_join(spark, sf_dir):
     ),
     s AS (
       SELECT event_type, COUNT(*) AS n,
-             SUM(x) AS sx, SUM(y) AS sy,
-             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
       FROM pts GROUP BY event_type
     )
     SELECT event_type, n,

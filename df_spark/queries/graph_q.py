@@ -100,8 +100,13 @@ def _pagerank_iter_sql() -> str:
     for i in range(1, _PR_ITERS + 1):
         ctes.append(f"""
     r{i}_raw AS (
+      -- CAST back to BIGINT each iteration: DuckDB widens SUM(BIGINT)
+      -- to HUGEINT, which would otherwise propagate through every CTE
+      -- into the output column and hash differently across driver
+      -- environments (r5 driver hash-fail root cause)
       SELECT e.v AS node,
-             {_PR_TELEPORT} + SUM((r.rank * 85) // (100 * r.outdeg)) AS rank
+             CAST({_PR_TELEPORT}
+                  + SUM((r.rank * 85) // (100 * r.outdeg)) AS BIGINT) AS rank
       FROM edges e JOIN {prev} r ON e.u = r.node
       GROUP BY e.v
     ),
@@ -121,7 +126,7 @@ def _pagerank_iter_sql() -> str:
     r0 AS (SELECT u AS node, outdeg,
                   CAST({_PR_SCALE} AS BIGINT) AS rank FROM deg),
     {_pagerank_iter_sql()}
-    SELECT node AS part, rank AS pr FROM (
+    SELECT node AS part, CAST(rank AS BIGINT) AS pr FROM (
       SELECT node, rank,
              ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS rn
       FROM r{_PR_ITERS}

@@ -85,10 +85,14 @@ def sql_surface(spark, sf_dir):
     sql="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
-           COUNT(CASE WHEN json_extract(props, '$.missing') IS NULL
+           -- json_extract_string: VARCHAR NULL for an absent key in
+           -- every DuckDB version; json_extract's NULL-vs-'null' for
+           -- absent keys shifted across versions (r5 driver hash-fail)
+           COUNT(CASE WHEN json_extract_string(props, '$.missing') IS NULL
                       THEN NULL ELSE 1 END) AS n_missing_key
     FROM events GROUP BY 1
     """,

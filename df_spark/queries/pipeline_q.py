@@ -72,7 +72,7 @@ def llm_data_pipeline(spark, sf_dir):
     sql=f"""
     SELECT {D.h32_sql(D.normalized_sql('text'))} % 32 AS shard,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            COUNT(DISTINCT lang) AS n_langs,
            MIN(doc_id) AS first_doc
     FROM documents

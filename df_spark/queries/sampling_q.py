@@ -44,7 +44,7 @@ def sample_stratified(spark, sf_dir):
 @register(
     "sample_bernoulli",
     sql=f"""
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     WHERE {keep_sql('doc_id')} < 2500
     GROUP BY lang
@@ -70,7 +70,7 @@ MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
 @register(
     "source_mix",
     sql=f"""
-    SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM ({mix_sources_sql('documents', MIX_WEIGHTS, 'doc_id')})
     GROUP BY source
     """,
@@ -124,7 +124,7 @@ def sample_exact_k(spark, sf_dir):
 @register(
     "sample_weighted",
     sql=f"""
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     WHERE {S.weighted_sample_sql(X.quality_score_sql('text'), 'doc_id')}
     GROUP BY lang
@@ -153,7 +153,7 @@ _VAL_LT = 9_500    # 5% val; remainder test
 @register(
     "train_val_split",
     sql=f"""
-    SELECT split, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM (
       SELECT lang, n_chars,
              CASE WHEN {keep_sql('doc_id', _SPLIT_DENOM)} < {_TRAIN_LT}

@@ -75,7 +75,7 @@ def csv_roundtrip(spark, sf_dir):
     sql="""
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     WHERE lang IN ('en', 'de')
     GROUP BY 1, 2
@@ -215,7 +215,7 @@ def orc_roundtrip(spark, sf_dir):
     sql="""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(doc_id) AS first_doc
     FROM documents
     GROUP BY 1
@@ -345,7 +345,7 @@ def snapshot_diff(spark, sf_dir):
       FROM documents WHERE lang = 'de'
     )
     SELECT lang, COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(doc_id) AS first_doc
     FROM state GROUP BY 1
     """,
@@ -401,7 +401,7 @@ def partition_backfill(spark, sf_dir):
            COUNT(*) AS n_orders,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              AS sum_price,
-           SUM(d.weight) AS total_weight
+           CAST(SUM(d.weight) AS BIGINT) AS total_weight
     FROM orders o JOIN dim d ON o.o_orderstatus = d.status
     GROUP BY 1
     """,

@@ -164,9 +164,9 @@ def pack_sequences(spark, sf_dir):
     nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok2)
     SELECT t.doc_id,
            COUNT(*) AS n_tokens,
-           SUM(f.cnt) AS total_freq,
+           CAST(SUM(f.cnt) AS BIGINT) AS total_freq,
            CAST(SUM(f.cnt) AS DOUBLE) / COUNT(*) AS mean_token_freq,
-           SUM(CASE WHEN f.cnt >= nd.n_docs THEN 1 ELSE 0 END) AS n_common
+           CAST(SUM(CASE WHEN f.cnt >= nd.n_docs THEN 1 ELSE 0 END) AS BIGINT) AS n_common
     FROM tok2 t JOIN freq f ON t.token = f.token CROSS JOIN nd
     GROUP BY 1
     """,
