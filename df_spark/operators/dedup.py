@@ -62,15 +62,19 @@ def minhash_mins_array() -> Column:
 
 
 def minhash_est(mins_left: str, mins_right: str) -> Column:
-    """Estimated signature agreement: one 16-element zip_with/aggregate
-    instead of a 16-term CASE chain (the verify stages run off
-    whole-stage codegen — session.py hugeMethodLimit — so expression
-    COUNT is cost). Shared by the in-corpus and cross-corpus verifies."""
-    return F.aggregate(
-        F.zip_with(mins_left, mins_right,
-                   lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0), lambda acc, x: acc + x,
-    )
+    """Estimated signature agreement: a 16-term sum of per-position
+    equality flags via ``getItem`` — fully codegen'd integer compares.
+    (The r3-r5 ``zip_with``/``aggregate`` HOF form evaluated its lambda
+    INTERPRETED per pair: measured 40 → 18 CPU-s on the 2.3 M-pair
+    sf0.1 screen just from this rewrite.) Shared by the in-corpus and
+    cross-corpus verifies."""
+    est = None
+    for i in range(NUM_HASHES):
+        term = F.when(
+            F.col(mins_left).getItem(i) == F.col(mins_right).getItem(i), 1
+        ).otherwise(0)
+        est = term if est is None else est + term
+    return est
 
 
 def jaccard_projection(
@@ -92,6 +96,41 @@ def jaccard_projection(
         sized.select(id_left, id_right, jac.alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+def jaccard_words_projection(
+    pairs: DataFrame, id_left: str, id_right: str,
+    left_suffix: str, right_suffix: str, words: list[str], min_jaccard: float,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """(id_left, id_right, jaccard >= t) from per-pair shingle BITMAPS
+    (``w{{i}}{{suffix}}`` long columns, one bit per distinct shingle
+    hash): |∩| = Σ popcount(wa & wb) — W codegen'd ANDs + bit_counts
+    per pair instead of a per-pair hash-set build (measured ~10× at
+    sf0.1 where W=6). Set sizes ride along as ``n{{suffix}}`` columns.
+    Bit-exact with :func:`jaccard_projection`: bits are per distinct
+    h32 value, so popcounts equal hash-set cardinalities.
+
+    ``carry`` columns survive the projection (still present after the
+    threshold filter) so callers can apply further conjuncts — e.g.
+    the MinHash-estimate screen, which on the bitmap path is CHEAPER
+    evaluated after this filter (6 popcounts vs a 16-term compare,
+    2.3 M pairs in, 0.4 M out at sf0.1)."""
+    inter = None
+    for w in words:
+        term = F.bit_count(
+            F.col(f"{w}{left_suffix}").bitwiseAND(F.col(f"{w}{right_suffix}")))
+        inter = term if inter is None else inter + term
+    sized = pairs.select(
+        id_left, id_right, *(carry or []),
+        inter.cast("double").alias("__i"),
+        (F.col(f"n{left_suffix}") + F.col(f"n{right_suffix}")).cast("double").alias("__t"),
+    )
+    jac = F.round(F.col("__i") / (F.col("__t") - F.col("__i")), 6)
+    return (
+        sized.select(id_left, id_right, *(carry or []), jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -212,51 +251,175 @@ def shingle_profile(
     return hashes.groupBy(id_col).agg(*aggs)
 
 
+# Max distinct shingle hashes for the bitmap verify encoding: 4096 bits
+# = 64 longs per doc. Char-k-shingle universes are bounded by charset^k
+# (a few hundred on normalized closed-vocab corpora, ≤ ~64k for ASCII
+# text at k=3), so the cap decides per-BUILD from the measured dim size
+# — never per-row.
+BITMAP_MAX_WORDS = 64
+# Past this many distinct shingles the dictionary join stops paying
+# (dim no longer broadcast-trivial) and the build falls back to the
+# per-row transform path.
+DIM_MAX_ROWS = 1_000_000
+
+
+def _shared_build(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3,
+    memo: bool = True,
+) -> DataFrame:
+    """ONE-aggregate build of everything the dedup family derives from
+    text: per-doc hashed shingle set (``sh``), its size (``n_sh``), the
+    16 MinHash minima (``m0..m15``), and — when the corpus' distinct-
+    shingle-hash universe fits ``BITMAP_MAX_WORDS``×64 bits — a fixed-
+    width bitmap (``w0..w{{W-1}}``) with one bit per distinct h32 value,
+    which turns the per-pair exact-Jaccard intersect into W ANDs +
+    popcounts instead of a hash-set build (measured ~10× at sf0.1).
+
+    Plan shape (replaces the r2–r5 two-pass transform build, 50→~20
+    CPU-s at sf0.1):
+
+    - normalize once behind the barrier repartition, checkpoint the
+      (id, normalized text) frame — it is scanned twice (dictionary +
+      aggregate). At 100 TB this materialization is ~input-sized; the
+      alternative (recompute the normalize per pass) trades CPU for
+      storage and stays a one-line change.
+    - shingle via ``posexplode of positions`` + ``substring`` AFTER the
+      explode — whole-stage codegen end to end; the old
+      ``transform``-lambda path evaluated substring+md5 interpreted,
+      per element.
+    - h32 (md5) and the 16 permutations are computed once per DISTINCT
+      shingle on a dictionary frame bounded by charset^k — broadcast
+      back onto the token stream. Duplicate positions don't matter:
+      ``collect_set`` dedupes, MIN and bit_or are idempotent.
+    - ONE hash aggregate per doc builds sets + mins + bitmap together;
+      map-side partial aggregation collapses each doc's tokens before
+      the (tiny: ints + 16 longs per doc) shuffle.
+
+    Bit indexing is per distinct ``h32`` value (dense_rank), not per
+    shingle string, so two shingles colliding on h32 share a bit and
+    popcounts equal hash-set cardinalities exactly — the oracle's
+    ``list_intersect`` on hashes sees identical numbers.
+
+    Contract difference vs :func:`hashed_shingle_sets`: docs whose
+    normalized text is shorter than ``k`` produce NO row (they have no
+    signature and can never be LSH candidates, so every consumer joins
+    them away anyway)."""
+    def build() -> DataFrame:
+        norm = docs.select(
+            F.col(id_col), normalized(F.col(text_col)).alias("__t")
+        ).filter(F.length("__t") >= k)
+        norm = norm.repartition(barrier_width(norm)).localCheckpoint(eager=True)
+        toks = norm.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.length("__t") - (k - 1))).alias("__p"),
+            "__t",
+        ).select(F.col(id_col), F.col("__t").substr(F.col("__p"), F.lit(k)).alias("__s"))
+
+        # ONE pass over the token stream builds the dictionary; the
+        # checkpoint makes every later dim read (stats agg, broadcast
+        # build) a bounded-table scan instead of a corpus re-explode
+        dim = (
+            toks.select("__s").distinct()
+            .select("__s", h32(F.col("__s")).alias("__h"))
+            .localCheckpoint(eager=True)
+        )
+        stats = dim.agg(
+            F.count(F.lit(1)).alias("n_tri"),
+            F.countDistinct("__h").alias("n_hashes"),
+        ).collect()[0]
+        n_tri = stats["n_tri"]
+        if n_tri > DIM_MAX_ROWS:
+            # unbounded shingle universe: dictionary join stops paying —
+            # per-row transform build, no bitmap
+            sets = hashed_shingle_sets(docs, id_col, text_col, k=k)
+            h = (F.col("h").cast("long") + H32_INT_SHIFT).alias("h")
+            hashes = sets.select(F.col(id_col), F.explode("sh").alias("h")).select(id_col, h)
+            prof = hashes.groupBy(id_col).agg(
+                *[F.min(minhash_perm(F.col("h"), i)).alias(f"m{i}")
+                  for i in range(NUM_HASHES)])
+            return (
+                sets.filter(F.size("sh") > 0)
+                .withColumn("n_sh", F.size("sh"))
+                .join(prof, id_col)
+                .localCheckpoint(eager=True)
+            )
+
+        from pyspark.sql import Window
+
+        n_hashes = stats["n_hashes"]
+        n_words = (
+            (n_hashes + 63) // 64 if n_hashes <= BITMAP_MAX_WORDS * 64 else 0
+        )
+        dim_cols = [
+            "__s",
+            (F.col("__h") - H32_INT_SHIFT).cast("int").alias("hi"),
+            *[minhash_perm(F.col("__h"), i).alias(f"p{i}") for i in range(NUM_HASHES)],
+        ]
+        if n_words:
+            # single-partition window is fine: the dim is charset^k-bounded
+            dim_cols.append(
+                (F.dense_rank().over(Window.orderBy("__h")) - 1).alias("__bit"))
+        # no second checkpoint: the broadcast build below evaluates the
+        # perm/bit projection once off the dim checkpoint
+        dim = dim.select(*dim_cols)
+
+        aggs = [
+            F.collect_set("hi").alias("sh"),
+            *[F.min(f"p{i}").alias(f"m{i}") for i in range(NUM_HASHES)],
+        ]
+        for w in range(n_words):
+            aggs.append(F.expr(
+                f"bit_or(CASE WHEN __bit >= {w * 64} AND __bit < {(w + 1) * 64} "
+                f"THEN shiftleft(1L, __bit % 64) ELSE 0L END)"
+            ).alias(f"w{w}"))
+        combined = (
+            toks.join(F.broadcast(dim), "__s")
+            .groupBy(id_col)
+            .agg(*aggs)
+            .withColumn("n_sh", F.size("sh"))
+        )
+        return combined.localCheckpoint(eager=True)
+
+    if not memo:
+        return build()
+    key = ("combined", frame_key(docs), id_col, text_col, k)
+    return DEDUP_MEMO.get_or_build(key, build)
+
+
+def _build_words(frame: DataFrame) -> list[str]:
+    """Bitmap word columns present on a :func:`_shared_build` frame
+    (empty when the universe exceeded the bitmap cap)."""
+    import re
+
+    return sorted(
+        (c for c in frame.columns if re.fullmatch(r"w\d+", c)),
+        key=lambda c: int(c[1:]),
+    )
+
+
 def shared_sets(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3,
     memo: bool = True,
 ) -> DataFrame:
-    """Materialized :func:`hashed_shingle_sets`, memoized per (input
-    plan, params): ONE normalize→shingle→hash map-side pass over the
-    corpus feeds the MinHash profile aggregate (via explode of the
-    materialized arrays — no second text scan) AND the exact-Jaccard
-    verification join."""
-    if not memo:
-        return hashed_shingle_sets(docs, id_col, text_col, k=k).localCheckpoint(eager=True)
-    key = ("sets", frame_key(docs), id_col, text_col, k)
-    return DEDUP_MEMO.get_or_build(
-        key,
-        lambda: hashed_shingle_sets(docs, id_col, text_col, k=k).localCheckpoint(eager=True),
-    )
+    """Per-doc hashed shingle set slice of :func:`_shared_build` —
+    memoized: signatures, LSH pairs, near-dup screening and the verify
+    join all start from the one materialized aggregate. Docs shorter
+    than ``k`` have no row (see the build's contract note)."""
+    return _shared_build(docs, id_col, text_col, k, memo=memo).select(id_col, "sh")
 
 
 def shared_profile(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3,
     memo: bool = True,
 ) -> DataFrame:
-    """Materialized MinHash profile, memoized per (input plan, params)
-    — signatures, LSH pairs, and near-dup screening all start from this
-    one aggregate. Derived by exploding :func:`shared_sets` (the
-    distinct HASHES rather than hashes of distinct shingles; per-
-    permutation minima are identical either way, and re-deriving from
-    the materialized arrays skips a second normalize+shingle text scan
-    — measured 1.5 s vs 5.6 s at sf0.1). Docs with an empty shingle
-    array (len < k) produce no explode row and so no profile row,
-    matching the oracle's unnest/inner-group semantics."""
-    def build() -> DataFrame:
-        sets = shared_sets(docs, id_col, text_col, k=k, memo=memo)
-        # undo the int-packing shift: permutations are defined over the
-        # oracle-reproducible h32 domain [0, 2^32)
-        h = (F.col("h").cast("long") + H32_INT_SHIFT).alias("h")
-        hashes = sets.select(F.col(id_col), F.explode("sh").alias("h")).select(id_col, h)
-        aggs = [F.min(minhash_perm(F.col("h"), i)).alias(f"m{i}")
-                for i in range(NUM_HASHES)]
-        return hashes.groupBy(id_col).agg(*aggs).localCheckpoint(eager=True)
-
-    if not memo:
-        return build()
-    key = ("profile", frame_key(docs), id_col, text_col, k)
-    return DEDUP_MEMO.get_or_build(key, build)
+    """Per-doc narrow MinHash profile (id + 16 minima) slice of
+    :func:`_shared_build` — memoized; the minima come from permutations
+    applied on the shingle DICTIONARY (once per distinct shingle, in
+    the oracle-reproducible h32 domain), min-aggregated per doc in the
+    same pass that builds the sets. Docs with no shingles (len < k)
+    have no row, matching the oracle's unnest/inner-group semantics."""
+    return _shared_build(docs, id_col, text_col, k, memo=memo).select(
+        id_col, *[f"m{i}" for i in range(NUM_HASHES)])
 
 
 def hashed_shingle_sets(
@@ -465,51 +628,81 @@ def minhash_near_dups(
     ``minhash_near_dups`` all need exactly this frame."""
 
     def build() -> DataFrame:
-        sets = shared_sets(docs, id_col, text_col, memo=memo)
-        prof = shared_profile(docs, id_col, text_col, memo=memo)
+        combined = _shared_build(docs, id_col, text_col, memo=memo)
+        words = _build_words(combined)
+        prof = combined.select(id_col, *[f"m{i}" for i in range(NUM_HASHES)])
         sigs = minhash_signatures(id_col=id_col, profile=prof)
         cand = lsh_candidate_pairs(sigs, id_col, memo=memo)
         par = cand.sparkSession.sparkContext.defaultParallelism
-        # one cheap agg over the materialized sets checkpoint: ~8 B per
+        # one cheap agg over the materialized build checkpoint: ~8 B per
         # hash + per-row overhead; drives both the broadcast decision
-        # and the per-doc mins estimate
-        stats = sets.select(
-            F.count(F.lit(1)).alias("n"), F.sum(F.size("sh")).alias("nh")
+        # and the per-doc payload size estimate
+        stats = combined.select(
+            F.count(F.lit(1)).alias("n"), F.sum("n_sh").alias("nh")
         ).collect()[0]
         n_docs = stats["n"]
-        sets_bytes = (stats["nh"] or 0) * 4 + n_docs * 32
         mins_bytes = n_docs * (NUM_HASHES * 8 + 24)
+        if words:
+            # bitmap payload: W longs + n_sh per doc
+            pay_cols = [F.col("n_sh"), *[F.col(w) for w in words]]
+            pay_bytes = n_docs * (len(words) + 1) * 8 + n_docs * 24
+        else:
+            pay_cols = [F.col("n_sh"), F.col("sh")]
+            pay_bytes = (stats["nh"] or 0) * 4 + n_docs * 32
 
         mins_arr = minhash_mins_array()
         est = minhash_est("mins_a", "mins_b")
 
+        def sided(suffix: str) -> list:
+            return [
+                F.col("n_sh").alias(f"n{suffix}"),
+                *([F.col(w).alias(f"{w}{suffix}") for w in words] if words
+                  else [F.col("sh").alias(f"sh{suffix}")]),
+            ]
+
         def verify(pairs: DataFrame) -> DataFrame:
+            if words:
+                return jaccard_words_projection(
+                    pairs, "id_a", "id_b", "_a", "_b", words, min_jaccard)
             return jaccard_projection(
                 pairs, "id_a", "id_b", "sh_a", "sh_b", min_jaccard)
 
-        if sets_bytes + mins_bytes < BROADCAST_BYTES_CAP:
-            # fused single-stage verify: mins + shingle array per side
-            # in one broadcast frame; est filter sits below the Jaccard
-            # projection so rejected pairs never evaluate the intersect
-            side = prof.join(sets, id_col).select(
-                F.col(id_col), mins_arr.alias("mins"), F.col("sh"))
+        side = combined.select(F.col(id_col), mins_arr.alias("mins"), *pay_cols)
+        if pay_bytes + mins_bytes < BROADCAST_BYTES_CAP:
+            # fused single-stage verify: mins + set payload per side in
+            # one broadcast frame
             a = F.broadcast(side.select(
                 F.col(id_col).alias("id_a"), F.col("mins").alias("mins_a"),
-                F.col("sh").alias("sh_a")))
+                *sided("_a")))
             b = F.broadcast(side.select(
                 F.col(id_col).alias("id_b"), F.col("mins").alias("mins_b"),
-                F.col("sh").alias("sh_b")))
+                *sided("_b")))
             n_cand = cand.count()  # cheap: cand is checkpointed
-            width = max(par, min(n_cand // 20_000 + 1, 8 * par))
-            pairs = (
-                cand.repartition(width).join(a, "id_a").join(b, "id_b")
-                .filter(est >= min_est_matches)
-            )
+            width = max(par, min(n_cand // 100_000 + 1, 8 * par))
+            joined = cand.repartition(width).join(a, "id_a").join(b, "id_b")
+            if words:
+                # conjunct ORDER flipped on the bitmap path: the
+                # popcount Jaccard is the cheap test here, so it runs
+                # first and the 16-term estimate screen only evaluates
+                # for the pairs that already pass the threshold
+                verified = jaccard_words_projection(
+                    joined, "id_a", "id_b", "_a", "_b", words, min_jaccard,
+                    carry=["mins_a", "mins_b"],
+                ).filter(est >= min_est_matches).select("id_a", "id_b", "jaccard")
+            else:
+                # array path: the per-pair hash-set intersect dominates,
+                # so the estimate screen stays below it
+                verified = verify(joined.filter(est >= min_est_matches))
+            if not memo:
+                return verified
+            store_width = max(1, min(n_cand // 500_000 + 1, par))
+            return verified.repartition(store_width).localCheckpoint(eager=True)
         else:
-            # two-phase: narrow screen, then the array-attaching join
+            # two-phase: narrow screen, then the payload-attaching join
             # only for survivors
-            mins_a = prof.select(F.col(id_col).alias("id_a"), mins_arr.alias("mins_a"))
-            mins_b = prof.select(F.col(id_col).alias("id_b"), mins_arr.alias("mins_b"))
+            prof_m = combined.select(F.col(id_col), mins_arr.alias("mins"))
+            mins_a = prof_m.select(F.col(id_col).alias("id_a"), F.col("mins").alias("mins_a"))
+            mins_b = prof_m.select(F.col(id_col).alias("id_b"), F.col("mins").alias("mins_b"))
             screened = (
                 cand.join(size_hinted(mins_a, mins_bytes), "id_a")
                 .join(size_hinted(mins_b, mins_bytes), "id_b")
@@ -520,17 +713,22 @@ def minhash_near_dups(
             n_pairs = screened.count()
             width = max(par, min(n_pairs // 20_000 + 1, 8 * par))
             sa = size_hinted(
-                sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
-                sets_bytes)
+                side.select(F.col(id_col).alias("id_a"), *sided("_a")), pay_bytes)
             sb = size_hinted(
-                sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
-                sets_bytes)
+                side.select(F.col(id_col).alias("id_b"), *sided("_b")), pay_bytes)
             pairs = screened.repartition(width).join(sa, "id_a").join(sb, "id_b")
 
-        verified = verify(pairs)
-        if not memo:
-            return verified
-        return verified.localCheckpoint(eager=True)
+            verified = verify(pairs)
+            if not memo:
+                return verified
+            # store the memoized pair set at data-sized width: consumers
+            # (the CC loop, the pipeline) re-scan this frame many times,
+            # and inheriting the verify job's compute width (~100+
+            # partitions) makes every downstream job pay that task count
+            # (measured: the CC's symmetric-edge build dropped 14 → 2
+            # CPU-s at sf0.1)
+            store_width = max(1, min(n_pairs // 500_000 + 1, par))
+            return verified.repartition(store_width).localCheckpoint(eager=True)
 
     if not memo:
         return build()
@@ -822,9 +1020,16 @@ def _cross_verify(
     min_jaccard: float,
     id_col: str,
     min_est_matches: int,
+    words: list[str] | None = None,
 ) -> DataFrame:
     """Shared tail of the cross-corpus pipeline: band buckets per side,
-    cross-side candidate join, estimate screen, exact-Jaccard verify."""
+    cross-side candidate join, estimate screen, exact-Jaccard verify.
+
+    ``words``: when both sides are slices of ONE :func:`_shared_build`
+    (the in-table incremental case) their bitmap encodings share a bit
+    universe, so the verify runs on popcounts (``sets_*`` then carry
+    ``n_sh`` + word columns instead of ``sh``). Two independent builds
+    have incompatible bit assignments — callers pass arrays there."""
     sig_n = minhash_signatures(id_col=id_col, profile=prof_n)
     sig_b = minhash_signatures(id_col=id_col, profile=prof_b)
 
@@ -855,27 +1060,41 @@ def _cross_verify(
     # Spark's broadcast limit. Bytes are measured, not assumed: rows x
     # (16 minima + avg set payload).
     def side_bytes(prof: DataFrame, sets: DataFrame) -> int:
+        if words:
+            n_docs = sets.count()
+            return n_docs * ((len(words) + 1) * 8 + NUM_HASHES * 8 + 56)
         stats = sets.select(
             F.count(F.lit(1)).alias("n"), F.sum(F.size("sh")).alias("nh")
         ).collect()[0]
         n_docs = stats["n"] or 0
         return (stats["nh"] or 0) * 4 + n_docs * (NUM_HASHES * 8 + 56)
 
+    def payload(suffix: str) -> list:
+        if words:
+            return [
+                F.col("n_sh").alias(f"n{suffix}"),
+                *[F.col(w).alias(f"{w}{suffix}") for w in words],
+            ]
+        return [F.col("sh").alias(f"sh{suffix}")]
+
     side_n = size_hinted(
         prof_n.join(sets_n, id_col).select(
             F.col(id_col).alias("id_new"), mins_arr.alias("mins_n"),
-            F.col("sh").alias("sh_n")),
+            *payload("_n")),
         side_bytes(prof_n, sets_n))
     side_b = size_hinted(
         prof_b.join(sets_b, id_col).select(
             F.col(id_col).alias("id_base"), mins_arr.alias("mins_b"),
-            F.col("sh").alias("sh_b")),
+            *payload("_b")),
         side_bytes(prof_b, sets_b))
     screened = (
         cand.repartition(width)
         .join(side_n, "id_new").join(side_b, "id_base")
         .filter(est >= min_est_matches)
     )
+    if words:
+        return jaccard_words_projection(
+            screened, "id_new", "id_base", "_n", "_b", words, min_jaccard)
     return jaccard_projection(
         screened, "id_new", "id_base", "sh_n", "sh_b", min_jaccard)
 
@@ -935,12 +1154,16 @@ def cross_near_dups_in_table(
     with the build. Measured at sf0.1: 8.4s -> ~2s cold when the
     dedup family has already run, and one corpus pass instead of two
     either way."""
-    sets = shared_sets(docs, id_col, text_col, memo=memo)
-    prof = shared_profile(docs, id_col, text_col, memo=memo)
+    combined = _shared_build(docs, id_col, text_col, memo=memo)
+    words = _build_words(combined)
+    prof = combined.select(id_col, *[f"m{i}" for i in range(NUM_HASHES)])
+    pay = combined.select(
+        id_col, "n_sh", *(words if words else ["sh"]))
     return _cross_verify(
-        prof.filter(new_pred), sets.filter(new_pred),
-        prof.filter(~new_pred), sets.filter(~new_pred),
+        prof.filter(new_pred), pay.filter(new_pred),
+        prof.filter(~new_pred), pay.filter(~new_pred),
         min_jaccard, id_col, min_est_matches,
+        words=words or None,
     )
 
 

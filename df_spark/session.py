@@ -53,6 +53,21 @@ def get_spark(
         # fused verify 5.9-8.4s with 8000 vs 9.4-11.5s with the
         # default. Normal-width stages are unaffected either way.)
         .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # C1-only JIT (no C2): every query generates FRESH codegen
+        # classes, each run for seconds — C2's expensive optimizing
+        # compiles (measured: 67 s of compilation wall during ONE cold
+        # dedup_clusters; a 325 CPU-s C2 recompile storm on a warm
+        # prefix_sim_join) never pay for themselves at per-query
+        # lifetimes. Measured at sf0.1: CPU down 25-75% and wall flat
+        # or better on every heavy query; the one regression is ~20%
+        # on already-warm per-char hashing loops. On a long-lived
+        # production cluster where the same stages run for hours, C2
+        # amortizes — override via SPARK_GRAFT_JIT (e.g. "" to restore
+        # the JVM default).
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_JIT", "-XX:TieredStopAtLevel=1"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))

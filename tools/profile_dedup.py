@@ -26,13 +26,22 @@ def main() -> None:
     docs = load_sdf(spark, sf_dir, "documents")
     docs.count()  # warm the scan
 
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
     t = time.time()
+    c = bench.jvm_cpu_seconds()
 
     def lap(label: str):
-        nonlocal t
-        now = time.time()
-        print(f"{label:28s} {now - t:7.2f}s")
-        t = now
+        nonlocal t, c
+        now, cnow = time.time(), bench.jvm_cpu_seconds()
+        print(f"{label:34s} {now - t:7.2f}s wall  {cnow - c:7.1f} cpu-s")
+        t, c = now, cnow
 
     sets = D.shared_sets(docs)
     n_docs = sets.count()
