@@ -363,20 +363,27 @@ def _shared_build(
         # perm/bit projection once off the dim checkpoint
         dim = dim.select(*dim_cols)
 
+        # in the bitmap regime the explicit hash ARRAYS are dead weight:
+        # every in-build consumer (verify, in-table cross, stats) reads
+        # the words + n_sh; arrays for the rare two-frame cross API come
+        # from :func:`shared_sets`' separate lazy build instead. The
+        # collect_set buffer was ~40% of this aggregate's cost.
         aggs = [
-            F.collect_set("hi").alias("sh"),
+            F.countDistinct("hi").cast("int").alias("n_sh"),
             *[F.min(f"p{i}").alias(f"m{i}") for i in range(NUM_HASHES)],
         ]
-        for w in range(n_words):
-            aggs.append(F.expr(
-                f"bit_or(CASE WHEN __bit >= {w * 64} AND __bit < {(w + 1) * 64} "
-                f"THEN shiftleft(1L, __bit % 64) ELSE 0L END)"
-            ).alias(f"w{w}"))
+        if n_words:
+            for w in range(n_words):
+                aggs.append(F.expr(
+                    f"bit_or(CASE WHEN __bit >= {w * 64} AND __bit < {(w + 1) * 64} "
+                    f"THEN shiftleft(1L, __bit % 64) ELSE 0L END)"
+                ).alias(f"w{w}"))
+        else:
+            aggs.insert(0, F.collect_set("hi").alias("sh"))
         combined = (
             toks.join(F.broadcast(dim), "__s")
             .groupBy(id_col)
             .agg(*aggs)
-            .withColumn("n_sh", F.size("sh"))
         )
         return combined.localCheckpoint(eager=True)
 
@@ -401,11 +408,24 @@ def shared_sets(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3,
     memo: bool = True,
 ) -> DataFrame:
-    """Per-doc hashed shingle set slice of :func:`_shared_build` —
-    memoized: signatures, LSH pairs, near-dup screening and the verify
-    join all start from the one materialized aggregate. Docs shorter
-    than ``k`` have no row (see the build's contract note)."""
-    return _shared_build(docs, id_col, text_col, k, memo=memo).select(id_col, "sh")
+    """Per-doc hashed shingle ARRAYS, memoized. When the shared build
+    ran in the array regime this is a slice of it; in the bitmap regime
+    the hot path never materializes arrays, so this builds them lazily
+    (one extra map-side corpus pass, :func:`hashed_shingle_sets`) for
+    the callers that genuinely need per-element sets — the two-frame
+    cross-corpus verify, ad-hoc analysis. Keeps that function's
+    contract: one row per doc, empty array for texts shorter than
+    ``k``."""
+    combined = _shared_build(docs, id_col, text_col, k, memo=memo)
+    if "sh" in combined.columns:
+        return combined.select(id_col, "sh")
+    if not memo:
+        return hashed_shingle_sets(docs, id_col, text_col, k=k).localCheckpoint(eager=True)
+    key = ("sets", frame_key(docs), id_col, text_col, k)
+    return DEDUP_MEMO.get_or_build(
+        key,
+        lambda: hashed_shingle_sets(docs, id_col, text_col, k=k).localCheckpoint(eager=True),
+    )
 
 
 def shared_profile(
