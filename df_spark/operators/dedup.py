@@ -911,6 +911,86 @@ def ngram_jaccard_pairs(
     return out
 
 
+def banded_ngram_jaccard(
+    docs: DataFrame, block_exprs: dict[str, Column], id_col: str = "doc_id",
+    text_col: str = "text", memo: bool = True,
+) -> DataFrame:
+    """Exact k-gram Jaccard for pairs blocked on cheap metadata keys
+    AND a shared MinHash band — the scale-sound successor to plain
+    metadata blocking (:func:`ngram_jaccard_pairs`).
+
+    Metadata-only blocks (lang × length-bucket) have a FIXED key
+    cardinality, so block population — and the within-block pair join —
+    grows quadratically with the corpus. Adding a band digest to the
+    block key makes block sizes corpus-invariant: band values multiply
+    with content diversity, and only docs that already agree on 4 of
+    16 signature minima collide, which is exactly the dup-cluster mass
+    the operator exists to score. Cost becomes LSH-candidate-shaped
+    (linear-ish in true near-dup volume), never all-pairs-in-block.
+
+    The verify reuses the session-memoized :func:`_shared_build`: zero
+    extra text passes, and in the bitmap regime the per-pair exact
+    Jaccard is W ANDs + popcounts. No threshold — every blocked pair's
+    exact Jaccard is reported (this is a similarity REPORT, not a dedup
+    decision; filter downstream).
+
+    ``block_exprs`` maps block-key names to Column expressions over
+    ``docs`` — expressions rather than pre-added columns so the shared
+    build keys on the RAW frame and memo-shares with the rest of the
+    dedup family."""
+    block_cols = list(block_exprs)
+    combined = _shared_build(docs, id_col, text_col, memo=memo)
+    words = _build_words(combined)
+    prof = combined.select(id_col, *[f"m{i}" for i in range(NUM_HASHES)])
+    sigs = minhash_signatures(id_col=id_col, profile=prof)
+    meta = docs.select(
+        F.col(id_col), *[e.alias(n) for n, e in block_exprs.items()])
+    buckets = (
+        sigs.select(
+            F.col(id_col),
+            F.posexplode(F.array(*[F.col(f"band{b}") for b in range(4)])).alias(
+                "band_idx", "bucket"),
+        )
+        .join(meta, id_col)
+        .localCheckpoint(eager=True)
+    )
+    n_buckets = buckets.count()
+    bucket_bytes = n_buckets * (48 + 16 * len(block_cols))
+    keys = [*block_cols, "band_idx", "bucket"]
+    left = buckets.select(F.col(id_col).alias("id_a"), *keys)
+    right = size_hinted(
+        buckets.select(F.col(id_col).alias("id_b"), *keys), bucket_bytes)
+    cand = (
+        left.join(right, keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    n_docs = combined.count()
+    if words:
+        pay = combined.select(F.col(id_col), "n_sh", *words)
+        pay_bytes = n_docs * ((len(words) + 1) * 8 + 24)
+        a = size_hinted(pay.select(
+            F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"),
+            *[F.col(w).alias(f"{w}_a") for w in words]), pay_bytes)
+        b = size_hinted(pay.select(
+            F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"),
+            *[F.col(w).alias(f"{w}_b") for w in words]), pay_bytes)
+        return jaccard_words_projection(
+            cand.join(a, "id_a").join(b, "id_b"),
+            "id_a", "id_b", "_a", "_b", words, 0.0)
+    sets = shared_sets(docs, id_col, text_col, memo=memo)
+    nh = sets.select(F.sum(F.size("sh"))).collect()[0][0] or 0
+    sets_bytes = nh * 4 + n_docs * 32
+    sa = size_hinted(sets.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), sets_bytes)
+    sb = size_hinted(sets.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), sets_bytes)
+    return jaccard_projection(
+        cand.join(sa, "id_a").join(sb, "id_b"),
+        "id_a", "id_b", "sh_a", "sh_b", 0.0)
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination
 # ---------------------------------------------------------------------------
