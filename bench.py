@@ -38,6 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from df_spark.operators.dedup import DEDUP_MEMO  # noqa: E402
 from df_spark.queries import load_registry  # noqa: E402
+from df_spark.queries.graph_q import GRAPH_MEMO  # noqa: E402
 from df_spark.session import get_spark  # noqa: E402
 
 # the round-4 query set (BENCH_r04.json) — frozen so `value_core` stays
@@ -77,12 +78,14 @@ HEADLINE = [
 
 
 def jvm_cpu_seconds() -> float:
-    """CPU seconds (utime+stime) of THIS session's JVM — the ``java``
-    process whose ancestry includes this python pid. Per-query deltas
-    of this counter measure compute burned, independent of how long
-    co-tenants made the wall clock stretch around it; filtering by
-    ancestry (not just comm == "java") keeps co-tenant JVMs on the
-    shared host out of the signal."""
+    """CPU seconds (utime+stime) of every process in THIS session's
+    tree below the current python — the JVM plus any pyspark daemon /
+    Arrow-UDF workers it forked. Counting the WHOLE tree keeps the
+    metric honest for Pandas-UDF queries (work moved into python
+    workers still shows up) while ancestry filtering keeps co-tenant
+    processes on the shared host out of the signal. Per-query deltas
+    measure compute burned, independent of how long co-tenants made
+    the wall clock stretch around it."""
     tick = os.sysconf("SC_CLK_TCK")
     me = os.getpid()
     total = 0.0
@@ -90,14 +93,14 @@ def jvm_cpu_seconds() -> float:
         try:
             with open(path) as f:
                 parts = f.read().rsplit(")", 1)[1].split()
-            with open(path.rsplit("/", 1)[0] + "/comm") as f:
-                comm = f.read().strip()
-            if comm != "java":
+            pid = int(path.split("/")[2])
+            if pid == me:
                 continue
-            # walk up the ppid chain; count only JVMs under this process
+            # walk up the ppid chain; count only descendants of this
+            # process
             ppid = int(parts[1])
             seen = 0
-            while ppid > 1 and seen < 16:
+            while ppid > 1 and seen < 24:
                 if ppid == me:
                     total += (int(parts[11]) + int(parts[12])) / tick
                     break
@@ -136,10 +139,11 @@ def main() -> None:
     samples: dict[str, list[float]] = {n: [] for n in names}
     cpu_samples: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(passes):
-        # cold-session semantics per pass: the first dedup-family query
-        # rebuilds the shared intermediates, the rest hit the memo —
-        # identical shape to a fresh driver session every pass
+        # cold-session semantics per pass: the first dedup/graph-family
+        # query rebuilds the shared intermediates, the rest hit the
+        # memo — identical shape to a fresh driver session every pass
         DEDUP_MEMO.clear()
+        GRAPH_MEMO.clear()
         for name in names:
             try:
                 wall, cpu = run(name)

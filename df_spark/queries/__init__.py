@@ -51,24 +51,31 @@ def register(name: str, sql: str | None = None):
 # ann_ivf_kmeans), whose value-hash a sampler cannot check anyway, and
 # the wider TPC-H variants whose families are already represented.
 # ORACLE_LOCAL_r*.txt records the full-registry check every round.
+# Round-6 rotation: families whose representative had been driver-green
+# 2+ rounds (join_anti_semi, minhash_lsh_pairs, ann_ivf_topk,
+# events_tumbling, explode_arrays, pivot_status, decontaminate) rotated
+# out for families that had only local-stamp evidence (doc_rarity,
+# bm25_rank, cohort_retention, events_gapfill, winnow_fingerprints,
+# ohlc_bars) plus ngram_jaccard, whose blocking semantics changed this
+# round and needs a fresh driver hash. pagerank_parts and variant_stats
+# stay in-window so their r5 hash-fail fixes get driver confirmation.
 PRIORITY = [
     "q1_pricing_summary",
     "filter_predicates", "select_arith", "orderby_limit", "group_collect",
     "agg_global", "join_inner", "join_3way_agg", "nullsafe_join",
-    "join_anti_semi", "union_distinct", "csv_roundtrip",
-    "dedup_exact", "minhash_lsh_pairs",
+    "union_distinct", "csv_roundtrip",
+    "dedup_exact", "ngram_jaccard",
     "minhash_near_dups", "dedup_clusters", "semdedup", "pii_redact",
-    "snapshot_diff", "decontaminate",
-    "interval_overlap_join", "ann_lsh_topk", "ann_ivf_topk",
+    "snapshot_diff", "doc_rarity",
+    "interval_overlap_join", "ann_lsh_topk", "bm25_rank",
     "embed_near_dup", "cdc_scd2",
-    "events_tumbling", "events_sessions",
+    "cohort_retention", "events_sessions",
     "asof_join_events", "range_join_bands",
-    "window_topk",
-    "cube_agg", "pagerank_parts", "pivot_status", "explode_arrays",
+    "window_topk", "events_gapfill",
+    "cube_agg", "pagerank_parts", "winnow_fingerprints", "ohlc_bars",
     "percentiles",
     "text_stats", "lang_id", "last_touch_attribution", "tree_depths",
     "llm_data_pipeline", "sample_stratified",
-    # round-5 families: each gets one driver-window hash check
     "prefix_sim_join", "mv_incremental", "profile_table",
     "jsonl_roundtrip", "zorder_key", "events_anomaly",
     "rollup_hypertable", "sketch_rollup", "variant_stats",

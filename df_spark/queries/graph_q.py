@@ -22,8 +22,17 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..plans.memo import FrameMemo, frame_key
 from ..sources.tables import load_sdf
 from . import register
+
+# Session memo for the graph family's shared intermediates (same Pool
+# pattern as operators.dedup.DEDUP_MEMO): the distinct (order, part)
+# incidence list feeds copurchase_pairs AND pagerank_parts, and the
+# dense co-purchase edge list + degree table are pagerank's dominant
+# cost. bench.py clears this per pass alongside the dedup memo so
+# medians keep cold-session semantics.
+GRAPH_MEMO = FrameMemo(capacity=4)
 
 _TOP_PAIRS = 100
 _PR_SCALE = 1_000_000  # fixed-point: rank 1.0 == 1e6
@@ -49,7 +58,11 @@ def order_parts(li):
 
 
 def _order_parts(spark, sf_dir):
-    return order_parts(load_sdf(spark, sf_dir, "lineitem"))
+    li = load_sdf(spark, sf_dir, "lineitem")
+    return GRAPH_MEMO.get_or_build(
+        ("order_parts", frame_key(li)),
+        lambda: order_parts(li).localCheckpoint(eager=True),
+    )
 
 
 @register(
@@ -153,15 +166,22 @@ def pagerank_parts(spark, sf_dir):
 
 
 def pagerank_from_order_parts(op):
-    a = op.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") != F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    def build_edges():
+        a = op.select("l_orderkey", F.col("l_partkey").alias("u"))
+        b = op.select("l_orderkey", F.col("l_partkey").alias("v"))
+        return (
+            a.join(b, "l_orderkey")
+            .filter(F.col("u") != F.col("v"))
+            .select("u", "v")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    # the distinct dense edge list is the query's dominant cost —
+    # session-memoized so reruns (and any future co-purchase-graph
+    # query) skip the self-join+distinct
+    edges = GRAPH_MEMO.get_or_build(
+        ("pr_edges", frame_key(op)), build_edges)
     from ..operators.partitioning import size_hinted
 
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
