@@ -265,3 +265,51 @@ def test_prefix_filter_completeness_and_reduction(spark, sf_dir):
     expected = {(r.id_a, r.id_b, r.c) for r in co.collect()}
     assert got == expected
     assert got, "no near-dup pairs at this SF — test data assumption broken"
+
+
+def test_bitmap_verify_matches_array_verify(spark, sf_dir):
+    """The bitmap (popcount) exact-Jaccard path must be bit-identical to
+    the array (hash-set intersect) path — bits are assigned per distinct
+    h32 value, so popcounts equal set cardinalities even under shingle
+    hash collisions. Force the array path by capping the bitmap width
+    to zero."""
+    from df_spark.sources.tables import load_sdf
+
+    docs = load_sdf(spark, sf_dir, "documents")
+    with_words = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.minhash_near_dups(docs, 0.6, memo=False).collect()
+    }
+    orig = D.BITMAP_MAX_WORDS
+    D.BITMAP_MAX_WORDS = 0
+    try:
+        with_arrays = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in D.minhash_near_dups(docs, 0.6, memo=False).collect()
+        }
+    finally:
+        D.BITMAP_MAX_WORDS = orig
+    assert with_words, "fixture corpus must contain near-dups"
+    assert with_words == with_arrays
+
+
+def test_banded_ngram_jaccard_exact_within_blocks(spark):
+    """Pairs sharing a metadata block AND a MinHash band get their
+    EXACT shingle-set Jaccard; identical docs in one block score 1.0."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en"),
+            (2, "the quick brown fox jumps over the lazy dog", "en"),
+            (3, "completely different content with other words", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.banded_ngram_jaccard(
+            df, {"lang": F.col("lang")}, memo=False
+        ).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    # doc 3 shares no band with 1/2 (different content) -> no pair
+    assert (1, 3) not in out and (2, 3) not in out

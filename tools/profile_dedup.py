@@ -43,13 +43,13 @@ def main() -> None:
         print(f"{label:34s} {now - t:7.2f}s wall  {cnow - c:7.1f} cpu-s")
         t, c = now, cnow
 
-    sets = D.shared_sets(docs)
-    n_docs = sets.count()
-    lap(f"shared_sets ({n_docs} docs)")
+    combined = D._shared_build(docs)
+    n_docs = combined.count()
+    lap(f"_shared_build ({n_docs} docs, words={len(D._build_words(combined))})")
 
     prof = D.shared_profile(docs)
     prof.count()
-    lap("shared_profile")
+    lap("shared_profile (slice)")
 
     sigs = D.minhash_signatures(profile=prof)
     cand = D.lsh_candidate_pairs(sigs)

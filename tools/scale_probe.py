@@ -98,6 +98,17 @@ def main() -> None:
         S.ann_multi_lsh_topk(embN, embN.filter(F.col("vec_id") < 5)),
     )
     probe("exact_dedup", D.exact_dedup_stats(docs1), D.exact_dedup_stats(docsN))
+    # banded n-gram Jaccard (round 6): the band in the block key is what
+    # keeps block sizes corpus-invariant — replicas are text-perturbed,
+    # so they land in different band buckets and the pair join scales
+    # with true near-dup volume, not block population squared (the r5
+    # lang×len_bucket-only blocking measured ~quadratic here)
+    blocks = {"lang": F.col("lang"), "len_bucket": F.expr("n_chars div 100")}
+    probe(
+        "ngram_jaccard_banded",
+        D.banded_ngram_jaccard(docs1, blocks),
+        D.banded_ngram_jaccard(docsN, blocks),
+    )
     # prefix-filtered exact similarity join: like lsh_pairs below, its
     # scale variable is the CANDIDATE count, which on this
     # closed-vocabulary corpus grows quadratically by data construction
