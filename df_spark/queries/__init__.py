@@ -56,8 +56,9 @@ def register(name: str, sql: str | None = None):
 # events_tumbling, explode_arrays, pivot_status, decontaminate) rotated
 # out for families that had only local-stamp evidence (doc_rarity,
 # bm25_rank, cohort_retention, events_gapfill, winnow_fingerprints,
-# ohlc_bars) plus ngram_jaccard, whose blocking semantics changed this
-# round and needs a fresh driver hash. pagerank_parts and variant_stats
+# ohlc_bars), ngram_jaccard (blocking semantics changed this round and
+# needs a fresh driver hash), and the new dup_span_stats (semdedup,
+# green since r4, rotated out to make room). pagerank_parts and variant_stats
 # stay in-window so their r5 hash-fail fixes get driver confirmation.
 PRIORITY = [
     "q1_pricing_summary",
@@ -65,7 +66,7 @@ PRIORITY = [
     "agg_global", "join_inner", "join_3way_agg", "nullsafe_join",
     "union_distinct", "csv_roundtrip",
     "dedup_exact", "ngram_jaccard",
-    "minhash_near_dups", "dedup_clusters", "semdedup", "pii_redact",
+    "minhash_near_dups", "dedup_clusters", "dup_span_stats", "pii_redact",
     "snapshot_diff", "doc_rarity",
     "interval_overlap_join", "ann_lsh_topk", "bm25_rank",
     "embed_near_dup", "cdc_scd2",

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h32_sql
-from ..functions.text import char_shingles_sql
+from ..functions.text import char_shingles_sql, normalized_sql
 from ..operators import dedup as D
 from ..sources.tables import load_sdf
 from . import register
@@ -170,6 +170,97 @@ def cross_near_dups(spark, sf_dir):
     docs = load_sdf(spark, sf_dir, "documents")
     return D.cross_near_dups_in_table(
         docs, F.expr("doc_id % 3 = 0"), min_jaccard=0.6
+    )
+
+
+_SPAN_K = 20  # window length for repeated-substring detection
+
+
+@register(
+    "dup_span_stats",
+    sql=f"""
+    WITH n AS (
+      SELECT doc_id, {{norm}} AS t FROM documents
+    ),
+    nw AS (
+      SELECT doc_id, t, len(t) - {_SPAN_K - 1} AS n_windows
+      FROM n WHERE len(t) >= {_SPAN_K}
+    ),
+    spans AS (
+      SELECT doc_id, substr(t, CAST(p AS INT), {_SPAN_K}) AS s FROM (
+        SELECT doc_id, t, unnest(range(1, n_windows + 1)) AS p FROM nw
+      )
+    ),
+    rep AS (
+      SELECT s FROM spans GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    cov AS (
+      SELECT doc_id, COUNT(*) AS nr
+      FROM spans WHERE s IN (SELECT s FROM rep)
+      GROUP BY doc_id
+    )
+    SELECT nw.doc_id,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(COALESCE(nr, 0) AS BIGINT) AS n_rep_windows,
+           round(CAST(COALESCE(nr, 0) AS DOUBLE)
+                 / CAST(n_windows AS DOUBLE), 6) AS dup_frac
+    FROM nw LEFT JOIN cov ON nw.doc_id = cov.doc_id
+    """.replace("{norm}", normalized_sql("text")),
+)
+def dup_span_stats(spark, sf_dir):
+    """Exact repeated-substring coverage per doc (Lee et al.,
+    'Deduplicating Training Data Makes Language Models Better'): the
+    fraction of each doc's 20-char windows whose exact text recurs in
+    at least one OTHER document — the signal substring-level dedup (vs
+    whole-doc MinHash) keys on.
+
+    Plan: one codegen position-explode over normalized text (the same
+    shape as the dedup dictionary build), a hash aggregate keyed on the
+    span TEXT (exact — no hash-collision caveat, and the oracle twin is
+    the identical SQL), a semi-join back onto the span stream, and a
+    per-doc count. ~20× corpus inflation through the explode is
+    the inherent cost of substring-level dedup (suffix-array tools pay
+    the same); the group key is content-uniform except for genuinely
+    viral spans — at 100 TB those hot groups are exactly the output,
+    and the two-level aggregate (partial count per partition, merge)
+    bounds what any one task sees. No driver-side anything."""
+    from ..functions.text import normalized
+    from ..operators.partitioning import barrier_width
+
+    docs = load_sdf(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id", normalized(F.col("text")).alias("__t")
+    ).filter(F.length("__t") >= _SPAN_K)
+    norm = norm.repartition(barrier_width(norm))
+    base = norm.select(
+        "doc_id", (F.length("__t") - (_SPAN_K - 1)).alias("n_windows"))
+    spans = norm.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("__t") - (_SPAN_K - 1))).alias("__p"),
+        "__t",
+    ).select("doc_id", F.col("__t").substr(F.col("__p"), F.lit(_SPAN_K)).alias("s"))
+    rep = (
+        spans.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("s")
+    )
+    cov = (
+        spans.join(rep, "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nr"))
+    )
+    return (
+        base.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.coalesce(F.col("nr"), F.lit(0)).cast("long").alias("n_rep_windows"),
+            F.round(
+                F.coalesce(F.col("nr"), F.lit(0)).cast("double")
+                / F.col("n_windows").cast("double"), 6,
+            ).alias("dup_frac"),
+        )
     )
 
 
