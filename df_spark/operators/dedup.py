@@ -611,22 +611,26 @@ def minhash_near_dups(
     j=0.6, worse just above threshold); callers that need the unscreened
     contract pass ``min_est_matches=0``.
 
-    Plan shape (the round-2/3/4 lessons): ONE memoized map-side
-    normalize→shingle→hash pass (:func:`shared_sets`) feeds both the
-    narrow MinHash profile (signatures + prefilter) and the
-    verification join. The verify strategy is then ADAPTIVE on the
-    runtime-measured side sizes (checkpoints carry no Catalyst stats,
-    so the operator measures with one cheap agg and decides itself):
+    Plan shape (the round-2/3/4 lessons, rebuilt on the round-6
+    dictionary build): ONE memoized corpus aggregate
+    (:func:`_shared_build`) yields the narrow MinHash profile
+    (signatures + prefilter) AND the verification payload — bitmap
+    words when the shingle universe fits, hash arrays otherwise. The
+    verify strategy is then ADAPTIVE on the runtime-measured side
+    sizes (checkpoints carry no Catalyst stats, so the operator
+    measures with one cheap agg and decides itself):
 
     - **fused** (sides fit ``BROADCAST_BYTES_CAP``): one codegen stage
-      — candidates repartitioned to ~20k pairs/task, both sides
-      (mins + shingle array per doc) attached via two broadcast hash
-      joins, est-prefilter and exact Jaccard evaluated in the same
-      stage. Screened-out pairs cost only in-stage CPU, never a
-      materialization: measured 5 s vs 9 s steady-state over the
-      two-phase plan at sf0.1 (2.3 M candidates, 99.95 % of which
-      pass the screen — a prefilter materialization buys nothing
-      when the candidate set is this dense).
+      — candidates repartitioned to ~100k pairs/task, both sides'
+      payloads attached via two broadcast hash joins, prefilter and
+      exact Jaccard evaluated in the same stage (on the bitmap path
+      the cheap popcount threshold runs before the 16-term estimate;
+      on the array path the estimate screens first so rejected pairs
+      never evaluate the hash-set intersect). Screened-out pairs cost
+      only in-stage CPU, never a materialization (2.3 M candidates at
+      sf0.1, 99.95 % of which pass the screen — a prefilter
+      materialization buys nothing when the candidate set is this
+      dense).
     - **two-phase** (sides exceed the cap — the 100 TB regime, where
       the sets frame is corpus-sized and every join shuffles): screen
       the candidates against the NARROW mins first (16 longs/doc
@@ -637,15 +641,17 @@ def minhash_near_dups(
       avoids shuffling shingle arrays for pairs the estimate already
       rejects.
 
-    Both branches repartition the pair stream proportionally (~20k
-    pairs per task, capped at 8× parallelism): the per-pair
-    ``array_intersect`` is the dominant cost and the pair frame
-    otherwise inherits ~10 post-join partitions from upstream
-    (measured 12.2 s vs 3.0 s at sf0.1).
+    Both branches size the pair-stream repartition to the measured
+    pair count (fused: ~100k light bitmap pairs/task; two-phase: ~20k
+    array-carrying pairs/task; both capped at 8× parallelism) — the
+    pair frame otherwise inherits ~10 post-join partitions from
+    upstream (measured 12.2 s vs 3.0 s at sf0.1).
 
     With ``memo=True`` the verified pair set itself is session-memoized
-    (eager checkpoint): ``dedup_clusters``, ``llm_data_pipeline`` and
-    ``minhash_near_dups`` all need exactly this frame."""
+    (eager checkpoint, re-partitioned to data-sized width so downstream
+    consumers don't inherit the verify job's task count):
+    ``dedup_clusters``, ``llm_data_pipeline`` and ``minhash_near_dups``
+    all need exactly this frame."""
 
     def build() -> DataFrame:
         combined = _shared_build(docs, id_col, text_col, memo=memo)

@@ -64,9 +64,17 @@ def get_spark(
         # production cluster where the same stages run for hours, C2
         # amortizes — override via SPARK_GRAFT_JIT (e.g. "" to restore
         # the JVM default).
+        # The code cache must be sized explicitly alongside C1-only:
+        # that mode defaults to 48 MB, which a 130-query session fills
+        # in minutes — once full the JVM DISABLES compilation and
+        # everything runs interpreted (measured: a full bench run
+        # degraded 1.7x end-to-end when the cache filled mid-run).
         .config(
             "spark.driver.extraJavaOptions",
-            os.environ.get("SPARK_GRAFT_JIT", "-XX:TieredStopAtLevel=1"),
+            os.environ.get(
+                "SPARK_GRAFT_JIT",
+                "-XX:TieredStopAtLevel=1 -XX:ReservedCodeCacheSize=512m",
+            ),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
