@@ -281,3 +281,105 @@ def doc_compression(spark, sf_dir):
             F.length("text") > 0, F.round(c_bytes / F.length("text"), 6)
         ).alias("ratio"),
     )
+
+
+@register(
+    "lang_confusion",
+    sql=f"""
+    WITH pred AS (
+      SELECT lang AS labeled_lang, {X.lang_id_sql('text')} AS detected_lang
+      FROM documents
+    ),
+    cells AS (
+      SELECT labeled_lang, detected_lang, COUNT(*) AS n_docs
+      FROM pred GROUP BY 1, 2
+    )
+    SELECT labeled_lang, detected_lang, n_docs,
+           round(CAST(n_docs AS DOUBLE)
+                 / CAST(SUM(n_docs) OVER (PARTITION BY labeled_lang)
+                        AS DOUBLE), 6) AS label_share
+    FROM cells
+    """,
+)
+def lang_confusion(spark, sf_dir):
+    """Language-ID evaluation: the confusion matrix of the n-gram
+    heuristic detector against the corpus's labeled ``lang`` column,
+    with each cell's share of its labeled row — the quality-eval view a
+    pipeline owner reads before trusting the detector for routing.
+
+    One scan + one hash aggregate on a tiny (langs × langs) key space,
+    then a window over the aggregated cells (dozens of rows). The
+    detector expression is identical on both engines, so the matrix is
+    hash-exact."""
+    docs = load_sdf(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    cells = (
+        docs.select(
+            F.col("lang").alias("labeled_lang"),
+            X.lang_id(F.col("text")).alias("detected_lang"),
+        )
+        .groupBy("labeled_lang", "detected_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("labeled_lang")
+    return cells.select(
+        "labeled_lang", "detected_lang", "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w).cast("double"), 6
+        ).alias("label_share"),
+    )
+
+
+_TOKBUCKET = 64  # tokens per histogram bucket
+
+
+@register(
+    "token_len_histogram",
+    sql=f"""
+    WITH t AS (
+      SELECT {X.bpe_token_count_sql('text')} AS n_tokens FROM documents
+    ),
+    b AS (
+      SELECT n_tokens // {_TOKBUCKET} AS bucket,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM t GROUP BY 1
+    )
+    SELECT bucket * {_TOKBUCKET} AS bucket_lo,
+           n_docs, total_tokens,
+           CAST(SUM(n_docs) OVER (ORDER BY bucket
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs
+    FROM b
+    """,
+)
+def token_len_histogram(spark, sf_dir):
+    """Document-length distribution in token space (64-token buckets,
+    cumulative doc counts) — the planning input for sequence
+    packing / max-length truncation decisions (what fraction of the
+    corpus fits a 512/1k/2k context without splitting).
+
+    One scan, one hash aggregate on a bounded bucket key, then a
+    window over the aggregated buckets (hundreds of rows at any corpus
+    size — lengths are bounded, not corpus-sized)."""
+    docs = load_sdf(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    b = (
+        docs.select(
+            (X.bpe_token_count(F.col("text")) / _TOKBUCKET)
+            .cast("long").alias("bucket"),
+            X.bpe_token_count(F.col("text")).alias("n_tokens"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return b.select(
+        (F.col("bucket") * _TOKBUCKET).alias("bucket_lo"),
+        "n_docs", "total_tokens",
+        F.sum("n_docs").over(w).cast("long").alias("cum_docs"),
+    )
