@@ -64,3 +64,40 @@ def test_dedup_groups_with_singletons(spark):
         1: (1, True), 2: (1, False), 4: (1, False),  # one component, keep min
         3: (3, True), 5: (5, True),                  # singletons keep themselves
     }
+
+
+def test_components_match_union_find_on_random_graphs(spark):
+    """Star-contraction CC must equal a reference union-find on random
+    graphs of varying density — chains, cliques, singleton-heavy mixes
+    all emerge from the generator. Deterministic seeds: same graphs
+    every run."""
+    import random
+
+    for seed, n_nodes, n_edges in [(1, 30, 15), (2, 40, 80), (3, 25, 5), (4, 60, 60)]:
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        # reference union-find with min-label semantics
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {x for e in edges for x in e}
+        expect = {x: find(x) for x in touched}
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r.node: r.comp for r in connected_components(df).collect()}
+        assert got == expect, f"seed {seed}: {got} != {expect}"
