@@ -1403,13 +1403,37 @@ def prefix_filtered_pairs(
     sh, sizes, cand = prefix_candidate_pairs(
         docs, min_jaccard, id_col, text_col, k, partition_cols
     )
-    # verify: count common shingles per candidate pair (no arrays moved)
-    common = (
-        cand.join(sh.select(F.col(id_col).alias("id_a"), "h"), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), "h"), ["id_b", "h"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    # verify strategy is adaptive on the measured shingle-table size
+    # (sh is checkpointed — the count is a cached-RDD read):
+    n_sh_rows = sh.count()
+    if n_sh_rows * 8 < BROADCAST_BYTES_CAP:
+        # broadcast regime: attach each side's full hash array via two
+        # broadcast joins and count the intersect per pair directly.
+        # The shingle-row join below fans every candidate out to
+        # ~|set| rows before re-collapsing (measured at sf0.1: a 12 M
+        # row intermediate for 85k candidates, 64 CPU-s); the array
+        # attach is one small aggregate + per-pair intersect (~4 CPU-s)
+        arrays = (
+            sh.groupBy(id_col).agg(F.collect_list("h").alias("__ha"))
+            .localCheckpoint(eager=True)
+        )
+        a = F.broadcast(arrays.select(
+            F.col(id_col).alias("id_a"), F.col("__ha").alias("__ha_a")))
+        b = F.broadcast(arrays.select(
+            F.col(id_col).alias("id_b"), F.col("__ha").alias("__ha_b")))
+        common = cand.join(a, "id_a").join(b, "id_b").select(
+            "id_a", "id_b",
+            F.size(F.array_intersect("__ha_a", "__ha_b")).alias("c"),
+        )
+    else:
+        # 100 TB regime: count common shingles per candidate pair via
+        # the shingle-row join — no arrays ever cross a shuffle
+        common = (
+            cand.join(sh.select(F.col(id_col).alias("id_a"), "h"), "id_a")
+            .join(sh.select(F.col(id_col).alias("id_b"), "h"), ["id_b", "h"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sa"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sb"))
     return (
