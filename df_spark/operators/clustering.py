@@ -87,11 +87,19 @@ def connected_components(
     sc = edges.sparkSession.sparkContext
 
     def tracked_checkpoint(df: DataFrame, width: int | None = None) -> tuple[DataFrame, set[int]]:
-        if width is not None and width != df.rdd.getNumPartitions():
+        # unconditional repartition when a width is given: probing the
+        # current partition count via .rdd would finalize the physical
+        # plan and can trigger premature stage execution under AQE
+        # (see operators.partitioning.barrier_width's guard)
+        if width is not None:
             df = df.repartition(width)
         out = df.localCheckpoint(eager=True)
         return out, {checkpoint_rdd_id(out)}
 
+    # assumes `edges` is cheap to evaluate twice (count + checkpoint):
+    # every internal caller passes an eagerly checkpointed pair frame;
+    # ad-hoc callers with an expensive un-materialized plan should
+    # checkpoint it first
     n_edges = edges.count()
     width = max(1, min(2 * n_edges // 1_000_000 + 1, sc.defaultParallelism))
 
