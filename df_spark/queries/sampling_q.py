@@ -192,3 +192,66 @@ def train_val_split(spark, sf_dir):
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# target token-share per language for the rebalance plan (sums to 1)
+_MIX_TARGETS = [("en", 0.35), ("de", 0.20), ("es", 0.15), ("fr", 0.15), ("zh", 0.15)]
+
+
+@register(
+    "mix_rebalance",
+    sql=f"""
+    WITH tok AS (
+      SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS toks
+      FROM documents GROUP BY lang
+    ),
+    tgt (lang, share) AS (
+      VALUES {", ".join(f"('{l}', {s})" for l, s in _MIX_TARGETS)}
+    ),
+    j AS (
+      -- VALUES literals bind as DECIMAL in DuckDB; the Spark twin's
+      -- dim is double-typed, so normalize before anything downstream
+      SELECT lang, toks, CAST(share AS DOUBLE) AS share,
+             CAST(toks AS DOUBLE) / CAST(share AS DOUBLE) AS cap
+      FROM tok JOIN tgt USING (lang)
+    ),
+    n AS (SELECT MIN(cap) AS nstar FROM j)
+    SELECT lang,
+           toks AS available_tokens,
+           share AS target_share,
+           round(share * nstar / CAST(toks AS DOUBLE), 6) AS sample_rate,
+           CAST(floor(share * nstar) AS BIGINT) AS planned_tokens
+    FROM j CROSS JOIN n
+    """,
+)
+def mix_rebalance(spark, sf_dir):
+    """Corpus-mix rebalancing plan: given target token shares per
+    language, find the largest total budget N* every language can
+    supply at its share (N* = min over languages of available/share),
+    then the per-language sampling rate and planned token count that
+    hit the target mix exactly without upsampling anything.
+
+    This is the planning half of weighted corpus mixing (the sampling
+    half is ``sample_weighted``/``source_mix``): one hash aggregate
+    over the corpus, a broadcast join against the bounded target dim,
+    and a 1-row broadcast of the binding constraint — the corpus is
+    scanned once regardless of scale. Determinism: available counts are
+    exact BIGINTs, every ratio is a per-row IEEE double op on those
+    aggregates, so both engines agree bit-for-bit."""
+    docs = load_sdf(spark, sf_dir, "documents")
+    tok = docs.groupBy("lang").agg(F.sum("n_chars").cast("long").alias("toks"))
+    tgt = docs.sparkSession.createDataFrame(_MIX_TARGETS, "lang string, share double")
+    j = tok.join(F.broadcast(tgt), "lang").select(
+        "lang", "toks", "share",
+        (F.col("toks").cast("double") / F.col("share")).alias("cap"),
+    )
+    n = j.agg(F.min("cap").alias("nstar"))
+    return j.crossJoin(F.broadcast(n)).select(
+        "lang",
+        F.col("toks").alias("available_tokens"),
+        F.col("share").alias("target_share"),
+        F.round(
+            F.col("share") * F.col("nstar") / F.col("toks").cast("double"), 6
+        ).alias("sample_rate"),
+        F.floor(F.col("share") * F.col("nstar")).cast("long").alias("planned_tokens"),
+    )

@@ -142,7 +142,9 @@ def main() -> int:
         else:
             print(f"ok   {name}: {len(spark_rows)} rows match ({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} queries pass")
+    n_checked = len([n for n in queries if not only or n in only])
+    scope = "" if not only else f" (of {len(queries)} registered; filtered run)"
+    print(f"\n{n_checked - len(failures)}/{n_checked} queries pass{scope}")
     return 1 if failures else 0
 
 
