@@ -116,7 +116,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
-    spark = get_spark("bench")
+    spark = get_spark("bench", short_lived=True)
 
     registry = load_registry()
     names = [n for n in HEADLINE if n in registry]
@@ -127,7 +127,25 @@ def main() -> None:
         wanted = {n.strip() for n in only.split(",")}
         names = [n for n in names if n in wanted]
 
+    def quiesce(max_wait: float = 2.0, idle_rate: float = 1.0) -> None:
+        """Wait for the JVM's async post-query work (ContextCleaner,
+        GC, codegen-class unloading) to drain before the NEXT query's
+        CPU baseline is taken. Without this, a heavy query's cleanup
+        lands in its successor's CPU delta — round 6 showed sub-second
+        queries inheriting 7-10 CPU-s and looking 10-23x "regressed"
+        on the saturated driver host. Returns as soon as the process
+        tree burns < ``idle_rate`` cores over a 50 ms sample (most
+        queries: one sample), capped at ``max_wait`` seconds — and the
+        wait happens OUTSIDE the timed region either way."""
+        deadline = time.time() + max_wait
+        while time.time() < deadline:
+            c0 = jvm_cpu_seconds()
+            time.sleep(0.05)
+            if (jvm_cpu_seconds() - c0) / 0.05 < idle_rate:
+                return
+
     def run(name: str) -> tuple[float, float]:
+        quiesce()
         c0 = jvm_cpu_seconds()
         t0 = time.time()
         sdf = registry[name].fn(spark, sf_dir)

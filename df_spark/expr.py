@@ -169,19 +169,16 @@ class Aggregator(enum.Enum):
         """Aggregate an ``array<T>`` column element-wise (the reference's
         grouped-frame path, ``src/block.rs:1084-1093``): List columns
         produced by ``group_by`` collapse to one value per row. Stays
-        JVM-side via higher-order array functions."""
+        JVM-side via codegen'd array builtins; SUM/AVERAGE are handled by
+        the caller (frame._apply_to_list / _collapse_agg) because they
+        need the element type — no interpreted higher-order lambdas here."""
         if self is Aggregator.COUNT:
             return F.size(col)
         if self is Aggregator.FIRST:
             return F.element_at(col, 1)
         if self is Aggregator.MAX:
             return F.array_max(col)
-        if self is Aggregator.MIN:
-            return F.array_min(col)
-        if self is Aggregator.SUM:
-            return F.aggregate(col, F.lit(0).cast("double"), lambda acc, x: acc + x)
-        # AVERAGE
-        return F.aggregate(col, F.lit(0).cast("double"), lambda acc, x: acc + x) / F.size(col)
+        return F.array_min(col)
 
 
 # ---------------------------------------------------------------------------

@@ -60,6 +60,7 @@ class Df:
         ordered_by: tuple[str, ...] = (),
         pending_group: tuple[str, ...] | None = None,
         grouped_by: tuple[str, ...] = (),
+        pre_group: tuple[DataFrame, tuple[str, ...]] | None = None,
         fingerprint: str = "",
     ) -> None:
         self._sdf = sdf
@@ -68,6 +69,10 @@ class Df:
         self._pending_group = pending_group
         # list-materialized grouping (reference grouped frame w/ List cols)
         self.grouped_by = grouped_by
+        # (pre-materialization sdf, keys) kept by _resolved() so a later
+        # aggregate() can re-derive a true hash aggregate from origin
+        # instead of collapsing the collect_list arrays row-by-row
+        self._pre_group = pre_group
         self.fingerprint = fingerprint
 
     # ------------------------------------------------------------------
@@ -214,6 +219,7 @@ class Df:
             grouped,
             ordered_by=tuple(keys),
             grouped_by=tuple(keys),
+            pre_group=(self._sdf, tuple(keys)),
             fingerprint=fingerprint_op(self.fingerprint, f"group_collect:{keys}"),
         )
 
@@ -329,7 +335,32 @@ class Df:
         keys = list(base.grouped_by)
         self._validate_agg_coverage(aggregators, keys, sdf.columns)
         if keys:
-            # reference grouped-frame path: collapse each List column
+            # reference grouped-frame path: collapse each List column.
+            # Spark's array higher-order functions (F.aggregate) evaluate
+            # their lambda INTERPRETED per element, so instead of summing
+            # the collect_list arrays row-by-row we re-derive the result
+            # from the pre-materialization plan with a true partial+final
+            # hash aggregate (whole-stage codegen, no arrays held in
+            # memory). Null semantics match the list collapse exactly:
+            # collect_list drops nulls, so every per-list aggregate below
+            # is the null-ignoring groupBy form.
+            if base._pre_group is not None:
+                src, _ = base._pre_group
+                src_schema = src.schema
+                aggs = []
+                for name in src.columns:
+                    if name in keys:
+                        continue
+                    agg = aggregators[name]
+                    elem = src_schema[name].dataType
+                    agg.output_type(elem)
+                    aggs.append(_collapse_agg(agg, name, elem).alias(name))
+                out = (
+                    src.groupBy(*keys).agg(*aggs).select(*src.columns)
+                    .orderBy(*[_asc_nulls_first(k) for k in keys])
+                )
+                return base._child(out, f"aggregate:{dict(aggregators)!r}",
+                                   ordered_by=tuple(keys))
             cols = []
             for name in sdf.columns:
                 if name in keys:
@@ -586,9 +617,31 @@ class GroupedDf:
         )
 
 
+def _collapse_agg(agg: Aggregator, name: str, elem: T.DataType) -> Column:
+    """groupBy-side equivalent of collapsing a collect_list array
+    (reference ListBlock::aggregate — src/block.rs:1084-1093): the list
+    drops nulls, so each form below ignores nulls, and SUM preserves the
+    element type as the reference does."""
+    col = F.col(name)
+    if agg is Aggregator.SUM:
+        return F.sum(col).cast(elem)
+    if agg is Aggregator.AVERAGE:
+        return F.avg(col).cast("double")
+    if agg is Aggregator.COUNT:
+        return F.count(col)
+    if agg is Aggregator.FIRST:
+        return F.first(col, ignorenulls=True)
+    if agg is Aggregator.MAX:
+        return F.max(col)
+    return F.min(col)
+
+
 def _apply_to_list(agg: Aggregator, name: str, field_type: T.DataType) -> Column:
     """Collapse an ``array<T>`` column with the element type preserved
-    (reference ListBlock::aggregate — src/block.rs:1084-1093)."""
+    (reference ListBlock::aggregate — src/block.rs:1084-1093). Defensive
+    fallback only: every grouped frame built by ``_resolved`` carries its
+    pre-group plan, so ``aggregate`` re-derives a codegen hash aggregate
+    instead (see ``_collapse_agg``)."""
     col = F.col(name)
     elem = field_type.elementType if isinstance(field_type, T.ArrayType) else field_type
     if agg is Aggregator.SUM:

@@ -265,7 +265,7 @@ DIM_MAX_ROWS = 1_000_000
 
 def _shared_build(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3,
-    memo: bool = True,
+    memo: bool = True, plan_probe: list | None = None,
 ) -> DataFrame:
     """ONE-aggregate build of everything the dedup family derives from
     text: per-doc hashed shingle set (``sh``), its size (``n_sh``), the
@@ -385,6 +385,11 @@ def _shared_build(
             .groupBy(id_col)
             .agg(*aggs)
         )
+        if plan_probe is not None:
+            # expose the pre-checkpoint physical plan so tests can pin
+            # the broadcast-dictionary regime (checkpointing erases it)
+            plan_probe.append(
+                combined._jdf.queryExecution().executedPlan().toString())
         return combined.localCheckpoint(eager=True)
 
     if not memo:

@@ -214,16 +214,21 @@ def dup_span_stats(spark, sf_dir):
     at least one OTHER document — the signal substring-level dedup (vs
     whole-doc MinHash) keys on.
 
-    Plan: one codegen position-explode over normalized text (the same
-    shape as the dedup dictionary build), a hash aggregate keyed on the
-    span TEXT (exact — no hash-collision caveat, and the oracle twin is
-    the identical SQL), a semi-join back onto the span stream, and a
-    per-doc count. ~20× corpus inflation through the explode is
-    the inherent cost of substring-level dedup (suffix-array tools pay
-    the same); the group key is content-uniform except for genuinely
-    viral spans — at 100 TB those hot groups are exactly the output,
-    and the two-level aggregate (partial count per partition, merge)
-    bounds what any one task sees. No driver-side anything."""
+    Plan: the normalized (id, text) frame is checkpointed ONCE (1×
+    input size — the same materialization policy as the dedup family's
+    ``_shared_build``), then ONE codegen position-explode feeds a hash
+    aggregate keyed on (span text, doc) — exact, no hash-collision
+    caveat, and the oracle twin is the identical SQL. "Recurs in
+    another doc" is a count-over-window on the (s, doc) rows (one row
+    per distinct pair, so the window count IS the distinct-doc count),
+    and per-doc coverage is a sum of the pre-aggregated occurrence
+    counts — the 20×-inflated span stream is scanned exactly once and
+    never materialized. ~20× inflation through the explode is the
+    inherent cost of substring-level dedup (suffix-array tools pay the
+    same); hot span groups collapse in the map-side partial aggregate.
+    No driver-side anything."""
+    from pyspark.sql import Window
+
     from ..functions.text import normalized
     from ..operators.partitioning import barrier_width
 
@@ -231,7 +236,7 @@ def dup_span_stats(spark, sf_dir):
     norm = docs.select(
         "doc_id", normalized(F.col("text")).alias("__t")
     ).filter(F.length("__t") >= _SPAN_K)
-    norm = norm.repartition(barrier_width(norm))
+    norm = norm.repartition(barrier_width(norm)).localCheckpoint(eager=True)
     base = norm.select(
         "doc_id", (F.length("__t") - (_SPAN_K - 1)).alias("n_windows"))
     spans = norm.select(
@@ -239,16 +244,13 @@ def dup_span_stats(spark, sf_dir):
         F.explode(F.sequence(F.lit(1), F.length("__t") - (_SPAN_K - 1))).alias("__p"),
         "__t",
     ).select("doc_id", F.col("__t").substr(F.col("__p"), F.lit(_SPAN_K)).alias("s"))
-    rep = (
-        spans.groupBy("s")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("s")
-    )
+    per_pair = spans.groupBy("s", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("s"))
     cov = (
-        spans.join(rep, "s", "left_semi")
+        per_pair.withColumn("nd", nd)
+        .filter(F.col("nd") >= 2)
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("nr"))
+        .agg(F.sum("c").alias("nr"))
     )
     return (
         base.join(cov, "doc_id", "left")

@@ -21,12 +21,21 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    short_lived: bool = False,
 ) -> SparkSession:
     """Build (or fetch) the tuned SparkSession.
 
     At 100 TB scale the same config applies; only ``master`` and the
     partition count change (shuffle partitions ~ 2-3x total executor
     cores, or left to AQE's coalescing with a high initial value).
+
+    ``short_lived=True`` (bench/oracle/probe tooling, pytest) opts the
+    DRIVER JVM into C1-only JIT — right for sessions that generate
+    hundreds of fresh codegen classes and run each for seconds. The
+    library default keeps the JVM's tiered default: on a long-lived
+    cluster the same stages run for hours and C2 amortizes, and
+    executors wouldn't inherit a driver-only flag anyway. Override
+    either way via ``SPARK_GRAFT_JIT``.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
@@ -53,17 +62,14 @@ def get_spark(
         # fused verify 5.9-8.4s with 8000 vs 9.4-11.5s with the
         # default. Normal-width stages are unaffected either way.)
         .config("spark.sql.codegen.hugeMethodLimit", "8000")
-        # C1-only JIT (no C2): every query generates FRESH codegen
-        # classes, each run for seconds — C2's expensive optimizing
-        # compiles (measured: 67 s of compilation wall during ONE cold
-        # dedup_clusters; a 325 CPU-s C2 recompile storm on a warm
-        # prefix_sim_join) never pay for themselves at per-query
+        # short_lived=True → C1-only JIT (no C2): every query generates
+        # FRESH codegen classes, each run for seconds — C2's expensive
+        # optimizing compiles (measured: 67 s of compilation wall during
+        # ONE cold dedup_clusters; a 325 CPU-s C2 recompile storm on a
+        # warm prefix_sim_join) never pay for themselves at per-query
         # lifetimes. Measured at sf0.1: CPU down 25-75% and wall flat
         # or better on every heavy query; the one regression is ~20%
-        # on already-warm per-char hashing loops. On a long-lived
-        # production cluster where the same stages run for hours, C2
-        # amortizes — override via SPARK_GRAFT_JIT (e.g. "" to restore
-        # the JVM default).
+        # on already-warm per-char hashing loops.
         # The code cache must be sized explicitly alongside C1-only:
         # that mode defaults to 48 MB, which a 130-query session fills
         # in minutes — once full the JVM DISABLES compilation and
@@ -73,7 +79,9 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             os.environ.get(
                 "SPARK_GRAFT_JIT",
-                "-XX:TieredStopAtLevel=1 -XX:ReservedCodeCacheSize=512m",
+                "-XX:TieredStopAtLevel=1 -XX:ReservedCodeCacheSize=512m"
+                if short_lived
+                else "-XX:ReservedCodeCacheSize=512m",
             ),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))

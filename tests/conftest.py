@@ -15,7 +15,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 @pytest.fixture(scope="session")
 def spark():
     # Small local parallelism: tiny fixtures, fast tests.
-    spark = get_spark("df_spark_tests", master="local[4]", shuffle_partitions=4)
+    spark = get_spark("df_spark_tests", master="local[4]", shuffle_partitions=4, short_lived=True)
     yield spark
 
 

@@ -197,14 +197,17 @@ def test_shared_build_broadcasts_dictionary(spark):
     from df_spark.sources.tables import load_sdf
 
     docs = load_sdf(spark, SF_DIR, "documents")
-    combined = _shared_build(docs, memo=False)
-    # the build materializes eagerly; probe the plan of a rebuild
-    # WITHOUT executing it: reconstruct the pre-checkpoint plan by
-    # checking the materialized frame instead — its presence plus the
-    # bitmap columns pin the regime
+    probe: list[str] = []
+    combined = _shared_build(docs, memo=False, plan_probe=probe)
     cols = set(combined.columns)
     assert "n_sh" in cols and "m0" in cols and "m15" in cols
     assert "w0" in cols, "fixture corpus should be in the bitmap regime"
+    # the pre-checkpoint physical plan, captured by the probe hook:
+    # the charset^k-bounded dictionary must reach the token stream as a
+    # broadcast join, never a sort-merge join
+    assert len(probe) == 1
+    assert "BroadcastHashJoin" in probe[0]
+    assert "SortMergeJoin" not in probe[0]
 
 
 def test_dup_span_stats_no_cartesian(spark):

@@ -74,7 +74,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark("check_oracle", master="local[16]", shuffle_partitions=16)
+    spark = get_spark("check_oracle", master="local[16]", shuffle_partitions=16, short_lived=True)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

@@ -22,7 +22,7 @@ from df_spark.sources.tables import load_sdf  # noqa: E402
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    spark = get_spark("profile_dedup")
+    spark = get_spark("profile_dedup", short_lived=True)
     docs = load_sdf(spark, sf_dir, "documents")
     docs.count()  # warm the scan
 

@@ -55,7 +55,7 @@ def timed(label: str, df: DataFrame) -> float:
 
 def main() -> None:
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    spark = get_spark("scale_probe")
+    spark = get_spark("scale_probe", short_lived=True)
     sfd = "/root/testdata/sf0.1"
 
     li1 = load_sdf(spark, sfd, "lineitem")

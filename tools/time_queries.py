@@ -29,7 +29,7 @@ def main() -> None:
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
-    spark = get_spark("time_queries")
+    spark = get_spark("time_queries", short_lived=True)
     registry = load_registry()
     names = sorted(registry) if args.all else args.queries
     unknown = [n for n in names if n not in registry]
