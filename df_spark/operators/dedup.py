@@ -352,38 +352,63 @@ def _shared_build(
         )
         dim_cols = [
             "__s",
-            (F.col("__h") - H32_INT_SHIFT).cast("int").alias("hi"),
             *[minhash_perm(F.col("__h"), i).alias(f"p{i}") for i in range(NUM_HASHES)],
         ]
         if n_words:
             # single-partition window is fine: the dim is charset^k-bounded
             dim_cols.append(
                 (F.dense_rank().over(Window.orderBy("__h")) - 1).alias("__bit"))
+        else:
+            # the explicit hash only rides along when sets are arrays
+            dim_cols.insert(1, (F.col("__h") - H32_INT_SHIFT).cast("int").alias("hi"))
         # no second checkpoint: the broadcast build below evaluates the
         # perm/bit projection once off the dim checkpoint
         dim = dim.select(*dim_cols)
+        if n_words:
+            # word index + bit mask precomputed ONCE per distinct
+            # shingle on the dictionary: the per-token bit_or aggregate
+            # expressions below then reduce to one equality compare
+            # each instead of a range test + shiftleft (4x less hot-
+            # path work across n_words exprs x every token row); __bit
+            # itself never reaches the token join
+            dim = dim.select(
+                "__s", *[f"p{i}" for i in range(NUM_HASHES)],
+                F.expr("__bit div 64").alias("__wi"),
+                F.expr("shiftleft(1L, __bit % 64)").alias("__mask"))
 
         # in the bitmap regime the explicit hash ARRAYS are dead weight:
         # every in-build consumer (verify, in-table cross, stats) reads
         # the words + n_sh; arrays for the rare two-frame cross API come
         # from :func:`shared_sets`' separate lazy build instead. The
         # collect_set buffer was ~40% of this aggregate's cost.
+        # n_sh is NOT aggregated here: countDistinct alongside plain
+        # aggs makes Catalyst plan an Expand that runs every token row
+        # through the aggregate twice (measured r7: ~30% of the build's
+        # CPU). The set bits ARE the distinct h32 count, so n_sh is a
+        # post-agg popcount sum (bitmap regime) / array size (set
+        # regime) instead.
         aggs = [
-            F.countDistinct("hi").cast("int").alias("n_sh"),
             *[F.min(f"p{i}").alias(f"m{i}") for i in range(NUM_HASHES)],
         ]
         if n_words:
             for w in range(n_words):
                 aggs.append(F.expr(
-                    f"bit_or(CASE WHEN __bit >= {w * 64} AND __bit < {(w + 1) * 64} "
-                    f"THEN shiftleft(1L, __bit % 64) ELSE 0L END)"
+                    f"bit_or(CASE WHEN __wi = {w} THEN __mask ELSE 0L END)"
                 ).alias(f"w{w}"))
+            n_sh = sum(F.bit_count(f"w{w}") for w in range(n_words))
         else:
             aggs.insert(0, F.collect_set("hi").alias("sh"))
+            n_sh = F.size("sh")
+        head = ["sh"] if not n_words else []
         combined = (
             toks.join(F.broadcast(dim), "__s")
             .groupBy(id_col)
             .agg(*aggs)
+            .select(
+                id_col, *head, n_sh.cast("int").alias("n_sh"),
+                *[f"m{i}" for i in range(NUM_HASHES)],
+                *[f"w{w}" for w in range(n_words)],
+            )
         )
         if plan_probe is not None:
             # expose the pre-checkpoint physical plan so tests can pin
@@ -1124,10 +1149,8 @@ def winnow_selected(
 
 
 def _cross_verify(
-    prof_n: DataFrame,
-    sets_n: DataFrame,
-    prof_b: DataFrame,
-    sets_b: DataFrame,
+    side_new: DataFrame,
+    side_base: DataFrame,
     min_jaccard: float,
     id_col: str,
     min_est_matches: int,
@@ -1136,11 +1159,14 @@ def _cross_verify(
     """Shared tail of the cross-corpus pipeline: band buckets per side,
     cross-side candidate join, estimate screen, exact-Jaccard verify.
 
-    ``words``: when both sides are slices of ONE :func:`_shared_build`
-    (the in-table incremental case) their bitmap encodings share a bit
-    universe, so the verify runs on popcounts (``sets_*`` then carry
-    ``n_sh`` + word columns instead of ``sh``). Two independent builds
-    have incompatible bit assignments — callers pass arrays there."""
+    Each side is ONE frame carrying the MinHash minima (``m0..m15``)
+    plus the verify payload — ``n_sh`` + bitmap word columns when both
+    sides are slices of one :func:`_shared_build` (the in-table
+    incremental case: shared bit universe, verify = popcounts of ANDs;
+    pass ``words``), or a hash array ``sh`` for two independent builds
+    (incompatible bit assignments). Single-frame sides mean the
+    in-table path never self-joins its own build's slices."""
+    prof_n, prof_b = side_new, side_base
     sig_n = minhash_signatures(id_col=id_col, profile=prof_n)
     sig_b = minhash_signatures(id_col=id_col, profile=prof_b)
 
@@ -1162,6 +1188,10 @@ def _cross_verify(
     n_cand = cand.count()
     par = cand.sparkSession.sparkContext.defaultParallelism
     width = max(par, min(n_cand // 20_000 + 1, 8 * par))
+    if width <= 2 * cand.rdd.getNumPartitions():
+        # the checkpoint already spreads the pairs ~this wide; a second
+        # full shuffle of the candidate set buys nothing
+        width = None
 
     mins_arr = minhash_mins_array()
     est = minhash_est("mins_n", "mins_b")
@@ -1170,11 +1200,11 @@ def _cross_verify(
     # independently to a shuffle join past the cap instead of dying on
     # Spark's broadcast limit. Bytes are measured, not assumed: rows x
     # (16 minima + avg set payload).
-    def side_bytes(prof: DataFrame, sets: DataFrame) -> int:
+    def side_bytes(side: DataFrame) -> int:
         if words:
-            n_docs = sets.count()
+            n_docs = side.count()
             return n_docs * ((len(words) + 1) * 8 + NUM_HASHES * 8 + 56)
-        stats = sets.select(
+        stats = side.select(
             F.count(F.lit(1)).alias("n"), F.sum(F.size("sh")).alias("nh")
         ).collect()[0]
         n_docs = stats["n"] or 0
@@ -1189,23 +1219,30 @@ def _cross_verify(
         return [F.col("sh").alias(f"sh{suffix}")]
 
     side_n = size_hinted(
-        prof_n.join(sets_n, id_col).select(
+        side_new.select(
             F.col(id_col).alias("id_new"), mins_arr.alias("mins_n"),
             *payload("_n")),
-        side_bytes(prof_n, sets_n))
+        side_bytes(side_new))
     side_b = size_hinted(
-        prof_b.join(sets_b, id_col).select(
+        side_base.select(
             F.col(id_col).alias("id_base"), mins_arr.alias("mins_b"),
             *payload("_b")),
-        side_bytes(prof_b, sets_b))
-    screened = (
-        cand.repartition(width)
-        .join(side_n, "id_new").join(side_b, "id_base")
-        .filter(est >= min_est_matches)
-    )
+        side_bytes(side_base))
+    spread = cand.repartition(width) if width else cand
+    attached = spread.join(side_n, "id_new").join(side_b, "id_base")
     if words:
-        return jaccard_words_projection(
-            screened, "id_new", "id_base", "_n", "_b", words, min_jaccard)
+        # popcount-first (the in-corpus verify's r6 lesson): the exact
+        # bitmap Jaccard (W ANDs + popcounts) is cheaper per row than
+        # the 16-term getItem estimate, so it runs first and the
+        # estimate screen — still part of the contract — only sees the
+        # survivors. Pure reordering of conjuncts: the result set is
+        # identical.
+        out = jaccard_words_projection(
+            attached, "id_new", "id_base", "_n", "_b", words, min_jaccard,
+            carry=["mins_n", "mins_b"])
+        return out.filter(est >= min_est_matches).select(
+            "id_new", "id_base", "jaccard")
+    screened = attached.filter(est >= min_est_matches)
     return jaccard_projection(
         screened, "id_new", "id_base", "sh_n", "sh_b", min_jaccard)
 
@@ -1241,7 +1278,8 @@ def cross_near_dups(
     sets_n = shared_sets(new_docs, id_col, text_col, memo=memo)
     sets_b = shared_sets(base_docs, id_col, text_col, memo=memo)
     return _cross_verify(
-        prof_n, sets_n, prof_b, sets_b, min_jaccard, id_col, min_est_matches
+        prof_n.join(sets_n, id_col), prof_b.join(sets_b, id_col),
+        min_jaccard, id_col, min_est_matches,
     )
 
 
@@ -1267,12 +1305,8 @@ def cross_near_dups_in_table(
     either way."""
     combined = _shared_build(docs, id_col, text_col, memo=memo)
     words = _build_words(combined)
-    prof = combined.select(id_col, *[f"m{i}" for i in range(NUM_HASHES)])
-    pay = combined.select(
-        id_col, "n_sh", *(words if words else ["sh"]))
     return _cross_verify(
-        prof.filter(new_pred), pay.filter(new_pred),
-        prof.filter(~new_pred), pay.filter(~new_pred),
+        combined.filter(new_pred), combined.filter(~new_pred),
         min_jaccard, id_col, min_est_matches,
         words=words or None,
     )

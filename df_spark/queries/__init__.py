@@ -51,35 +51,44 @@ def register(name: str, sql: str | None = None):
 # ann_ivf_kmeans), whose value-hash a sampler cannot check anyway, and
 # the wider TPC-H variants whose families are already represented.
 # ORACLE_LOCAL_r*.txt records the full-registry check every round.
-# Round-6 rotation: families whose representative had been driver-green
-# 2+ rounds (join_anti_semi, minhash_lsh_pairs, ann_ivf_topk,
-# events_tumbling, explode_arrays, pivot_status, decontaminate) rotated
-# out for families that had only local-stamp evidence (doc_rarity,
-# bm25_rank, cohort_retention, events_gapfill, winnow_fingerprints,
-# ohlc_bars), ngram_jaccard (blocking semantics changed this round and
-# needs a fresh driver hash), and the new dup_span_stats (semdedup,
-# green since r4, rotated out to make room). pagerank_parts and variant_stats
-# stay in-window so their r5 hash-fail fixes get driver confirmation.
+# Round-7 rotation: 12 members of multiply-represented families that
+# had been driver-green 2+ rounds rotated out (join_3way_agg,
+# nullsafe_join — join_inner stays; agg_global — q1 stays; text_stats,
+# lang_id — bm25_rank/doc_rarity stay; pii_redact, snapshot_diff —
+# cdc_scd2/mv_incremental stay; events_sessions, cube_agg, window_topk,
+# percentiles, sample_stratified — each family keeps a rep or its twin
+# rotates in) for 12 names that had NEVER had a driver hash row:
+# token_freq, tfidf_top_terms, triangle_counts, copurchase_pairs,
+# source_mix, kll_quantiles (percentile family twin), skew_salted_join,
+# simhash, theta_segments, json_agg, and the two NEW Structured-
+# Streaming-backed rows (stream_tumbling_hourly, stream_decontaminate)
+# giving streaming/ its first driver-visible evidence.
+# (Round-6 rotation history: doc_rarity, bm25_rank, cohort_retention,
+# events_gapfill, winnow_fingerprints, ohlc_bars, dup_span_stats in —
+# all confirmed green in CORRECTNESS_r06.json.)
 PRIORITY = [
     "q1_pricing_summary",
     "filter_predicates", "select_arith", "orderby_limit", "group_collect",
-    "agg_global", "join_inner", "join_3way_agg", "nullsafe_join",
+    "join_inner",
     "union_distinct", "csv_roundtrip",
     "dedup_exact", "ngram_jaccard",
-    "minhash_near_dups", "dedup_clusters", "dup_span_stats", "pii_redact",
-    "snapshot_diff", "doc_rarity",
+    "minhash_near_dups", "dedup_clusters", "dup_span_stats",
+    "doc_rarity", "simhash",
     "interval_overlap_join", "ann_lsh_topk", "bm25_rank",
     "embed_near_dup", "cdc_scd2",
-    "cohort_retention", "events_sessions",
+    "cohort_retention",
     "asof_join_events", "range_join_bands",
-    "window_topk", "events_gapfill",
-    "cube_agg", "pagerank_parts", "winnow_fingerprints", "ohlc_bars",
-    "percentiles",
-    "text_stats", "lang_id", "last_touch_attribution", "tree_depths",
-    "llm_data_pipeline", "sample_stratified",
+    "events_gapfill",
+    "pagerank_parts", "winnow_fingerprints", "ohlc_bars",
+    "triangle_counts", "copurchase_pairs",
+    "kll_quantiles", "theta_segments", "json_agg",
+    "token_freq", "tfidf_top_terms",
+    "last_touch_attribution", "tree_depths",
+    "llm_data_pipeline", "source_mix", "skew_salted_join",
     "prefix_sim_join", "mv_incremental", "profile_table",
     "jsonl_roundtrip", "zorder_key", "events_anomaly",
     "rollup_hypertable", "sketch_rollup", "variant_stats",
+    "stream_tumbling_hourly", "stream_decontaminate",
 ]
 
 
@@ -90,7 +99,8 @@ def load_registry() -> dict[str, Query]:
     for mod in ("advanced", "analytics", "cdc_q", "dedup", "events", "extensions",
                 "governance", "graph_q", "hierarchy_q", "json_props",
                 "multimodal", "pipeline_q",
-                "sampling_q", "similarity", "sources_q", "text", "tokens", "tpch"):
+                "sampling_q", "similarity", "sources_q", "streaming_q",
+                "text", "tokens", "tpch"):
         try:
             __import__(f"{__name__}.{mod}")
         except ImportError:

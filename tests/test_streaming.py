@@ -336,3 +336,29 @@ def test_checkpoint_restart_is_exactly_once(spark, sf_dir, tmp_path):
     dedup = (spark.read.parquet(str(out_dir))
              .select("event_id").distinct().count())
     assert dedup == total
+
+
+def test_stream_tumbling_emitted_set(spark, sf_dir):
+    """The registry row ``stream_tumbling_hourly`` claims append mode
+    emits exactly the windows with window_end <= max(ts) - 2h; pin that
+    emission contract against the batch-computed set so a Spark
+    watermark-semantics change fails here instead of at the oracle."""
+    import datetime
+
+    from df_spark.queries import load_registry
+
+    out = load_registry()["stream_tumbling_hourly"].fn(spark, sf_dir)
+    got = {(r.window_start, r.event_type, r.n_events) for r in out.collect()}
+
+    ev = load_sdf(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    cutoff = mx - datetime.timedelta(hours=2)
+    want_df = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("w.end") <= F.lit(cutoff))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+                "event_type", "n")
+    )
+    want = {(r.ws, r.event_type, r.n) for r in want_df.collect()}
+    assert got == want and want
