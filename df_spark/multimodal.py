@@ -3,11 +3,13 @@ columns with typed metadata, processed by Arrow-batched Pandas UDFs
 over ``mapInPandas``.
 
 The Spark-side plumbing is real and tested — schema, partitioning,
-UDF signature, batch shape. The actual codec step is STUBBED: this
-container has no image/audio libraries, so ``decode_stub`` computes a
-deterministic fake feature vector from the bytes (documented
-NotImplementedError path for real codecs). Swapping in PIL/librosa
-means changing only the inner function — the distributed plan is
+UDF signature, batch shape. The codec step decodes uncompressed
+24-bit BMP and 16-bit PCM WAV end-to-end in pure stdlib (real
+dimensions / duration / signal stats — see ``_decode_real``); every
+other format raises the documented NotImplementedError (this
+container has no PIL/librosa/ffmpeg), with ``decode_stub`` as the
+deterministic fake for pipeline tests. Swapping in real libraries
+means changing only the inner dispatch — the distributed plan is
 unchanged.
 
 Scale notes: binary payloads ride in parquet column chunks;
@@ -65,11 +67,96 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+def _decode_bmp(payload: bytes) -> list[float]:
+    """Pure-stdlib decode of an uncompressed 24-bit BMP (BITMAPINFO
+    header, BI_RGB): real dimensions + per-channel pixel means. Rows
+    are bottom-up and 4-byte padded per the format."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise NotImplementedError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise NotImplementedError(f"unsupported BMP header size {header_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp != 24:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, comp={compression})"
+        )
+    height_abs = abs(height)
+    row_bytes = (width * 3 + 3) & ~3
+    n_px = width * height_abs
+    tot = [0, 0, 0]  # B, G, R
+    for r in range(height_abs):
+        base = data_offset + r * row_bytes
+        row = payload[base:base + width * 3]
+        if len(row) < width * 3:
+            raise NotImplementedError("truncated BMP pixel data")
+        tot[0] += sum(row[0::3])
+        tot[1] += sum(row[1::3])
+        tot[2] += sum(row[2::3])
+    return [
+        float(width), float(height_abs),
+        tot[2] / n_px / 255.0,  # mean R
+        tot[1] / n_px / 255.0,  # mean G
+        tot[0] / n_px / 255.0,  # mean B
+        float(width) / float(height_abs),
+        float(bpp),
+        1.0,  # modality tag: image
+    ]
+
+
+def _decode_wav(payload: bytes) -> list[float]:
+    """Pure-stdlib decode of a 16-bit PCM WAV: real sample rate /
+    channel count / duration plus RMS and peak amplitude."""
+    import io
+    import struct
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            n_ch = w.getnchannels()
+            rate = w.getframerate()
+            sampwidth = w.getsampwidth()
+            n_frames = w.getnframes()
+            frames = w.readframes(n_frames)
+    except wave.Error as e:
+        raise NotImplementedError(f"not a PCM WAV payload: {e}") from e
+    if sampwidth != 2:
+        raise NotImplementedError(f"only 16-bit PCM supported (width={sampwidth})")
+    n = len(frames) // 2
+    if n == 0:
+        raise NotImplementedError("empty WAV payload")
+    samples = struct.unpack(f"<{n}h", frames[: n * 2])
+    rms = (sum(s * s for s in samples) / n) ** 0.5 / 32768.0
+    peak = max(abs(s) for s in samples) / 32768.0
+    return [
+        float(n_ch), float(rate), float(n_frames),
+        n_frames / rate if rate else 0.0,  # duration seconds
+        rms, peak,
+        float(sampwidth * 8),
+        2.0,  # modality tag: audio
+    ]
+
+
 def _decode_real(kind: str, payload: bytes) -> list[float]:
-    """Real codec hook — intentionally unimplemented in this container
-    (no PIL/librosa/ffmpeg). Replace in production."""
+    """Real codec dispatch, pure stdlib: uncompressed 24-bit BMP and
+    16-bit PCM WAV decode end-to-end (dimensions / duration / signal
+    stats); every other format still raises — PIL/librosa/ffmpeg are
+    not in this container, and the error path is part of the tested
+    contract (reference has no multimodal surface; this is the
+    Spark-native extension)."""
+    payload = payload or b""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
     raise NotImplementedError(
-        f"no codec for {kind!r} in this environment; use decode_stub"
+        f"no codec for {kind!r} payload (magic={payload[:4]!r}) in this "
+        "environment; use decode_stub or swap in PIL/librosa"
     )
 
 

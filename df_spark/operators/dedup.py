@@ -1439,26 +1439,33 @@ def prefix_filtered_pairs(
     """
     t20 = int(round(min_jaccard * 20))
     assert abs(min_jaccard * 20 - t20) < 1e-9, "min_jaccard must be a multiple of 0.05"
-    sh, sizes, cand = prefix_candidate_pairs(
+    sh, arrays, cand = prefix_candidate_pairs(
         docs, min_jaccard, id_col, text_col, k, partition_cols
     )
+    sizes = arrays.select(id_col, "sz")
     # verify strategy is adaptive on the measured shingle-table size
     # (sh is checkpointed — the count is a cached-RDD read):
     n_sh_rows = sh.count()
     if n_sh_rows * 8 < BROADCAST_BYTES_CAP:
         # broadcast regime: attach each side's full hash array via two
         # broadcast joins and count the intersect per pair directly.
-        # The shingle-row join below fans every candidate out to
-        # ~|set| rows before re-collapsing (measured at sf0.1: a 12 M
-        # row intermediate for 85k candidates, 64 CPU-s); the array
-        # attach is one small aggregate + per-pair intersect (~4 CPU-s)
-        arrays = (
-            sh.groupBy(id_col).agg(F.collect_list("h").alias("__ha"))
-            .localCheckpoint(eager=True)
-        )
-        a = F.broadcast(arrays.select(
+        # The arrays come from the candidate build's checkpointed
+        # per-doc frame — ONE transform over ~docs rows strips the
+        # (df, h) rank structs down to plain bigint arrays. That strip
+        # is load-bearing: array_intersect on STRUCT elements has no
+        # hash-set fast path (quadratic, interpreted equality per
+        # element pair — measured: minutes at sf0.1 vs seconds on
+        # bigint arrays). The shingle-row join below fans every
+        # candidate out to ~|set| rows before re-collapsing (measured
+        # at sf0.1: a 12 M row intermediate for 85k candidates, 64
+        # CPU-s); the array attach reuses the checkpointed arrays
+        # frame — no extra aggregate over the shingle table
+        ha = arrays.select(
+            F.col(id_col),
+            F.transform("__arr", lambda x: x["h"]).alias("__ha"))
+        a = F.broadcast(ha.select(
             F.col(id_col).alias("id_a"), F.col("__ha").alias("__ha_a")))
-        b = F.broadcast(arrays.select(
+        b = F.broadcast(ha.select(
             F.col(id_col).alias("id_b"), F.col("__ha").alias("__ha_b")))
         common = cand.join(a, "id_a").join(b, "id_b").select(
             "id_a", "id_b",
@@ -1500,46 +1507,87 @@ def prefix_candidate_pairs(
     partition_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Candidate-generation stage of :func:`prefix_filtered_pairs`.
-    Returns (shingle rows, set sizes, candidate id pairs) so callers —
-    the verify stage, and the scale probe's candidates/sec metric —
-    share one build. Candidate COUNT is the operator's true scale
-    variable: verify cost is proportional to it, and on a
+    Returns (shingle rows, per-doc arrays frame, candidate id pairs) so
+    callers — the verify stage, and the scale probe's candidates/sec
+    metric — share one build. Candidate COUNT is the operator's true
+    scale variable: verify cost is proportional to it, and on a
     closed-vocabulary corpus it grows with the real near-dup density
     (quadratic here by data construction, near-linear on an
-    open-vocabulary corpus whose rare shingles stay rare)."""
-    from pyspark.sql import Window as W
+    open-vocabulary corpus whose rare shingles stay rare).
 
+    Plan shape (r7 restructure, 43 → ~25 CPU-s at sf0.1): on local[32]
+    attributed CPU tracks the NUMBER of wide shuffle passes over the
+    shingle table far more than per-row work, so the build never
+    exchanges a shingle-sized frame at all. A doc's exploded shingle
+    rows stay inside one partition (explode doesn't split a row), so
+    ``collect_set(h)`` per doc collapses MAP-SIDE and its exchange
+    carries one array row per doc; document frequency aggregates the
+    re-exploded per-doc sets keyed on h (map-side partials are bounded
+    by the k-shingle vocabulary per partition); and the final per-doc
+    aggregate collects (df, h) pairs into a sort_array'd struct array
+    (rank = array position, the same (df asc, h asc) rarity order the
+    old row_number window produced), again collapsing map-side. Every
+    exchange is ~docs-sized or ~vocab-sized; everything downstream —
+    prefix explode, candidate join, verify arrays — derives from the
+    checkpointed per-doc arrays frame. ``collect_set(h)`` also IS the
+    distinct-(id, h) contract (h32 collisions count once), matching
+    the oracle's SELECT DISTINCT."""
     t20 = int(round(min_jaccard * 20))
     pcols = partition_cols or []
 
-    # distinct (id, h): shingle STRINGS are distinct per doc, but h32
-    # collisions could double-count a pair's overlap — the oracle
-    # SELECTs DISTINCT, so the engine must too
     base = docs.select(F.col(id_col), *[F.col(c) for c in pcols], F.col(text_col))
-    sh = shingle_hashes(base.select(id_col, text_col), id_col, text_col, k).distinct()
-    sh = sh.localCheckpoint(eager=True)  # shared by rank and verify
-    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    # rank AND set size from ONE window partitioning (row_number +
-    # count share the doc_id partition → a single shuffle, no separate
-    # sizes aggregate/join)
-    wp = W.partitionBy(id_col)
-    ranked = sh.join(dfreq, "h").select(
-        id_col, "h",
-        F.row_number().over(wp.orderBy("df", "h")).alias("rk"),
-        F.count(F.lit(1)).over(wp).alias("sz"),
+    norm = base.select(
+        F.col(id_col), normalized(F.col(text_col)).alias("__t")
+    ).filter(F.length("__t") >= k)
+    norm = norm.repartition(barrier_width(norm))
+    toks = norm.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), F.length("__t") - (k - 1))).alias("__p"),
+        "__t",
+    ).select(
+        # xxhash64, not the oracle-parity md5 h32: the hash only needs
+        # to (a) give SOME total order for the rarity ranking — the
+        # prefix-filter completeness theorem holds for any order — and
+        # (b) preserve distinctness for the intersect counts, where
+        # 64 bits beat h32's 32 (the oracle now intersects raw
+        # strings). The md5→hex→conv pipeline was 11 of this stage's
+        # 19 CPU-s at sf0.1.
+        F.col(id_col),
+        F.xxhash64(F.col("__t").substr(F.col("__p"), F.lit(k))).alias("h"),
     )
-    prefix = ranked.filter(
-        F.col("rk") <= F.col("sz") - F.ceil(F.lit(min_jaccard) * F.col("sz")) + 1
+    sets = (
+        toks.groupBy(id_col).agg(F.collect_set("h").alias("__hs"))
+        .localCheckpoint(eager=True)
+    )
+    # (id, h) stream re-derived map-only from the per-doc checkpoint;
+    # shared by the df aggregate and the non-broadcast verify regime
+    sh = sets.select(F.col(id_col), F.explode("__hs").alias("h"))
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = size_hinted(dfreq, dfreq.count() * 16)
+    arrays = (
+        sh.join(dfreq, "h")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "h"))).alias("__arr"),
+            F.count(F.lit(1)).alias("sz"),
+        )
     )
     if pcols:
-        prefix = prefix.join(base.select(id_col, *pcols), id_col)
-    # both sides of the candidate self-join consume `prefix`; without a
-    # materialization barrier Spark re-runs the df-join + rank window
-    # once per side (ReusedExchange only kicks in for the leaf shuffle)
-    prefix = prefix.localCheckpoint(eager=True)
-    # every doc keeps ≥ 1 prefix row (p ≥ 1), so set sizes for the
-    # verify stage come off the materialized prefix — no extra pass
-    sizes = prefix.select(id_col, "sz").distinct()
+        arrays = arrays.join(base.select(id_col, *pcols), id_col)
+    # bounded: one row per doc (arr ≈ the doc's shingle set)
+    arrays = arrays.localCheckpoint(eager=True)
+
+    # prefix length p = |s| - ceil(t·|s|) + 1; rank = position in the
+    # rarity-sorted array (struct sort = (df asc, h asc), exactly the
+    # old row_number order — h is distinct per doc so there are no ties)
+    p = (F.col("sz") - F.ceil(F.lit(min_jaccard) * F.col("sz")) + 1).cast("int")
+    prefix = arrays.select(
+        F.col(id_col), "sz", *[F.col(c) for c in pcols],
+        F.posexplode(F.slice("__arr", F.lit(1), p)).alias("__pos", "__e"),
+    ).select(
+        F.col(id_col), "sz", *[F.col(c) for c in pcols],
+        (F.col("__pos") + 1).alias("rk"), F.col("__e.h").alias("h"),
+    )
 
     a = prefix.select(
         F.col(id_col).alias("id_a"), F.col("h"),
@@ -1569,7 +1617,7 @@ def prefix_candidate_pairs(
         # consumed twice by the verify joins — cut the DAG here
         .localCheckpoint(eager=True)
     )
-    return sh, sizes, cand
+    return sh, arrays, cand
 
 
 def prefix_filtered_pairs_sql(
@@ -1580,7 +1628,13 @@ def prefix_filtered_pairs_sql(
     """Oracle twin of :func:`prefix_filtered_pairs` — deliberately the
     EXHAUSTIVE co-occurrence join (no prefix/length/positional
     filters), so equality with the Spark result proves the filters
-    drop nothing."""
+    drop nothing. The oracle intersects raw shingle STRINGS (exact
+    ground truth); the engine's xxhash64 values agree unless xxhash64
+    itself collides, which the hash compare would surface. (Until r6
+    both sides counted md5-h32 values, whose 32-bit collisions — ~200
+    expected at sf0.1's 1.3 M distinct shingles — quietly merged
+    shingles on both sides; string semantics are strictly more
+    exact.)"""
     t20 = int(round(min_jaccard * 20))
     pcols = partition_cols or []
     # partition equality via the per-doc columns carried into sh
@@ -1589,7 +1643,7 @@ def prefix_filtered_pairs_sql(
     norm = normalized_sql(text_col)
     return f"""
     WITH sh AS (
-      SELECT DISTINCT {id_col} AS id{pc_sel}, {h32_sql('s')} AS h FROM (
+      SELECT DISTINCT {id_col} AS id{pc_sel}, s AS h FROM (
         SELECT {id_col}{pc_sel}, unnest(list_distinct(list_transform(
           range(1, len({norm}) - {k - 2}),
           i -> substr({norm}, CAST(i AS INT), {k})))) AS s

@@ -49,3 +49,67 @@ def test_frame_sample(spark, sf_dir):
     assert len(rows) == n_expected
     rebuilt = b"".join(bytes(r.frame_bytes) for r in rows)
     assert rebuilt == bytes(src.payload)
+
+
+def _bmp_bytes(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal uncompressed 24-bit BMP, solid color, bottom-up rows."""
+    import struct
+
+    row_bytes = (width * 3 + 3) & ~3
+    pixel_data = bytearray()
+    row = bytes([rgb[2], rgb[1], rgb[0]]) * width + b"\x00" * (row_bytes - width * 3)
+    for _ in range(height):
+        pixel_data += row
+    data_offset = 14 + 40
+    file_size = data_offset + len(pixel_data)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_offset)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(pixel_data), 2835, 2835, 0, 0)
+    return header + info + bytes(pixel_data)
+
+
+def _wav_bytes(rate: int, n_frames: int, amplitude: int) -> bytes:
+    """Minimal 16-bit mono PCM WAV: a square wave at fixed amplitude."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = struct.pack(
+            f"<{n_frames}h",
+            *[amplitude if i % 2 == 0 else -amplitude for i in range(n_frames)])
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_real_codec_decodes_bmp_and_wav(spark):
+    """The de-stubbed codec path: real dimensions / duration from real
+    bytes, through the same distributed mapInPandas plan as the stub."""
+    rows = [
+        (1, "image", _bmp_bytes(6, 4, (255, 0, 0)), "fixture"),
+        (2, "audio", _wav_bytes(8000, 4000, 16384), "fixture"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary, source string")
+    feats = {r.media_id: r.feature for r in M.featurize(df, use_stub=False).collect()}
+    img = feats[1]
+    assert img[0] == 6.0 and img[1] == 4.0          # width, height
+    assert abs(img[2] - 1.0) < 1e-6                  # mean R (solid red)
+    assert img[3] == 0.0 and img[4] == 0.0           # mean G, B
+    assert img[6] == 24.0 and img[7] == 1.0          # bpp, image tag
+    aud = feats[2]
+    assert aud[0] == 1.0 and aud[1] == 8000.0        # mono, sample rate
+    assert abs(aud[3] - 0.5) < 1e-9                  # duration = 4000/8000 s
+    assert abs(aud[4] - 0.5) < 1e-3                  # RMS of +/-16384 square
+    assert aud[7] == 2.0                             # audio tag
+
+
+def test_real_codec_unknown_format_still_raises(spark):
+    df = spark.createDataFrame(
+        [(1, "video", b"\x00\x01\x02\x03mpeg?", "fixture")],
+        "media_id long, kind string, payload binary, source string")
+    with pytest.raises(Exception, match="no codec"):
+        M.featurize(df, use_stub=False).collect()
