@@ -60,9 +60,12 @@ def register(name: str, sql: str | None = None):
 # rotates in) for 12 names that had NEVER had a driver hash row:
 # token_freq, tfidf_top_terms, triangle_counts, copurchase_pairs,
 # source_mix, kll_quantiles (percentile family twin), skew_salted_join,
-# simhash, theta_segments, json_agg, and the two NEW Structured-
-# Streaming-backed rows (stream_tumbling_hourly, stream_decontaminate)
-# giving streaming/ its first driver-visible evidence.
+# simhash, theta_segments, json_agg, and two of the three NEW
+# Structured-Streaming-backed rows (stream_tumbling_hourly,
+# stream_click_attribution — the watermark-emission and stream-stream
+# join machinery; stream_decontaminate carries local stamps and shares
+# its oracle with the long-green batch decontaminate) giving
+# streaming/ its first driver-visible evidence.
 # (Round-6 rotation history: doc_rarity, bm25_rank, cohort_retention,
 # events_gapfill, winnow_fingerprints, ohlc_bars, dup_span_stats in —
 # all confirmed green in CORRECTNESS_r06.json.)
@@ -88,7 +91,7 @@ PRIORITY = [
     "prefix_sim_join", "mv_incremental", "profile_table",
     "jsonl_roundtrip", "zorder_key", "events_anomaly",
     "rollup_hypertable", "sketch_rollup", "variant_stats",
-    "stream_tumbling_hourly", "stream_decontaminate",
+    "stream_tumbling_hourly", "stream_click_attribution",
 ]
 
 

@@ -90,3 +90,51 @@ def stream_decontaminate(spark, sf_dir):
         output_mode="complete",
     )
     return out
+
+
+@register(
+    "stream_click_attribution",
+    sql="""
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS pts,
+             value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, click_id, purchase_id,
+           epoch_us(cts) AS click_us, epoch_us(pts) AS purchase_us,
+           purchase_value
+    FROM c JOIN p ON c.user_id = p.user_id
+      AND pts >= cts AND pts <= cts + INTERVAL '30 minutes'
+    """,
+)
+def stream_click_attribution(spark, sf_dir):
+    """STREAM-STREAM interval join run by the streaming engine: click
+    and purchase streams (two filters of the events file stream), each
+    watermarked 2h, joined on user within a [0, 30 min] event-time
+    horizon — the attribution join of an event pipeline, with state
+    evicted as both watermarks advance.
+
+    INNER stream-stream joins emit every match as it is found (only
+    outer joins wait on the watermark to declare non-matches), so over
+    a bounded availableNow stream the emitted set equals the batch
+    interval join EXACTLY — verified at sf0.001 and sf0.01 and pinned
+    by ``test_stream_stream_interval_join_matches_batch`` — which makes
+    the oracle a plain SQL interval join with no emission-cutoff
+    clause. State at 100 TB: O(events inside the watermark x horizon
+    window) per user partition, one shuffle per side on user_id."""
+    stream = SW.read_events_stream(spark, sf_dir)
+    joined = SW.interval_join_streams(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+    )
+    _, out = SW.run_stream_to_memory(joined, output_mode="append")
+    return out.select(
+        "user_id", "click_id", "purchase_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        "purchase_value",
+    )

@@ -247,15 +247,12 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     expected = {(r.click_id, r.purchase_id) for r in expected_rows}
 
     assert got, "stream-stream join emitted nothing"
-    # everything the stream emitted is a true batch pair (no spurious rows)
-    assert got <= expected
-    # only pairs inside the final-watermark holdback may be missing
-    max_ts = max(r.purchase_ts for r in expected_rows)
-    import datetime
-    horizon = max_ts - datetime.timedelta(hours=2)
-    must_have = {(r.click_id, r.purchase_id) for r in expected_rows
-                 if r.purchase_ts <= horizon}
-    assert must_have <= got
+    # INNER stream-stream joins emit every match as found (no watermark
+    # holdback — that's an outer-join concern), so the bounded stream's
+    # emitted set equals the batch join EXACTLY. The registry row
+    # stream_click_attribution relies on this: its oracle is the plain
+    # SQL interval join with no emission-cutoff clause.
+    assert got == expected
 
 
 def test_streaming_distinct_users_matches_batch_estimate(spark, sf_dir):
