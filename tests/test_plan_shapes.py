@@ -223,3 +223,19 @@ def test_banded_ngram_no_metadata_only_block_join(spark):
     plan = plan_of(spark, "ngram_jaccard")
     assert "bucket" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_prefix_sim_join_no_smj_bounded_exchanges(spark):
+    """The r7 per-doc-array restructure: no shingle-sized frame crosses
+    an exchange, the dfreq attach broadcasts, and no sort-merge join
+    remains (PLANS.md r7: 4 exchanges / 4 broadcast joins, down from
+    8 / 2 SMJ)."""
+    plan = plan_of(spark, "prefix_sim_join")
+    assert "SortMergeJoin" not in plan
+    assert count_in(plan, "Exchange") <= 5
+
+
+def test_cross_near_dups_no_smj(spark):
+    plan = plan_of(spark, "cross_near_dups")
+    assert "SortMergeJoin" not in plan
+    assert count_in(plan, "Exchange") <= 4
