@@ -138,3 +138,66 @@ def stream_click_attribution(spark, sf_dir):
         F.unix_micros("purchase_ts").alias("purchase_us"),
         "purchase_value",
     )
+
+
+@register(
+    "stream_sessions",
+    sql="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), o AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM e
+    ), brk AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS is_new
+      FROM o
+    ), grp AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS g
+      FROM brk
+    ), sess AS (
+      SELECT user_id,
+             MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL '30 minutes' AS session_end,
+             COUNT(*) AS n_events
+      FROM grp GROUP BY user_id, g
+    )
+    SELECT user_id,
+           epoch_us(session_start) AS start_us,
+           epoch_us(session_end) AS end_us,
+           n_events
+    FROM sess
+    WHERE session_end
+          <= (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '2 hours' FROM events)
+    """,
+)
+def stream_sessions(spark, sf_dir):
+    """Native streaming SESSION windows (gap-merged state in the state
+    store), driven to completion in append mode: per-user sessions
+    with a 30-minute inactivity gap and a 2-hour watermark.
+
+    Spark's session_window spans [first event, last event + gap) and
+    merges an event only while it lands strictly inside the open
+    window, so the oracle's gaps-and-islands twin breaks on
+    ``ts - prev >= gap`` and reports end = last + gap. Append mode
+    emits exactly the sessions the final watermark closed —
+    ``session_end <= max(ts) - 2h``, the same cutoff rule as
+    ``stream_tumbling_hourly``, verified empirically and encoded in
+    the oracle. (The batch ``events_sessions`` row keeps its own
+    break-on-``>`` contract; this row's contract is the streaming
+    engine's.) State at 100 TB: open sessions per user inside the
+    watermark horizon, evicted on close."""
+    stream = SW.read_events_stream(spark, sf_dir)
+    _, out = SW.run_stream_to_memory(
+        SW.session_windows(stream, gap="30 minutes"), output_mode="append")
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+    )

@@ -359,3 +359,28 @@ def test_stream_tumbling_emitted_set(spark, sf_dir):
     )
     want = {(r.ws, r.event_type, r.n) for r in want_df.collect()}
     assert got == want and want
+
+
+def test_stream_sessions_emitted_set(spark, sf_dir):
+    """Pin the session-window append-emission contract the registry row
+    stream_sessions' oracle encodes: emitted sessions are exactly those
+    with session_end (= last event + gap) <= max(ts) - watermark."""
+    import datetime
+
+    from df_spark.queries import load_registry
+
+    out = load_registry()["stream_sessions"].fn(spark, sf_dir)
+    got = {(r.user_id, r.start_us, r.end_us, r.n_events) for r in out.collect()}
+
+    ev = load_sdf(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    cutoff = mx - datetime.timedelta(hours=2)
+    batch = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("w.end") <= F.lit(cutoff))
+        .select("user_id", F.unix_micros("w.start").alias("s"),
+                F.unix_micros("w.end").alias("e"), "n")
+    )
+    want = {(r.user_id, r.s, r.e, r.n) for r in batch.collect()}
+    assert got == want and want
