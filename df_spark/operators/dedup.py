@@ -1118,21 +1118,40 @@ def winnow_selected(
     the last full window are dropped (after the min is computed), so
     end-of-doc windows still see their full ``w`` hashes — canonical
     semantics. The windowed min partitions per doc: parallel across the
-    corpus, no global sort, and window state is ``w`` rows."""
+    corpus, no global sort, and window state is ``w`` rows.
+
+    The md5-h32 value is the CONTRACT (fingerprints are output), but
+    WHERE it's computed is not: like ``_shared_build``, the hash is
+    evaluated once per DISTINCT k-gram on a charset^k-bounded broadcast
+    dictionary instead of once per position — identical values, and
+    the per-position md5→hex→conv pipeline (measured ~11 CPU-s per
+    1.5 M positions at sf0.1) drops off the hot path. Falls back to
+    per-position hashing past ``DIM_MAX_ROWS``."""
     from pyspark.sql import Window as W
 
     norm = docs.select(F.col(id_col), normalized(F.col(text_col)).alias("__t"))
     norm = norm.repartition(barrier_width(norm))
     idx = F.sequence(F.lit(1), F.greatest(F.length("__t") - (k - 1), F.lit(0)))
-    pos_hashes = norm.select(
+    toks = norm.select(
         F.col(id_col),
         (F.length("__t") - (k - 1)).alias("n_grams"),
         F.col("__t"),
         F.explode(idx).alias("pos"),
     ).select(
         id_col, "n_grams", "pos",
-        h32(F.substring(F.col("__t"), F.col("pos"), k)).alias("h"),
+        F.col("__t").substr(F.col("pos"), F.lit(k)).alias("__s"),
     )
+    dim = (
+        toks.select("__s").distinct()
+        .select("__s", h32(F.col("__s")).alias("h"))
+        .localCheckpoint(eager=True)  # tiny; count + broadcast reuse it
+    )
+    if dim.count() <= DIM_MAX_ROWS:
+        pos_hashes = toks.join(F.broadcast(dim), "__s").select(
+            id_col, "n_grams", "pos", "h")
+    else:
+        pos_hashes = toks.select(
+            id_col, "n_grams", "pos", h32(F.col("__s")).alias("h"))
     win = W.partitionBy(id_col).orderBy("pos").rowsBetween(W.currentRow, w - 1)
     return (
         pos_hashes.select(

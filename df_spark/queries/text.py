@@ -226,10 +226,19 @@ def winnow_fingerprints(spark, sf_dir):
 
     docs = load_sdf(spark, sf_dir, "documents")
     wmins = winnow_selected(docs, k=3, w=_WINNOW_W)
-    return wmins.groupBy("doc_id").agg(
-        F.countDistinct("wm").alias("n_fps"),
-        F.min("wm").alias("min_fp"),
-        F.max("wm").alias("max_fp"),
+    # distinct-then-agg instead of countDistinct-with-plain-aggs: the
+    # latter plans an Expand that runs every selected row through the
+    # aggregate twice; min/max over the distinct set are the same
+    # values, and the doc's rows are partition-local after the window
+    # exchange so the distinct collapses map-side
+    return (
+        wmins.select("doc_id", "wm").distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.min("wm").alias("min_fp"),
+            F.max("wm").alias("max_fp"),
+        )
     )
 
 
