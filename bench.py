@@ -85,7 +85,15 @@ def jvm_cpu_seconds() -> float:
     workers still shows up) while ancestry filtering keeps co-tenant
     processes on the shared host out of the signal. Per-query deltas
     measure compute burned, independent of how long co-tenants made
-    the wall clock stretch around it."""
+    the wall clock stretch around it.
+
+    Reaped children are counted too: a worker that exits between two
+    samples vanishes from /proc, but its CPU reappears in its parent's
+    cutime/cstime once waited on — summing both keeps the metric
+    MONOTONE (r7: pyspark daemon workers exiting mid-suite produced
+    negative per-query deltas without this; a live child is counted
+    via its own stat and only enters the parent's cutime after it is
+    gone, so nothing double-counts)."""
     tick = os.sysconf("SC_CLK_TCK")
     me = os.getpid()
     total = 0.0
@@ -94,7 +102,10 @@ def jvm_cpu_seconds() -> float:
             with open(path) as f:
                 parts = f.read().rsplit(")", 1)[1].split()
             pid = int(path.split("/")[2])
+            own = (int(parts[11]) + int(parts[12])) / tick
+            reaped = (int(parts[13]) + int(parts[14])) / tick
             if pid == me:
+                total += reaped  # children I reaped (e.g. a dead JVM)
                 continue
             # walk up the ppid chain; count only descendants of this
             # process
@@ -102,7 +113,7 @@ def jvm_cpu_seconds() -> float:
             seen = 0
             while ppid > 1 and seen < 24:
                 if ppid == me:
-                    total += (int(parts[11]) + int(parts[12])) / tick
+                    total += own + reaped
                     break
                 with open(f"/proc/{ppid}/stat") as f:
                     ppid = int(f.read().rsplit(")", 1)[1].split()[1])
