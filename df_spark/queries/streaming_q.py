@@ -54,7 +54,7 @@ def stream_tumbling_hourly(spark, sf_dir):
     ``streaming.sinks.foreach_batch_parquet``."""
     stream = SW.read_events_stream(spark, sf_dir)
     _, out = SW.run_stream_to_memory(
-        SW.tumbling_counts(stream), output_mode="append")
+        SW.tumbling_counts(stream), output_mode="append", state_partitions=8)
     return out.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
@@ -87,7 +87,7 @@ def stream_decontaminate(spark, sf_dir):
         F.expr("NOT (doc_id % 20 = 0)"))
     _, out = SW.run_stream_to_memory(
         SW.decontaminate_stream(stream, bench, min_shared=25),
-        output_mode="complete",
+        output_mode="complete", state_partitions=8,
     )
     return out
 
@@ -131,7 +131,8 @@ def stream_click_attribution(spark, sf_dir):
         stream.filter(F.col("event_type") == "click"),
         stream.filter(F.col("event_type") == "purchase"),
     )
-    _, out = SW.run_stream_to_memory(joined, output_mode="append")
+    _, out = SW.run_stream_to_memory(joined, output_mode="append",
+                                     state_partitions=8)
     return out.select(
         "user_id", "click_id", "purchase_id",
         F.unix_micros("click_ts").alias("click_us"),
@@ -194,7 +195,8 @@ def stream_sessions(spark, sf_dir):
     watermark horizon, evicted on close."""
     stream = SW.read_events_stream(spark, sf_dir)
     _, out = SW.run_stream_to_memory(
-        SW.session_windows(stream, gap="30 minutes"), output_mode="append")
+        SW.session_windows(stream, gap="30 minutes"), output_mode="append",
+        state_partitions=8)
     return out.select(
         "user_id",
         F.unix_micros("session_start").alias("start_us"),
