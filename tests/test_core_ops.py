@@ -359,3 +359,16 @@ def test_fluent_pivot(spark):
     out = df.pivot("g", "p", ["x", "y"], "v", Aggregator.SUM)
     rows = {r.g: (r.x, r.y) for r in out.collect()}
     assert rows == {"a": (1, 2), "b": (4, None)}
+
+
+def test_aggregate_on_materialized_group_is_codegen(spark):
+    # r7: aggregate() on an unchanged materialized grouped frame must
+    # re-derive a true hash aggregate from the pre-group plan — no
+    # collect_list arrays, no interpreted array lambdas
+    df = Df.from_vecs(spark, [("k", [1, 2, 1]), ("x", [10, 20, 30])])
+    grouped = df.group_by("k")._resolved()
+    agg = grouped.aggregate({"x": Aggregator.SUM})
+    plan = agg.to_spark()._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+    assert sorted(as_tuples(agg)) == [(1, 40), (2, 20)]
