@@ -1,0 +1,97 @@
+"""Bloom-prefiltered semi-join: the 100 TB pattern for filtering a huge
+fact by membership in a dim whose KEY SET is too big (or too remote) to
+broadcast as a join hash relation, but whose k-bit fingerprint fits in
+a few KB.
+
+Build: each dim key sets ``k`` positions (xxhash64 with distinct seeds,
+pmod m) in an m-bit array, aggregated into ``m/64`` longs with the same
+``bit_or`` machinery as the dedup bitmaps. The finished filter is a
+BOUNDED 2 KB artifact, so it is collected and re-injected as a LITERAL
+array — the same move Spark's own runtime filters (InjectRuntimeFilter,
+DPP) make internally. That shape matters twice over:
+
+- the membership test is then a plain scan-adjacent filter (constant-
+  folded literal array + codegen bit tests), which predicate pushdown
+  KEEPS at the scan — a cross-join attach of a 1-row bloom frame gets
+  floated ABOVE the semi-join by Catalyst's join reordering, shuffling
+  every fact row and filtering afterwards (observed; the inverse of the
+  operator's point);
+- only candidates (~|members| + fp x |fact|) reach the semi-join's
+  exchange.
+
+False positives cost only wasted probe work: the exact semi-join on
+survivors removes them, so the RESULT is exactly the semi-join (the
+oracle is the plain semi-join SQL). The driver-side collect is one
+``n_words``-long row — bounded by construction, like the centroid and
+dim-stat collects elsewhere in this repo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_WORDS = 256  # 16 Kbit filter = 2 KB — literal-trivial
+DEFAULT_HASHES = 3
+
+
+def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    # xxhash64 seeds give k independent positions; pmod keeps them
+    # non-negative
+    return [F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(m_bits))
+            for seed in range(k)]
+
+
+def bloom_build(keys: DataFrame, key_col: str,
+                n_words: int = DEFAULT_WORDS, k: int = DEFAULT_HASHES) -> list[int]:
+    """The m-bit bloom filter of the key set as ``n_words`` longs. The
+    explode is (keys x k) rows; the aggregate's map-side partials
+    collapse to one wide row per partition and ONE bounded row reaches
+    the driver."""
+    m_bits = n_words * 64
+    bits = keys.select(
+        F.explode(F.array(*_positions(F.col(key_col), m_bits, k))).alias("__bit"))
+    aggs = [
+        F.expr(
+            f"bit_or(CASE WHEN __bit div 64 = {w} "
+            f"THEN shiftleft(1L, __bit % 64) ELSE 0L END)"
+        ).alias(f"w{w}")
+        for w in range(n_words)
+    ]
+    row = bits.agg(*aggs).collect()[0]
+    return [row[f"w{w}"] or 0 for w in range(n_words)]
+
+
+def bloom_might_contain(key: Column, words: list[int],
+                        k: int = DEFAULT_HASHES) -> Column:
+    """Membership test against a literal bloom (:func:`bloom_build`'s
+    output). All-positions-set ⟺ candidate; the literal array constant-
+    folds, leaving codegen array reads + bit tests only."""
+    m_bits = len(words) * 64
+    arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    cond = None
+    for pos in _positions(key, m_bits, k):
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)
+        # call_function: the SQL shiftleft takes a column shift amount
+        # (the python F.shiftleft wrapper insists on an int literal)
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int"))
+        test = word.bitwiseAND(mask) != 0
+        cond = test if cond is None else cond & test
+    return cond
+
+
+def bloom_semi_join(fact: DataFrame, fact_key: str,
+                    dim_keys: DataFrame, dim_key: str,
+                    n_words: int = DEFAULT_WORDS, k: int = DEFAULT_HASHES) -> DataFrame:
+    """EXACT ``fact LEFT SEMI JOIN dim`` with a bloom pre-prune on the
+    fact side: the 2 KB literal filter rides the fact scan (a dim hash
+    relation might not broadcast), candidates that fail any bit test
+    never reach the exchange, and the exact semi-join on survivors
+    removes the bloom's false positives. Result identical to the plain
+    semi-join."""
+    words = bloom_build(dim_keys, dim_key, n_words, k)
+    pruned = fact.filter(bloom_might_contain(F.col(fact_key), words, k))
+    return pruned.join(
+        dim_keys.select(F.col(dim_key).alias(fact_key)).distinct(),
+        fact_key, "left_semi")

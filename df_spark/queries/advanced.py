@@ -580,3 +580,35 @@ def kll_quantiles(spark, sf_dir):
         .alias("kll_ok"),
     )
     return per_rows.unionByName(all_row)
+
+
+@register(
+    "bloom_semi_join",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM customer c
+      WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 9000
+    )
+    """,
+)
+def bloom_semi_join_q(spark, sf_dir):
+    """EXACT semi-join of orders against high-balance customers,
+    bloom-prefiltered: the dim key set's 2 KB fingerprint is collected
+    (bounded by construction) and injected as a LITERAL filter on the
+    fact scan, killing non-member rows map-side BEFORE the exchange;
+    the exact semi-join on survivors removes the bloom's false
+    positives, so the oracle is the plain EXISTS semi-join. The 100 TB
+    shape this demonstrates: membership filtering against a dim too
+    big to broadcast as a hash relation — the fact-side shuffle
+    carries only candidates (~|members| + fp x |fact|) instead of every
+    row. See operators/bloom.py; test_bloom.py measures the prune and
+    pins the filter-below-join plan shape."""
+    from ..operators.bloom import bloom_semi_join
+
+    orders = load_sdf(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    dim = load_sdf(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 9000).select("c_custkey")
+    return bloom_semi_join(orders, "o_custkey", dim, "c_custkey")
