@@ -436,3 +436,53 @@ def inmem_source_join(spark, sf_dir):
             F.sum("weight").alias("total_weight"),
         )
     )
+
+
+@register(
+    "dpp_partition_prune",
+    sql="""
+    WITH big AS (
+      SELECT lang FROM documents GROUP BY lang
+      HAVING COUNT(*) > (SELECT COUNT(*) FROM documents) * 0.15
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents d JOIN big USING (lang)
+    GROUP BY d.lang
+    """,
+)
+def dpp_partition_prune(spark, sf_dir):
+    """DYNAMIC partition pruning: the fact is the hive-partitioned
+    (by lang) copy of documents, the dim is the set of majority
+    languages (> 15% of the corpus) computed AT RUNTIME from data — so
+    no static filter exists at planning time, and Spark inserts a
+    ``dynamicpruningexpression(lang IN dynamicpruning#N)`` into the
+    scan's PartitionFilters: the dim side runs first (broadcast
+    subquery) and the fact scan then lists only the surviving
+    partition directories (2-4 of 5 pruned at every SF here).
+
+    This is THE lake-scale join pattern: a 100 TB fact partitioned by
+    date/tenant joined to a filtered dim touches only matching
+    partitions without the user writing the partition predicate.
+    ``test_dpp_prunes_partitions`` pins the dynamicpruning entry in
+    the plan; the oracle runs the same join on the unpartitioned
+    original, so layout/prune corruption is a hash mismatch."""
+    out = _scratch("df_spark_dpp", sf_dir)
+    docs = load_sdf(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    fact = spark.read.parquet(out)
+    total = docs.count()  # bounded scalar, like the dim stats elsewhere
+    dim = (
+        docs.groupBy("lang").agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > total * 0.15)
+        .select("lang")
+    )
+    return (
+        fact.join(dim, "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )

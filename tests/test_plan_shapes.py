@@ -239,3 +239,14 @@ def test_cross_near_dups_no_smj(spark):
     plan = plan_of(spark, "cross_near_dups")
     assert "SortMergeJoin" not in plan
     assert count_in(plan, "Exchange") <= 4
+
+
+def test_dpp_prunes_partitions(spark):
+    """Dynamic partition pruning must fire on the partitioned-fact ⨝
+    runtime-dim join: the scan's PartitionFilters carries a
+    dynamicpruningexpression, so only matching lang directories are
+    listed at execution time."""
+    plan = plan_of(spark, "dpp_partition_prune")
+    assert "dynamicpruning" in plan
+    i = plan.index("PartitionFilters")
+    assert "dynamicpruning" in plan[i:i + 300]
