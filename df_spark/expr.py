@@ -178,7 +178,12 @@ class Aggregator(enum.Enum):
             return F.element_at(col, 1)
         if self is Aggregator.MAX:
             return F.array_max(col)
-        return F.array_min(col)
+        if self is Aggregator.MIN:
+            return F.array_min(col)
+        raise EngineError(
+            f"{self.name} over a list column needs the element type — "
+            "use frame._apply_to_list, not Aggregator.apply_to_list"
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -87,6 +87,10 @@ def _decode_bmp(payload: bytes) -> list[float]:
             f"only uncompressed 24-bit BMP supported (bpp={bpp}, comp={compression})"
         )
     height_abs = abs(height)
+    if width <= 0 or height_abs == 0:
+        raise NotImplementedError(
+            f"degenerate BMP dimensions {width}x{height}"
+        )
     row_bytes = (width * 3 + 3) & ~3
     n_px = width * height_abs
     tot = [0, 0, 0]  # B, G, R

@@ -51,47 +51,53 @@ def register(name: str, sql: str | None = None):
 # ann_ivf_kmeans), whose value-hash a sampler cannot check anyway, and
 # the wider TPC-H variants whose families are already represented.
 # ORACLE_LOCAL_r*.txt records the full-registry check every round.
-# Round-7 rotation: 12 members of multiply-represented families that
-# had been driver-green 2+ rounds rotated out (join_3way_agg,
-# nullsafe_join — join_inner stays; agg_global — q1 stays; text_stats,
-# lang_id — bm25_rank/doc_rarity stay; pii_redact, snapshot_diff —
-# cdc_scd2/mv_incremental stay; events_sessions, cube_agg, window_topk,
-# percentiles, sample_stratified — each family keeps a rep or its twin
-# rotates in) for 12 names that had NEVER had a driver hash row:
-# token_freq, tfidf_top_terms, triangle_counts, copurchase_pairs,
-# source_mix, kll_quantiles (percentile family twin), skew_salted_join,
-# simhash, theta_segments, json_agg, and two of the three NEW
-# Structured-Streaming-backed rows (stream_tumbling_hourly,
-# stream_click_attribution — the watermark-emission and stream-stream
-# join machinery; stream_decontaminate carries local stamps and shares
-# its oracle with the long-green batch decontaminate) giving
-# streaming/ its first driver-visible evidence.
-# (Round-6 rotation history: doc_rarity, bm25_rank, cohort_retention,
-# events_gapfill, winnow_fingerprints, ohlc_bars, dup_span_stats in —
-# all confirmed green in CORRECTNESS_r06.json.)
+# Round-8 rotation: 12 long-green members of multiply-represented
+# families rotated out (ngram_jaccard, dup_span_stats, simhash — the
+# dedup family keeps dedup_exact/minhash_near_dups/dedup_clusters/
+# winnow_fingerprints/prefix_sim_join plus cross_near_dups in;
+# doc_rarity, bm25_rank — token_freq/tfidf_top_terms stay and
+# lang_confusion rotates in; cohort_retention — last_touch_attribution
+# stays; events_gapfill, ohlc_bars — asof/range-join/anomaly/rollup
+# stay; theta_segments — kll_quantiles/sketch_rollup stay; json_agg —
+# variant_stats stays; stream_tumbling_hourly, stream_click_attribution
+# — driver-green r7, streaming keeps two fresh reps) for 12 names that
+# had NEVER had a driver hash row: cross_near_dups, stream_sessions,
+# stream_decontaminate, bloom_semi_join, dpp_partition_prune,
+# mix_rebalance, lang_confusion, inmem_source_join, set_ops,
+# join_full_outer, sample_weighted, pack_sequences.
+# winnow_fingerprints and prefix_sim_join stay in-window deliberately:
+# both are rewritten this round (segmented min / band-conjunct pruning)
+# and the driver hash row is the proof the rewrites preserved results.
+# (Round-7 rotation history: token_freq, tfidf_top_terms,
+# triangle_counts, copurchase_pairs, source_mix, kll_quantiles,
+# skew_salted_join, simhash, theta_segments, json_agg,
+# stream_tumbling_hourly, stream_click_attribution in — all green in
+# CORRECTNESS_r07.json. Round-6: doc_rarity, bm25_rank,
+# cohort_retention, events_gapfill, winnow_fingerprints, ohlc_bars,
+# dup_span_stats in — all green in CORRECTNESS_r06.json.)
 PRIORITY = [
     "q1_pricing_summary",
     "filter_predicates", "select_arith", "orderby_limit", "group_collect",
-    "join_inner",
-    "union_distinct", "csv_roundtrip",
-    "dedup_exact", "ngram_jaccard",
-    "minhash_near_dups", "dedup_clusters", "dup_span_stats",
-    "doc_rarity", "simhash",
-    "interval_overlap_join", "ann_lsh_topk", "bm25_rank",
+    "join_inner", "join_full_outer", "set_ops",
+    "union_distinct", "csv_roundtrip", "inmem_source_join",
+    "dedup_exact", "minhash_near_dups", "dedup_clusters",
+    "cross_near_dups",
+    "interval_overlap_join", "ann_lsh_topk",
     "embed_near_dup", "cdc_scd2",
-    "cohort_retention",
     "asof_join_events", "range_join_bands",
-    "events_gapfill",
-    "pagerank_parts", "winnow_fingerprints", "ohlc_bars",
+    "pagerank_parts", "winnow_fingerprints",
     "triangle_counts", "copurchase_pairs",
-    "kll_quantiles", "theta_segments", "json_agg",
-    "token_freq", "tfidf_top_terms",
+    "kll_quantiles",
+    "token_freq", "tfidf_top_terms", "lang_confusion",
     "last_touch_attribution", "tree_depths",
-    "llm_data_pipeline", "source_mix", "skew_salted_join",
+    "llm_data_pipeline", "source_mix", "mix_rebalance",
+    "skew_salted_join",
+    "sample_weighted", "pack_sequences",
     "prefix_sim_join", "mv_incremental", "profile_table",
     "jsonl_roundtrip", "zorder_key", "events_anomaly",
     "rollup_hypertable", "sketch_rollup", "variant_stats",
-    "stream_tumbling_hourly", "stream_click_attribution",
+    "bloom_semi_join", "dpp_partition_prune",
+    "stream_sessions", "stream_decontaminate",
 ]
 
 

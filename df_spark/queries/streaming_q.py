@@ -174,7 +174,8 @@ def stream_click_attribution(spark, sf_dir):
            n_events
     FROM sess
     WHERE session_end
-          <= (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '2 hours' FROM events)
+          <= (SELECT date_trunc('milliseconds', max(CAST(ts AS TIMESTAMP)))
+                     - INTERVAL '2 hours' FROM events)
     """,
 )
 def stream_sessions(spark, sf_dir):
@@ -187,9 +188,14 @@ def stream_sessions(spark, sf_dir):
     window, so the oracle's gaps-and-islands twin breaks on
     ``ts - prev >= gap`` and reports end = last + gap. Append mode
     emits exactly the sessions the final watermark closed —
-    ``session_end <= max(ts) - 2h``, the same cutoff rule as
-    ``stream_tumbling_hourly``, verified empirically and encoded in
-    the oracle. (The batch ``events_sessions`` row keeps its own
+    ``session_end <= floor_ms(max(ts)) - 2h``: Spark computes the
+    watermark from MILLISECOND event-time stats while the data carries
+    microsecond timestamps, so the oracle (and the pytest twin) floors
+    max(ts) to ms before subtracting the delay — session ends are
+    arbitrary microsecond values and an unfloored cutoff would
+    nondeterministically disagree inside the sub-ms gap.
+    (``stream_tumbling_hourly`` needs no floor: its window ends are
+    hour-aligned.) (The batch ``events_sessions`` row keeps its own
     break-on-``>`` contract; this row's contract is the streaming
     engine's.) State at 100 TB: open sessions per user inside the
     watermark horizon, evicted on close."""

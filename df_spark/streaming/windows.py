@@ -137,7 +137,13 @@ def run_stream_to_memory(
     the real-cluster guidance too: a streaming query's state
     partitioning is frozen by the first checkpoint, so it must be
     sized to stateful-key cardinality deliberately rather than
-    inherited from the batch shuffle default."""
+    inherited from the batch shuffle default.
+
+    NOT thread-safe: the override mutates the session-global conf for
+    the duration of the drain, so a batch query planned concurrently on
+    the same SparkSession would inherit the reduced partition count.
+    Safe under the sequential harness; concurrent callers should use a
+    dedicated session (``spark.newSession()``) per stream."""
     name = name or f"stream_out_{uuid.uuid4().hex[:8]}"
     spark = agg.sparkSession
     old = spark.conf.get("spark.sql.shuffle.partitions")

@@ -364,7 +364,11 @@ def test_stream_tumbling_emitted_set(spark, sf_dir):
 def test_stream_sessions_emitted_set(spark, sf_dir):
     """Pin the session-window append-emission contract the registry row
     stream_sessions' oracle encodes: emitted sessions are exactly those
-    with session_end (= last event + gap) <= max(ts) - watermark."""
+    with session_end (= last event + gap) <= floor_ms(max(ts)) -
+    watermark. The ms floor matches Spark's watermark arithmetic (event
+    -time stats are kept in milliseconds) — session ends carry
+    microsecond components, so an unfloored cutoff can disagree inside
+    the sub-ms gap."""
     import datetime
 
     from df_spark.queries import load_registry
@@ -374,6 +378,7 @@ def test_stream_sessions_emitted_set(spark, sf_dir):
 
     ev = load_sdf(spark, sf_dir, "events")
     mx = ev.agg(F.max("ts")).collect()[0][0]
+    mx = mx.replace(microsecond=(mx.microsecond // 1000) * 1000)
     cutoff = mx - datetime.timedelta(hours=2)
     batch = (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
