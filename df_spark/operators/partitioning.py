@@ -56,6 +56,27 @@ def barrier_width(df: DataFrame) -> int:
     return max(sc.defaultParallelism, df.rdd.getNumPartitions())
 
 
+# One Python task per ~this many estimated input bytes for Arrow/pandas
+# stages. A Python task carries ~0.3 CPU-s of fixed overhead regardless
+# of data (worker spawn + interpreter imports + Arrow handshake,
+# measured on a TRIVIAL 32-partition mapInPandas: ~10 CPU-s/pass, reuse
+# conf notwithstanding), so unlike JVM stages a pandas stage must be
+# sized by data volume, not core count: a 1 MB frame gets one task, a
+# 100 TB corpus gets ~12M — still far beyond any cluster's cores.
+PANDAS_TASK_BYTES = 8 << 20
+
+
+def pandas_stage_width(df: DataFrame) -> int:
+    """Width for a ``mapInPandas``/``applyInPandas`` stage: input size
+    estimate (Catalyst plan stats — file bytes for scans, scaled by
+    projected columns; no ``.rdd`` hazard) divided by
+    :data:`PANDAS_TASK_BYTES`, floor 1. Callers repartition to this
+    before the Arrow exchange so tiny local frames don't pay per-task
+    Python overhead x cores, while big frames keep full spread."""
+    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    return max(1, est // PANDAS_TASK_BYTES)
+
+
 # Budget for runtime-measured broadcast hints. localCheckpoint'd frames
 # (LogicalRDD) carry no stats, so Catalyst/AQE assumes they are huge and
 # plans shuffle joins even for a 6 MB side; operators that KNOW a

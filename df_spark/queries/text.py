@@ -220,26 +220,15 @@ _WINNOW_W = 4  # window of consecutive k-gram hashes per fingerprint pick
 def winnow_fingerprints(spark, sf_dir):
     # Winnowing (Schleimer/Wilkerson/Aiken, the MOSS selection rule) —
     # see operators.dedup.winnow_selected for semantics + the shared-
-    # substring guarantee; this query reduces the selected values to a
-    # per-doc fingerprint summary.
-    from ..operators.dedup import winnow_selected
+    # substring guarantee. The summary is per-doc-local, so the fused
+    # zero-shuffle Arrow path computes it in one pass over doc rows
+    # (winnow_fingerprint_summary docstring has the plan comparison;
+    # test_winnow_summary_matches_selected pins it equal to the
+    # declarative winnow_selected reduction).
+    from ..operators.dedup import winnow_fingerprint_summary
 
     docs = load_sdf(spark, sf_dir, "documents")
-    wmins = winnow_selected(docs, k=3, w=_WINNOW_W)
-    # distinct-then-agg instead of countDistinct-with-plain-aggs: the
-    # latter plans an Expand that runs every selected row through the
-    # aggregate twice; min/max over the distinct set are the same
-    # values, and the doc's rows are partition-local after the window
-    # exchange so the distinct collapses map-side
-    return (
-        wmins.select("doc_id", "wm").distinct()
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_fps"),
-            F.min("wm").alias("min_fp"),
-            F.max("wm").alias("max_fp"),
-        )
-    )
+    return winnow_fingerprint_summary(docs, k=3, w=_WINNOW_W)
 
 
 @register(

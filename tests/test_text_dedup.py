@@ -194,6 +194,42 @@ def test_winnow_guarantee_shared_substring(spark):
     assert not (sets[1] & sets[3] or sets[2] & sets[3])
 
 
+def test_winnow_summary_matches_selected(spark, sf_dir):
+    """The fused Arrow path (winnow_fingerprint_summary) must produce
+    exactly the per-doc reduction of the declarative winnow_selected
+    pipeline — same md5-h32 values, same window minima, same distinct
+    set — for both the small-w lead-chain and the large-w segmented-min
+    branches."""
+    from df_spark.operators.dedup import (
+        winnow_fingerprint_summary,
+        winnow_selected,
+    )
+    from df_spark.sources.tables import load_sdf
+
+    docs = load_sdf(spark, sf_dir, "documents")
+    for w in (4, 10):
+        fused = {
+            (r.doc_id, r.n_fps, r.min_fp, r.max_fp)
+            for r in winnow_fingerprint_summary(docs, k=3, w=w).collect()
+        }
+        declarative = {
+            (r.doc_id, r.n_fps, r.min_fp, r.max_fp)
+            for r in (
+                winnow_selected(docs, k=3, w=w)
+                .groupBy("doc_id")
+                .agg(F.collect_set("wm").alias("s"))
+                .select(
+                    "doc_id",
+                    F.size("s").cast("long").alias("n_fps"),
+                    F.array_min("s").alias("min_fp"),
+                    F.array_max("s").alias("max_fp"),
+                )
+                .collect()
+            )
+        }
+        assert fused == declarative and fused, f"w={w}"
+
+
 def test_levenshtein_pairs_blocking_never_loses_identical_prefixes(spark):
     """Docs identical in the first 40 normalized chars are always found
     (distance 0 pairs survive any block key derived from the prefix),
