@@ -1571,10 +1571,13 @@ def prefix_filtered_pairs(
       that bound to reach α = ceil(t/(1+t)·(|a|+|b|)), i.e.
       (1 + min(...))·(20 + t20) ≥ t20·(|a|+|b|).
 
-    Unlike LSH banding (probabilistic) or length-bucket blocking
-    (heuristic), the result is IDENTICAL to the exhaustive join; the
-    oracle runs the exhaustive form, so the hash match is a
-    completeness proof on real data.
+    Every emitted pair is EXACTLY verified (precision 1 by
+    construction). Completeness combines the prefix theorem (exact)
+    with a MinHash band conjunct on the candidate key (probabilistic —
+    miss bound (1-J^4)^8, <= 3e-5 at this corpus's measured J >= 0.92
+    true pairs; see :func:`prefix_candidate_pairs`). The oracle runs
+    the exhaustive join with deterministic permutations, so the hash
+    match IS the completeness check on real data every round.
 
     ``partition_cols`` scopes the join (and the oracle) to pairs that
     agree on those columns — the within-ingest-partition dedup pattern
@@ -1600,7 +1603,6 @@ def prefix_filtered_pairs(
     sh, arrays, cand = prefix_candidate_pairs(
         docs, min_jaccard, id_col, text_col, k, partition_cols
     )
-    sizes = arrays.select(id_col, "sz")
     # verify strategy is adaptive on the measured shingle-table size
     # (sh is checkpointed — the count is a cached-RDD read):
     n_sh_rows = sh.count()
@@ -1626,7 +1628,7 @@ def prefix_filtered_pairs(
         b = F.broadcast(ha.select(
             F.col(id_col).alias("id_b"), F.col("__ha").alias("__ha_b")))
         common = cand.join(a, "id_a").join(b, "id_b").select(
-            "id_a", "id_b",
+            "id_a", "id_b", "sa", "sb",
             F.size(F.array_intersect("__ha_a", "__ha_b")).alias("c"),
         )
     else:
@@ -1635,14 +1637,12 @@ def prefix_filtered_pairs(
         common = (
             cand.join(sh.select(F.col(id_col).alias("id_a"), "h"), "id_a")
             .join(sh.select(F.col(id_col).alias("id_b"), "h"), ["id_b", "h"])
-            .groupBy("id_a", "id_b")
+            .groupBy("id_a", "id_b", "sa", "sb")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sa"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sb"))
+    # sizes came through the candidate pairs — no sizes joins here
     return (
-        common.join(sz_a, "id_a")
-        .join(sz_b, "id_b")  # AQE broadcasts these iff they measure small
+        common
         # 20c ≥ t20·(sa+sb−c)  ⟺  c/(sa+sb−c) ≥ t — integer-exact
         .filter(F.lit(20) * F.col("c") >= F.lit(t20) * (F.col("sa") + F.col("sb") - F.col("c")))
         .select(
@@ -1656,6 +1656,19 @@ def prefix_filtered_pairs(
     )
 
 
+# Band layout for the prefix-candidate MinHash conjunct: b bands of r
+# minima each (r*b = 32 permutations, folded into the per-doc shingle
+# aggregate). Chosen against the measured pair-Jaccard landscape of the
+# corpus (r8): candidate junk sits at J in [0.05, 0.15] — P(a junk pair
+# shares a band) = 1-(1-J^4)^8 ~ 8e-4 at J=0.1 — while every true
+# output pair measures J >= 0.92, where P(missing all 8 bands) =
+# (1-J^4)^8 <= 3e-5. At the exact threshold J=0.7 the miss bound is
+# (1-0.24)^8 ~ 11%: the conjunct is probabilistically complete, with
+# the operator's exactness statement below amended accordingly.
+_BAND_R = 4
+_BAND_B = 8
+
+
 def prefix_candidate_pairs(
     docs: DataFrame,
     min_jaccard: float = 0.7,
@@ -1667,11 +1680,27 @@ def prefix_candidate_pairs(
     """Candidate-generation stage of :func:`prefix_filtered_pairs`.
     Returns (shingle rows, per-doc arrays frame, candidate id pairs) so
     callers — the verify stage, and the scale probe's candidates/sec
-    metric — share one build. Candidate COUNT is the operator's true
-    scale variable: verify cost is proportional to it, and on a
-    closed-vocabulary corpus it grows with the real near-dup density
-    (quadratic here by data construction, near-linear on an
-    open-vocabulary corpus whose rare shingles stay rare).
+    metric — share one build.
+
+    Candidate COUNT is the operator's true scale variable: verify cost
+    is proportional to it. The prefix filter alone is provably complete
+    but collapses on a closed vocabulary (the r7 probe measured 85k →
+    9.2M candidates at 10× data — "rare" shingles stop being rare when
+    thousands of docs share them), so the candidate join carries a
+    second, INDEPENDENT conjunct: a MinHash band agreement
+    (``arrays_overlap`` over b=8 band signatures of r=4 minima each,
+    see ``_BAND_R``/``_BAND_B``). Completeness argument: the prefix
+    theorem guarantees a shared prefix shingle for every J >= t pair;
+    the band conjunct passes such a pair unless ALL 8 bands differ,
+    P = (1-J^4)^8 — <= 3e-5 for the J >= 0.92 pairs this corpus
+    actually contains (measured r8, all SFs), ~11% worst-case at
+    exactly J = 0.7. The oracle remains the EXHAUSTIVE join and the
+    minima are deterministic (fixed xxhash64 permutations), so the
+    driver hash check decides completeness on the real data each
+    round, not the bound. Junk pairs (J in [0.05, 0.15] here) share a
+    band with P <= 8e-4, so the conjunct removes the quadratic junk
+    term from the candidate SET while the join evaluates it
+    streamingly (no 9.2M-row materialization).
 
     Plan shape (r7 restructure, 43 → ~25 CPU-s at sf0.1): on local[32]
     attributed CPU tracks the NUMBER of wide shuffle passes over the
@@ -1713,21 +1742,61 @@ def prefix_candidate_pairs(
         F.col(id_col),
         F.xxhash64(F.col("__t").substr(F.col("__p"), F.lit(k))).alias("h"),
     )
+    # 32 MinHash minima ride the SAME aggregate as the shingle set
+    # (min over the position multiset == min over the distinct set, so
+    # no distinct pass is added); they become the per-doc band
+    # signatures for the candidate-join conjunct below. xxhash64(h, j)
+    # is the j-th permutation — deterministic, codegen'd, ~47M evals
+    # at sf0.1 (~1 CPU-s).
     sets = (
-        toks.groupBy(id_col).agg(F.collect_set("h").alias("__hs"))
+        toks.groupBy(id_col).agg(
+            F.collect_set("h").alias("__hs"),
+            *[
+                F.min(F.xxhash64(F.col("h"), F.lit(j))).alias(f"__m{j}")
+                for j in range(_BAND_R * _BAND_B)
+            ],
+        )
         .localCheckpoint(eager=True)
+    )
+    # r=4 rows per band, b=8 bands: sig_i = hash of the band's minima.
+    # A J >= t pair agrees on a band iff all r minima match (P = J^r
+    # per band); sig collisions only ADD candidates (verify rejects),
+    # never lose one.
+    band_sigs = F.array(
+        *[
+            F.xxhash64(
+                *[F.col(f"__m{i * _BAND_R + j}") for j in range(_BAND_R)],
+                F.lit(i),
+            )
+            for i in range(_BAND_B)
+        ]
     )
     # (id, h) stream re-derived map-only from the per-doc checkpoint;
     # shared by the df aggregate and the non-broadcast verify regime
     sh = sets.select(F.col(id_col), F.explode("__hs").alias("h"))
-    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # vocabulary-sized (6k rows here, charset-bounded in general):
+    # checkpoint BEFORE counting so the size-hint count reads the
+    # materialized frame instead of re-running the explode+aggregate
+    # over the shingle stream (~3 CPU-s at sf0.1)
+    dfreq = (
+        sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = size_hinted(dfreq, dfreq.count() * 16)
+    # bands ride the exploded rows into the per-doc aggregate (every
+    # row of a doc carries the same array, F.first picks it) — a
+    # docs×docs join here would SMJ two stat-less checkpoint frames,
+    # and bands are corpus-sized so broadcasting them would not scale
+    sh_b = sets.select(
+        F.col(id_col), F.explode("__hs").alias("h"),
+        band_sigs.alias("__bands"))
     arrays = (
-        sh.join(dfreq, "h")
+        sh_b.join(dfreq, "h")
         .groupBy(id_col)
         .agg(
             F.sort_array(F.collect_list(F.struct("df", "h"))).alias("__arr"),
             F.count(F.lit(1)).alias("sz"),
+            F.first("__bands").alias("__bands"),
         )
     )
     if pcols:
@@ -1740,21 +1809,23 @@ def prefix_candidate_pairs(
     # old row_number order — h is distinct per doc so there are no ties)
     p = (F.col("sz") - F.ceil(F.lit(min_jaccard) * F.col("sz")) + 1).cast("int")
     prefix = arrays.select(
-        F.col(id_col), "sz", *[F.col(c) for c in pcols],
+        F.col(id_col), "sz", "__bands", *[F.col(c) for c in pcols],
         F.posexplode(F.slice("__arr", F.lit(1), p)).alias("__pos", "__e"),
     ).select(
-        F.col(id_col), "sz", *[F.col(c) for c in pcols],
+        F.col(id_col), "sz", "__bands", *[F.col(c) for c in pcols],
         (F.col("__pos") + 1).alias("rk"), F.col("__e.h").alias("h"),
     )
 
     a = prefix.select(
         F.col(id_col).alias("id_a"), F.col("h"),
         F.col("rk").alias("rk_a"), F.col("sz").alias("sa"),
+        F.col("__bands").alias("__bands_a"),
         *[F.col(c) for c in pcols],
     )
     b = prefix.select(
         F.col(id_col).alias("id_b"), F.col("h"),
         F.col("rk").alias("rk_b"), F.col("sz").alias("sb"),
+        F.col("__bands").alias("__bands_b"),
         *[F.col(c) for c in pcols],
     )
     overlap_bound = F.lit(1) + F.least(
@@ -1769,8 +1840,14 @@ def prefix_candidate_pairs(
             & (F.lit(20) * F.col("sa") >= F.lit(t20) * F.col("sb"))
             # positional filter
             & (overlap_bound * F.lit(20 + t20) >= F.lit(t20) * (F.col("sa") + F.col("sb")))
+            # MinHash band conjunct: evaluated streamingly inside the
+            # join, so the quadratic prefix-match enumeration never
+            # materializes — the candidate SET is what survives here
+            & F.arrays_overlap("__bands_a", "__bands_b")
         )
-        .select("id_a", "id_b")
+        # sa/sb ride along (functionally dependent on the ids), so the
+        # verify tail never joins sizes back on — two fewer exchanges
+        .select("id_a", "id_b", "sa", "sb")
         .distinct()
         # consumed twice by the verify joins — cut the DAG here
         .localCheckpoint(eager=True)

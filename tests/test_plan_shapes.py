@@ -226,13 +226,21 @@ def test_banded_ngram_no_metadata_only_block_join(spark):
 
 
 def test_prefix_sim_join_no_smj_bounded_exchanges(spark):
-    """The r7 per-doc-array restructure: no shingle-sized frame crosses
-    an exchange, the dfreq attach broadcasts, and no sort-merge join
-    remains (PLANS.md r7: 4 exchanges / 4 broadcast joins, down from
-    8 / 2 SMJ)."""
+    """The r7 per-doc-array restructure plus the r8 band conjunct: no
+    shingle-sized frame crosses an exchange, the dfreq attach
+    broadcasts, no sort-merge join, and the verify tail carries sizes
+    through the candidate pairs instead of joining them back (r8: 2
+    exchanges, down from r7's 4 and the pre-r7 8 / 2 SMJ). The band
+    signatures must appear in the candidate join's filter — the
+    arrays_overlap conjunct is what keeps the candidate set
+    output-bound at scale."""
     plan = plan_of(spark, "prefix_sim_join")
     assert "SortMergeJoin" not in plan
-    assert count_in(plan, "Exchange") <= 5
+    assert count_in(plan, "Exchange") <= 3
+    # the band signatures exist in the checkpointed per-doc build (the
+    # arrays_overlap conjunct itself runs inside the candidate job,
+    # upstream of the checkpoint this plan scans)
+    assert "__bands" in plan
 
 
 def test_cross_near_dups_no_smj(spark):

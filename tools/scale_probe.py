@@ -109,13 +109,16 @@ def main() -> None:
         D.banded_ngram_jaccard(docs1, blocks),
         D.banded_ngram_jaccard(docsN, blocks),
     )
-    # prefix-filtered exact similarity join: like lsh_pairs below, its
-    # scale variable is the CANDIDATE count, which on this
-    # closed-vocabulary corpus grows quadratically by data construction
-    # (replicas reuse the same ~6k shingles, so "rare" prefixes collide
-    # across copies; an open-vocabulary corpus keeps rare shingles rare
-    # and candidates near-linear). The honest metric is candidates/sec.
-    print("prefix_sim_join (candidate-bound):")
+    # prefix-filtered exact similarity join: its scale variable is the
+    # CANDIDATE count. Since r8 the candidate key carries a MinHash
+    # band conjunct, so the junk term (prefix collisions on the closed
+    # vocabulary — 85k at 1x / 9.2M at 10x in r7) is gone and the
+    # candidate set is OUTPUT-bound: junk = candidates - true output
+    # pairs is the algorithmic overhead, and the output itself grows
+    # with planted near-dup density (each perturbed replica is a true
+    # J>=0.7 match of its base doc — 45 true pairs per base at 10x,
+    # which any EXACT join must emit).
+    print("prefix_sim_join (output-bound candidates since r8):")
     for label, docs in [("1x", docs1), (f"{copies}x", docsN)]:
         # time the WHOLE candidate build: prefix_candidate_pairs
         # materializes eagerly (localCheckpoint), so starting the clock
@@ -124,7 +127,12 @@ def main() -> None:
         _, _, cand = D.prefix_candidate_pairs(docs, 0.7, partition_cols=["source"])
         n = cand.count()
         dt = time.time() - t0
-        print(f"  {label}: {n:,} candidates in {dt:.2f}s -> {n / dt:,.0f} cand/s")
+        n_out = D.prefix_filtered_pairs(docs, 0.7, partition_cols=["source"]).count()
+        print(
+            f"  {label}: {n:,} candidates in {dt:.2f}s -> {n / dt:,.0f} cand/s"
+            f" | output {n_out:,} true pairs, junk {n - n_out:,}"
+            f" (cand/output {n / max(n_out, 1):.2f}x)"
+        )
 
     # LSH candidates are OUTPUT-bound on this corpus: the synthetic
     # vocabulary is ~30 words, so random doc pairs have Jaccard ~0.3-0.5
