@@ -205,17 +205,23 @@ def decontaminate_stream(
     aggregate is keyed on the stream side only."""
     from ..functions.hashing import h32
     from ..functions.text import normalized
-    from ..operators.dedup import shingle_hashes
+    from ..operators.dedup import DEDUP_MEMO, shingle_hashes
+    from ..plans.memo import frame_key
 
     # materialize the static side ONCE: a stream-static join re-evaluates
     # the static plan every micro-batch (measured: ~4 s of shingling per
     # batch at sf0.1); the checkpoint pins the bounded hash set so each
     # batch broadcasts from it — also the production shape (eval suites
-    # are pinned in memory for the life of the query)
-    bench_hashes = (
-        shingle_hashes(bench_docs, "doc_id", "text", k=k)
-        .select("h").distinct()
-        .localCheckpoint(eager=True)
+    # are pinned in memory for the life of the query). Session-memoized
+    # under the same key as the batch contamination_scores, so the batch
+    # row and this streaming twin share one build per suite run.
+    bench_hashes = DEDUP_MEMO.get_or_build(
+        ("bench_hashes", frame_key(bench_docs), "doc_id", "text", k),
+        lambda: (
+            shingle_hashes(bench_docs, "doc_id", "text", k=k)
+            .select("h").distinct()
+            .localCheckpoint(eager=True)
+        ),
     )
     # same normalize→shingle→h32 expressions as the batch operator;
     # only its repartition barrier is stream-unsafe, so the shingle
