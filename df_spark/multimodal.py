@@ -4,13 +4,13 @@ over ``mapInPandas``.
 
 The Spark-side plumbing is real and tested — schema, partitioning,
 UDF signature, batch shape. The codec step decodes uncompressed
-24-bit BMP and 16-bit PCM WAV end-to-end in pure stdlib (real
-dimensions / duration / signal stats — see ``_decode_real``); every
-other format raises the documented NotImplementedError (this
-container has no PIL/librosa/ffmpeg), with ``decode_stub`` as the
-deterministic fake for pipeline tests. Swapping in real libraries
-means changing only the inner dispatch — the distributed plan is
-unchanged.
+24-bit BMP, 8-bit truecolor PNG (zlib inflate + scanline unfilter),
+and 16-bit PCM WAV end-to-end in pure stdlib (real dimensions /
+duration / signal stats — see ``_decode_real``); every other format
+raises the documented NotImplementedError (this container has no
+PIL/librosa/ffmpeg), with ``decode_stub`` as the deterministic fake
+for pipeline tests. Swapping in real libraries means changing only
+the inner dispatch — the distributed plan is unchanged.
 
 Scale notes: binary payloads ride in parquet column chunks;
 ``maxPartitionBytes`` bounds per-task memory. The featurizer is
@@ -113,6 +113,95 @@ def _decode_bmp(payload: bytes) -> list[float]:
     ]
 
 
+def _decode_png(payload: bytes) -> list[float]:
+    """Pure-stdlib decode of an 8-bit non-interlaced truecolor PNG
+    (color type 2 RGB / 6 RGBA): zlib-inflate the IDAT stream, reverse
+    the per-scanline filters (None/Sub/Up/Average/Paeth), and report
+    real dimensions + per-channel means. Palette/greyscale/16-bit/
+    interlaced variants raise the documented NotImplementedError."""
+    import struct
+    import zlib
+
+    if len(payload) < 33 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("not a PNG payload")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) < length:
+            raise NotImplementedError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack_from(">IIBBBBB", data, 0))
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if width is None or width <= 0 or height == 0:
+        raise NotImplementedError("missing or degenerate PNG IHDR")
+    if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced RGB/RGBA PNG supported "
+            f"(depth={bit_depth}, color={color_type}, interlace={interlace})"
+        )
+    ch = 3 if color_type == 2 else 4
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise NotImplementedError(f"corrupt PNG IDAT stream: {e}") from e
+    stride = width * ch
+    if len(raw) < height * (stride + 1):
+        raise NotImplementedError("truncated PNG pixel data")
+    tot = [0, 0, 0]
+    prev = bytearray(stride)
+    off = 0
+    for _y in range(height):
+        ftype = raw[off]
+        line = bytearray(raw[off + 1:off + 1 + stride])
+        off += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif ftype != 0:
+            raise NotImplementedError(f"unknown PNG filter type {ftype}")
+        for x in range(0, stride, ch):
+            tot[0] += line[x]
+            tot[1] += line[x + 1]
+            tot[2] += line[x + 2]
+        prev = line
+    n_px = width * height
+    return [
+        float(width), float(height),
+        tot[0] / n_px / 255.0,  # mean R
+        tot[1] / n_px / 255.0,  # mean G
+        tot[2] / n_px / 255.0,  # mean B
+        float(width) / float(height),
+        float(8 * ch),
+        1.0,  # modality tag: image
+    ]
+
+
 def _decode_wav(payload: bytes) -> list[float]:
     """Pure-stdlib decode of a 16-bit PCM WAV: real sample rate /
     channel count / duration plus RMS and peak amplitude."""
@@ -156,6 +245,8 @@ def _decode_real(kind: str, payload: bytes) -> list[float]:
     payload = payload or b""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
     raise NotImplementedError(

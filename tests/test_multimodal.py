@@ -107,6 +107,105 @@ def test_real_codec_decodes_bmp_and_wav(spark):
     assert aud[7] == 2.0                             # audio tag
 
 
+def _png_bytes(width: int, height: int, color_type: int = 2,
+               filters: tuple[int, ...] | None = None) -> bytes:
+    """Minimal 8-bit truecolor PNG built with stdlib zlib: a horizontal
+    red→blue gradient (distinct per-pixel values so every filter type
+    actually transforms the data), one filter byte per scanline."""
+    import struct
+    import zlib
+
+    ch = 3 if color_type == 2 else 4
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    def px(x: int, y: int) -> bytes:
+        r = (x * 255) // max(width - 1, 1)
+        g = (y * 255) // max(height - 1, 1)
+        b = 255 - r
+        return bytes((r, g, b) if ch == 3 else (r, g, b, 200))
+
+    def filt(ftype: int, line: bytes, prev: bytes) -> bytes:
+        out = bytearray(line)
+        if ftype == 1:
+            for i in range(len(line) - 1, ch - 1, -1):
+                out[i] = (line[i] - line[i - ch]) & 0xFF
+        elif ftype == 2:
+            for i in range(len(line)):
+                out[i] = (line[i] - prev[i]) & 0xFF
+        elif ftype == 3:
+            for i in range(len(line)):
+                a = line[i - ch] if i >= ch else 0
+                out[i] = (line[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:
+            for i in range(len(line)):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[i] = (line[i] - pr) & 0xFF
+        return bytes(out)
+
+    filters = filters or tuple((y % 5) for y in range(height))
+    raw = bytearray()
+    prev = bytes(width * ch)
+    for y in range(height):
+        line = b"".join(px(x, y) for x in range(width))
+        raw += bytes([filters[y]]) + filt(filters[y], line, prev)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_real_codec_decodes_png_all_filters(spark):
+    """PNG decode through the distributed featurizer: a gradient image
+    encoded with every scanline filter type (None/Sub/Up/Average/Paeth)
+    must unfilter back to the exact per-channel means, for both RGB and
+    RGBA."""
+    width, height = 8, 10
+    exp_r = sum((x * 255) // (width - 1) for x in range(width)) / width / 255.0
+    exp_g = sum((y * 255) // (height - 1) for y in range(height)) / height / 255.0
+    exp_b = 1.0 - exp_r
+    rows = [
+        (1, "image", _png_bytes(width, height, color_type=2), "fixture"),
+        (2, "image", _png_bytes(width, height, color_type=6), "fixture"),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, source string")
+    feats = {r.media_id: r.feature for r in M.featurize(df, use_stub=False).collect()}
+    for mid, bits in ((1, 24.0), (2, 32.0)):
+        f = feats[mid]
+        assert f[0] == float(width) and f[1] == float(height)
+        assert abs(f[2] - exp_r) < 1e-6
+        assert abs(f[3] - exp_g) < 1e-6
+        assert abs(f[4] - exp_b) < 1e-6
+        assert f[6] == bits and f[7] == 1.0
+
+
+def test_png_unsupported_variants_raise():
+    """Palette/16-bit/interlaced PNGs stay on the documented
+    NotImplementedError path."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    for depth, ctype_, interlace in ((8, 3, 0), (16, 2, 0), (8, 2, 1)):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, ctype_, 0, 0, interlace)
+        payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                   + chunk(b"IEND", b""))
+        with pytest.raises(NotImplementedError):
+            M._decode_png(payload)
+
+
 def test_real_codec_unknown_format_still_raises(spark):
     df = spark.createDataFrame(
         [(1, "video", b"\x00\x01\x02\x03mpeg?", "fixture")],
