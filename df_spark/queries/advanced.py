@@ -612,3 +612,63 @@ def bloom_semi_join_q(spark, sf_dir):
     dim = load_sdf(spark, sf_dir, "customer").filter(
         F.col("c_acctbal") > 9000).select("c_custkey")
     return bloom_semi_join(orders, "o_custkey", dim, "c_custkey")
+
+
+@register(
+    "grouped_zscore",
+    sql="""
+    WITH stats AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS s1,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source,
+           round(
+             (CAST(d.n_chars AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.n)
+             / sqrt((CAST(s.s2 AS DOUBLE)
+                     - CAST(s.s1 AS DOUBLE) * (CAST(s.s1 AS DOUBLE) / s.n))
+                    / (s.n - 1)),
+             6) AS z
+    FROM documents d JOIN stats s USING (source)
+    WHERE s.n > 1
+    """,
+)
+def grouped_zscore(spark, sf_dir):
+    """Batch GROUPED-MAP via ``applyInPandas``: per-source z-scores of
+    document length, each group normalized inside one Arrow-batched
+    pandas call — the canonical per-group Python transform (the
+    grouped twin of the ``mapInPandas`` featurizer; Spark shuffles on
+    the group key and hands each group to Python whole).
+
+    Determinism contract: the moments come from INTEGER sums (pandas
+    int64 — exact, order-free), and the float expression tree
+    ``(x - s1/n) / sqrt((s2 - s1*(s1/n)) / (n-1))`` is replicated
+    node-for-node in the oracle, so both engines round the identical
+    doubles. 100 TB shape: one shuffle on the group key; per-task
+    memory is the largest single group — for heavier groups the
+    aggregate-then-broadcast-join form replaces the grouped map, which
+    is exactly what the oracle SQL expresses."""
+    import pandas as pd
+
+    docs = load_sdf(spark, sf_dir, "documents")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pdf.iloc[0:0][["doc_id", "source"]].assign(z=0.0)
+        x = pdf["n_chars"]
+        s1 = int(x.sum())
+        s2 = int((x * x).sum())
+        mean = s1 / n
+        var = (float(s2) - float(s1) * mean) / (n - 1)
+        z = ((x.astype("float64") - mean) / (var ** 0.5)).round(6)
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "source": pdf["source"], "z": z})
+
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .groupBy("source")
+        .applyInPandas(zscore, schema="doc_id long, source string, z double")
+    )

@@ -142,6 +142,66 @@ def stream_click_attribution(spark, sf_dir):
 
 
 @register(
+    "stream_dedup",
+    sql="SELECT event_id FROM events",
+)
+def stream_dedup(spark, sf_dir):
+    """Streaming exact-dedup via ``dropDuplicatesWithinWatermark``: the
+    events stream unioned with ITSELF (every row arrives twice in the
+    batch) must come out with each event_id exactly once — the oracle
+    is simply the unique id set. State is evicted once the watermark
+    passes an id's event time, so memory is bounded by the horizon,
+    not the stream; the batch twin is ``dedup_exact``. At 100 TB this
+    is the Kafka at-least-once ingestion dedup: one shuffle on the id,
+    state = ids inside the watermark window."""
+    stream = SW.read_events_stream(spark, sf_dir)
+    doubled = stream.unionByName(stream)
+    _, out = SW.run_stream_to_memory(
+        SW.dedup_stream(doubled, keys=["event_id"], watermark="2 hours"),
+        output_mode="append", state_partitions=8)
+    return out.select("event_id")
+
+
+@register(
+    "stream_user_profiles",
+    sql="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           epoch_us(max(CAST(ts AS TIMESTAMP))) AS last_seen_us
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_user_profiles(spark, sf_dir):
+    """CUSTOM STATEFUL streaming operator (``applyInPandasWithState``,
+    ``streaming/stateful.py``): per-user running profiles whose
+    accumulators live in the state store across micro-batches — the
+    (b)-tier escape hatch for semantics built-in windowed aggregates
+    can't express. Driven to completion over the bounded stream, the
+    final profile per user equals the batch aggregate, which is the
+    oracle. The hashed projection keeps the exactly-reproducible
+    columns (count, last-seen); the running double sum stays in the
+    operator's output and is pinned by ``test_stateful_user_profiles``
+    (float summation order across arrival batches is not part of the
+    cross-engine contract). State at 100 TB: one fixed-width row per
+    active user, update-mode emission."""
+    from ..streaming.stateful import user_profiles_stream
+
+    from pyspark.sql import functions as F2
+
+    stream = SW.read_events_stream(spark, sf_dir)
+    _, out = SW.run_stream_to_memory(
+        user_profiles_stream(stream), output_mode="update",
+        state_partitions=8)
+    # update mode appends one row per (user, batch); the accumulators
+    # are monotone, so max = the final profile — robust to the file
+    # source splitting into multiple micro-batches
+    return out.groupBy("user_id").agg(
+        F2.max("n_events").alias("n_events"),
+        F2.max("last_seen_us").alias("last_seen_us"),
+    )
+
+
+@register(
     "stream_sessions",
     sql="""
     WITH e AS (
