@@ -304,3 +304,69 @@ def knn_classify(spark, sf_dir):
         .groupBy("label", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_OUTLIER_K = 50
+
+
+@register(
+    "embedding_outliers",
+    sql=f"""
+    WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    comp AS (
+      SELECT i, SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(27, 12))) AS s
+      FROM embeddings, (SELECT unnest(generate_series(1, {S.DIM})) AS i) idx
+      GROUP BY i
+    ),
+    cent AS (
+      SELECT LIST(CAST(s AS DOUBLE) / (SELECT n FROM nn) ORDER BY i) AS cvec
+      FROM comp
+    )
+    SELECT vec_id, label,
+           round({S.cosine_sql('embedding', 'cent.cvec')}, 6) AS cos_centroid
+    FROM embeddings, cent
+    ORDER BY cos_centroid ASC, vec_id
+    LIMIT {_OUTLIER_K}
+    """,
+)
+def embedding_outliers(spark, sf_dir):
+    """Centroid-distance outlier detection over the embedding corpus —
+    the embedding-space quality filter (flag vectors least aligned with
+    the corpus mean: encoder failures, off-distribution content) that
+    complements the near-duplicate passes (semdedup/embed_near_dup flag
+    vectors TOO similar; this flags vectors too dissimilar).
+
+    Determinism: the centroid's component sums are DECIMAL (exact,
+    associative — partition order cannot matter), divided once into a
+    double; each cosine is then the standard sequential fold both
+    engines evaluate in list order (bit-identical, same contract as
+    cosine_topk), rounded to 6 before the ordered bottom-K with a
+    vec_id tie-break.
+
+    Scale shape: the centroid is a 64-key map-side-combined aggregate
+    (shuffle carries 64 partial sums per partition, not the corpus)
+    collected as one bounded 64-row driver round-trip — the same
+    bounded-centroid pattern as ann_ivf_kmeans; scoring is map-only
+    against the literal centroid and the bottom-K is a TakeOrdered, so
+    nothing corpus-sized ever converges to one node."""
+    emb = load_sdf(spark, sf_dir, "embeddings")
+    n = emb.count()
+    comp = (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.sum(F.col("x").cast("double").cast("decimal(27,12)")).alias("s"))
+    )
+    centroid = [
+        float(r["s"]) / n for r in sorted(comp.collect(), key=lambda r: r["pos"])
+    ]
+    cent = F.array(*[F.lit(c) for c in centroid])
+    cos = S.dot(F.col("embedding"), cent) / (
+        S.l2_norm(F.col("embedding")) * S.l2_norm(cent)
+    )
+    return (
+        emb.select(
+            "vec_id", "label", F.round(cos, 6).alias("cos_centroid")
+        )
+        .orderBy(F.col("cos_centroid").asc(), F.col("vec_id").asc())
+        .limit(_OUTLIER_K)
+    )

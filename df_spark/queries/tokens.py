@@ -156,6 +156,107 @@ def pack_sequences(spark, sf_dir):
 
 
 @register(
+    "bigram_lm_score",
+    sql=f"""
+    WITH base AS (
+      SELECT doc_id, {normalized_sql('text')} AS t FROM documents
+      WHERE len({normalized_sql('text')}) >= 2
+    ),
+    occ AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> substr(t, CAST(i AS INT), 2))) AS bg
+      FROM base
+    ),
+    per_doc AS (
+      SELECT doc_id, bg, COUNT(*) AS m FROM occ GROUP BY 1, 2
+    ),
+    corpus AS (
+      SELECT bg, CAST(SUM(m) AS BIGINT) AS cnt FROM per_doc GROUP BY 1
+    ),
+    ctx AS (
+      SELECT substr(bg, 1, 1) AS c1, CAST(SUM(cnt) AS BIGINT) AS ctx_cnt
+      FROM corpus GROUP BY 1
+    )
+    SELECT p.doc_id,
+           CAST(SUM(p.m) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(CAST(round(p.m * (CAST(c.cnt AS DOUBLE)
+                                            / CAST(x.ctx_cnt AS DOUBLE)), 9)
+                             AS DECIMAL(27, 9))) AS DOUBLE)
+                 / CAST(SUM(p.m) AS DOUBLE), 6) AS lm_score
+    FROM per_doc p
+    JOIN corpus c ON p.bg = c.bg
+    JOIN ctx x ON substr(p.bg, 1, 1) = x.c1
+    GROUP BY p.doc_id
+    """,
+)
+def bigram_lm_score(spark, sf_dir):
+    """Character-bigram Markov LM fluency score — the CCNet-style
+    "train a small LM on the corpus, score every document with it"
+    quality pass, done entirely in-engine. The model is the corpus's
+    own conditional bigram distribution P(c2|c1) = cnt(c1c2)/cnt(c1·);
+    each document scores the mean conditional probability of its
+    bigram occurrences. Low scores flag disfluent/garbage text the way
+    high perplexity does (mean-probability rather than log-perplexity:
+    libm ln() rounding is not guaranteed identical across engines,
+    integer-ratio arithmetic is — same policy as TF-IDF above).
+
+    Determinism: corpus and context counts are exact BIGINTs; each
+    per-bigram term m·P is one IEEE double multiply of an exact ratio,
+    rounded to 9 decimals and summed as DECIMAL (exact, associative —
+    per-doc accumulation order cannot matter), then one final double
+    divide rounded to 6.
+
+    Scale shape: the occurrence table is corpus-sized but collapses
+    immediately into the (doc_id, bigram) aggregate — one corpus-wide
+    shuffle on a uniform composite key. The model itself (bigram and
+    context-marginal tables) is vocabulary²-bounded, broadcast to the
+    scorer; training-data scale changes only the one aggregate pass.
+    """
+    docs = load_sdf(spark, sf_dir, "documents")
+    base = docs.select("doc_id", normalized(F.col("text")).alias("__t")).filter(
+        F.length("__t") >= 2
+    )
+    base = base.repartition(barrier_width(base))
+    idx = F.sequence(F.lit(1), F.length("__t") - 1)
+    occ = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.substring(F.col("__t"), i, 2))
+        ).alias("bg"),
+    )
+    # the (doc_id, bigram) aggregate feeds three consumers (scorer,
+    # bigram model, context marginals) — materialize it once so the
+    # corpus is exploded/aggregated a single time, not per consumer
+    per_doc = (
+        occ.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .localCheckpoint(eager=True)
+    )
+    corpus = per_doc.groupBy("bg").agg(F.sum("m").alias("cnt"))
+    ctx = (
+        corpus.select(F.substring("bg", 1, 1).alias("c1"), "cnt")
+        .groupBy("c1")
+        .agg(F.sum("cnt").alias("ctx_cnt"))
+    )
+    term = F.round(
+        F.col("m") * (F.col("cnt").cast("double") / F.col("ctx_cnt").cast("double")),
+        9,
+    ).cast("decimal(27,9)")
+    return (
+        per_doc.join(F.broadcast(corpus), "bg")
+        .join(F.broadcast(ctx), F.substring("bg", 1, 1) == F.col("c1"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            F.round(
+                F.sum(term).cast("double") / F.sum("m").cast("double"), 6
+            ).alias("lm_score"),
+        )
+    )
+
+
+@register(
     "doc_rarity",
     sql=f"""
     WITH tok AS ({_TOKENS_SQL}),
