@@ -5,8 +5,9 @@ over ``mapInPandas``.
 The Spark-side plumbing is real and tested — schema, partitioning,
 UDF signature, batch shape. The codec step decodes uncompressed
 24-bit BMP, 8-bit truecolor PNG (zlib inflate + scanline unfilter),
-and 16-bit PCM WAV end-to-end in pure stdlib (real dimensions /
-duration / signal stats — see ``_decode_real``); every other format
+GIF87a/89a first frames (LZW + palette), and 16-bit PCM WAV
+end-to-end in pure stdlib (real dimensions / duration / signal
+stats — see ``_decode_real``); every other format
 raises the documented NotImplementedError (this container has no
 PIL/librosa/ffmpeg), with ``decode_stub`` as the deterministic fake
 for pipeline tests. Swapping in real libraries means changing only
@@ -202,6 +203,108 @@ def _decode_png(payload: bytes) -> list[float]:
     ]
 
 
+def _decode_gif(payload: bytes) -> list[float]:
+    """Pure-stdlib decode of a GIF87a/89a first frame: parse the
+    logical-screen descriptor and color table, LZW-decompress the image
+    data (variable-width codes, clear/EOI handling, 4096-entry
+    dictionary per the spec), and report real dimensions + palette-
+    resolved per-channel means. Channel means are order-independent,
+    so interlaced frames need no de-interlace pass. Frames with no
+    usable color table raise the documented NotImplementedError."""
+    import struct
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF payload")
+    _sw, _sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    global_palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        global_palette = payload[pos:pos + 3 * n]
+        pos += 3 * n
+    # skip extension blocks until the first image separator
+    while pos < len(payload) and payload[pos] == 0x21:
+        pos += 2  # introducer + label
+        while pos < len(payload) and payload[pos] != 0:
+            pos += 1 + payload[pos]
+        pos += 1  # block terminator
+    if pos >= len(payload) or payload[pos] != 0x2C:
+        raise NotImplementedError("no GIF image descriptor found")
+    _ix, _iy, width, height, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+    pos += 10
+    palette = global_palette
+    if iflags & 0x80:
+        n = 2 << (iflags & 0x07)
+        palette = payload[pos:pos + 3 * n]
+        pos += 3 * n
+    if not palette or width <= 0 or height <= 0:
+        raise NotImplementedError("GIF frame without color table or degenerate size")
+    min_code = payload[pos]
+    pos += 1
+    data = bytearray()
+    while pos < len(payload) and payload[pos] != 0:
+        ln = payload[pos]
+        data += payload[pos + 1:pos + 1 + ln]
+        pos += 1 + ln
+    # LZW decompress (LSB-first variable-width codes)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+    code_size = min_code + 1
+    out = bytearray()
+    bitbuf = bitlen = 0
+    prev: bytes | None = None
+    n_px = width * height
+    for byte in data:
+        bitbuf |= byte << bitlen
+        bitlen += 8
+        while bitlen >= code_size:
+            code = bitbuf & ((1 << code_size) - 1)
+            bitbuf >>= code_size
+            bitlen -= code_size
+            if code == clear:
+                table = table[: (1 << min_code) + 2]
+                code_size = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                bitlen = 0
+                break
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise NotImplementedError("corrupt GIF LZW stream")
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+        if len(out) >= n_px:
+            break
+    if len(out) < n_px:
+        raise NotImplementedError("truncated GIF pixel data")
+    max_idx = len(palette) // 3
+    tot = [0, 0, 0]
+    for idx in out[:n_px]:
+        if idx >= max_idx:
+            raise NotImplementedError("GIF pixel index outside color table")
+        base = 3 * idx
+        tot[0] += palette[base]
+        tot[1] += palette[base + 1]
+        tot[2] += palette[base + 2]
+    return [
+        float(width), float(height),
+        tot[0] / n_px / 255.0,  # mean R
+        tot[1] / n_px / 255.0,  # mean G
+        tot[2] / n_px / 255.0,  # mean B
+        float(width) / float(height),
+        8.0,  # indexed color: 8 bits/px
+        1.0,  # modality tag: image
+    ]
+
+
 def _decode_wav(payload: bytes) -> list[float]:
     """Pure-stdlib decode of a 16-bit PCM WAV: real sample rate /
     channel count / duration plus RMS and peak amplitude."""
@@ -247,6 +350,8 @@ def _decode_real(kind: str, payload: bytes) -> list[float]:
         return _decode_bmp(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
     raise NotImplementedError(

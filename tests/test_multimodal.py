@@ -206,6 +206,118 @@ def test_png_unsupported_variants_raise():
             M._decode_png(payload)
 
 
+def _gif_lzw_encode(indices: bytes, min_code: int) -> bytes:
+    """Reference GIF-LZW compressor (variable-width codes, LSB-first)
+    so the decoder is tested against a spec-conformant stream with
+    dictionary growth and code-size bumps, not a degenerate
+    clear-per-pixel encoding."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    dict_ = {bytes([i]): i for i in range(1 << min_code)}
+    next_code = eoi + 1
+    code_size = min_code + 1
+    emitted: list[tuple[int, int]] = [(clear, code_size)]
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in dict_:
+            w = wk
+            continue
+        emitted.append((dict_[w], code_size))
+        if next_code < 4096:
+            dict_[wk] = next_code
+            next_code += 1
+            # encoder runs one dict entry ahead of the decoder, so the
+            # width bump fires at (1<<size)+1 where the decoder's fires
+            # at (1<<size)
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        w = bytes([k])
+    if w:
+        emitted.append((dict_[w], code_size))
+    emitted.append((eoi, code_size))
+    bitbuf = bitlen = 0
+    out = bytearray()
+    for code, size in emitted:
+        bitbuf |= code << bitlen
+        bitlen += size
+        while bitlen >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitlen -= 8
+    if bitlen:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+_GIF_PALETTE = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)]
+
+
+def _gif_bytes(width: int, height: int, indices: bytes,
+               interlaced: bool = False) -> bytes:
+    """Minimal GIF89a: global 4-color table, one image descriptor, a
+    graphic-control extension block (exercises the extension-skip
+    path), real LZW-compressed data split into sub-blocks."""
+    import struct
+
+    min_code = 2
+    palette = b"".join(bytes(c) for c in _GIF_PALETTE)
+    lzw = _gif_lzw_encode(indices, min_code)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        part = lzw[i:i + 255]
+        blocks += bytes([len(part)]) + part
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, 0x80 | 0x01, 0, 0)  # 4-entry GCT
+        + palette
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control extension
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height,
+                                0x40 if interlaced else 0)
+        + bytes([min_code]) + bytes(blocks) + b"\x00"
+        + b"\x3b"
+    )
+
+
+def test_real_codec_decodes_gif(spark):
+    """GIF decode through the distributed featurizer: LZW stream with
+    real dictionary growth (repeating runs force the code==len(table)
+    self-referential case) must resolve to exact palette means; the
+    interlace flag changes nothing because channel means are
+    order-independent."""
+    width, height = 10, 8
+    # runs of equal indices: 'aaaa...' patterns hit the KwKwK case
+    indices = bytes((x // 3 + y) % 4 for y in range(height) for x in range(width))
+    n = len(indices)
+    exp = [sum(_GIF_PALETTE[i][c] for i in indices) / n / 255.0 for c in range(3)]
+    rows = [
+        (1, "image", _gif_bytes(width, height, indices), "fixture"),
+        (2, "image", _gif_bytes(width, height, indices, interlaced=True), "fixture"),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, source string")
+    feats = {r.media_id: r.feature for r in M.featurize(df, use_stub=False).collect()}
+    for mid in (1, 2):
+        f = feats[mid]
+        assert f[0] == float(width) and f[1] == float(height)
+        assert abs(f[2] - exp[0]) < 1e-6
+        assert abs(f[3] - exp[1]) < 1e-6
+        assert abs(f[4] - exp[2]) < 1e-6
+        assert f[7] == 1.0
+
+
+def test_gif_unsupported_variants_raise():
+    import struct
+
+    # no color table at all
+    payload = (b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0, 0, 0)
+               + b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 4, 0)
+               + b"\x02\x00\x3b")
+    with pytest.raises(NotImplementedError):
+        M._decode_gif(payload)
+    with pytest.raises(NotImplementedError):
+        M._decode_gif(b"NOTGIF00")
+
+
 def test_real_codec_unknown_format_still_raises(spark):
     df = spark.createDataFrame(
         [(1, "video", b"\x00\x01\x02\x03mpeg?", "fixture")],
