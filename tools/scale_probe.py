@@ -134,6 +134,19 @@ def main() -> None:
             f" (cand/output {n / max(n_out, 1):.2f}x)"
         )
 
+    # release the dedup family's checkpoint storage before the graph
+    # probes: at 10x the memoized builds/pair sets hold GBs of block-
+    # manager storage, and waiting on the ContextCleaner lets that
+    # pressure (GC + eviction) bleed into the pagerank/triangle
+    # timings (r8: observed 10x rows 2-3x slower without this). Safe
+    # here because no live plan spans the family boundary.
+    D.DEDUP_MEMO.clear()
+    reg = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in list(reg.keySet()):
+        jrdd = reg.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+
     # LSH candidates are OUTPUT-bound on this corpus: the synthetic
     # vocabulary is ~30 words, so random doc pairs have Jaccard ~0.3-0.5
     # and the candidate-pair count itself grows ~quadratically — that's
@@ -167,10 +180,25 @@ def main() -> None:
         triangles_from_order_parts(order_parts(liG)),
     )
 
+    # symmetric release: drop the graph family's memoized edge tables
+    # before timing the LSH rebuild
+    from df_spark.queries.graph_q import GRAPH_MEMO  # noqa: E402
+
+    GRAPH_MEMO.clear()
+    reg = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in list(reg.keySet()):
+        jrdd = reg.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+
     print("lsh_pairs (output-bound):")
     for label, docs in [("1x", docs1), (f"{copies}x", docsN)]:
-        pairs = D.lsh_candidate_pairs(D.minhash_signatures(docs))
+        # clock starts BEFORE the build: lsh_candidate_pairs
+        # materializes eagerly (localCheckpoint), so timing only the
+        # count afterwards measures a cached-RDD scan, not the work
+        # (the memo was cleared above, so this is a cold build)
         t0 = time.time()
+        pairs = D.lsh_candidate_pairs(D.minhash_signatures(docs))
         n = pairs.count()
         dt = time.time() - t0
         print(f"  {label}: {n:,} pairs in {dt:.2f}s -> {n / dt:,.0f} pairs/s")
