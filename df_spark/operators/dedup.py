@@ -1,7 +1,10 @@
 """Deduplication operators for large-scale corpus pipelines.
 
-Four families, all shuffle-conscious and UDF-free (JVM-side expressions
-only — higher-order array functions + hash aggregates):
+Four families, all shuffle-conscious. Declarative JVM-side expressions
+(higher-order array functions + hash aggregates) by default; two
+measured hot paths run as Arrow-vectorized ``mapInPandas`` stages
+instead (the per-doc winnowing summary and the bounded-side MinHash
+verify), each with the bit-exact declarative twin documented inline:
 
 - **exact**: hash-groupBy on a normalized-content fingerprint. One
   shuffle on the fingerprint; at 100 TB this is the standard
@@ -731,29 +734,115 @@ def minhash_near_dups(
 
         side = combined.select(F.col(id_col), mins_arr.alias("mins"), *pay_cols)
         if pay_bytes + mins_bytes < BROADCAST_BYTES_CAP:
-            # fused single-stage verify: mins + set payload per side in
-            # one broadcast frame
-            a = F.broadcast(side.select(
-                F.col(id_col).alias("id_a"), F.col("mins").alias("mins_a"),
-                *sided("_a")))
-            b = F.broadcast(side.select(
-                F.col(id_col).alias("id_b"), F.col("mins").alias("mins_b"),
-                *sided("_b")))
             n_cand = cand.count()  # cheap: cand is checkpointed
             width = max(par, min(n_cand // 100_000 + 1, 8 * par))
-            joined = cand.repartition(width).join(a, "id_a").join(b, "id_b")
             if words:
-                # conjunct ORDER flipped on the bitmap path: the
-                # popcount Jaccard is the cheap test here, so it runs
-                # first and the 16-term estimate screen only evaluates
-                # for the pairs that already pass the threshold
-                verified = jaccard_words_projection(
-                    joined, "id_a", "id_b", "_a", "_b", words, min_jaccard,
-                    carry=["mins_a", "mins_b"],
-                ).filter(est >= min_est_matches).select("id_a", "id_b", "jaccard")
+                # ARROW GATHER VERIFY (r8, bitmap regime): the codegen'd
+                # broadcast-join verify moved ~50 scalar fields per pair
+                # through two hash-join row copies — ~15 µs/pair at
+                # sf0.1 (34 CPU-s for 2.3 M candidates). The same work
+                # as vectorized numpy gathers is ~1 µs/pair: ship the
+                # bounded side table (ids, set sizes, bitmap words,
+                # mins) once per executor via sc.broadcast — bounded BY
+                # CONSTRUCTION, this branch is gated on the broadcast
+                # cap — then per Arrow batch gather both sides by
+                # searchsorted and evaluate popcount + estimate as
+                # array ops. EXACTNESS: the UDF emits only exact
+                # integers (|∩| and na+nb) for pairs passing the exact
+                # integer estimate floor and a CONSERVATIVE raw-ratio
+                # screen (margin 1e-6 > the 5e-7 half-ulp a rounded
+                # value can move, and >> the 1e-16 fp error of the
+                # ratio itself); the authoritative round-then-threshold
+                # runs JVM-side on those integers with the identical
+                # double expression as jaccard_words_projection, so
+                # results are bit-equal to the join-based verify.
+                import numpy as np
+
+                mcols = [f"m{i}" for i in range(NUM_HASHES)]
+                pside = (
+                    combined.select(F.col(id_col), F.col("n_sh"), *words, *mcols)
+                    .toPandas()
+                    .sort_values(id_col)
+                )
+                ids_np = np.ascontiguousarray(pside[id_col].to_numpy(np.int64))
+                n_np = np.ascontiguousarray(pside["n_sh"].to_numpy(np.int64))
+                words_np = np.ascontiguousarray(
+                    pside[list(words)].to_numpy(np.int64)
+                ).view(np.uint64)
+                mins_np = np.ascontiguousarray(pside[mcols].to_numpy(np.int64))
+                bc = cand.sparkSession.sparkContext.broadcast(
+                    (ids_np, n_np, words_np, mins_np)
+                )
+                raw_floor = float(min_jaccard) - 1e-6
+                est_floor = int(min_est_matches)
+
+                def gen(batches):
+                    import numpy as np
+                    import pandas as pd
+
+                    ids, nsz, wbits, mins = bc.value
+                    pop8 = np.unpackbits(
+                        np.arange(256, dtype=np.uint8)[:, None], axis=1
+                    ).sum(axis=1).astype(np.int64)
+                    n_ids = len(ids)
+                    for pdf in batches:
+                        ia = pdf["id_a"].to_numpy(np.int64)
+                        ib = pdf["id_b"].to_numpy(np.int64)
+                        a = np.searchsorted(ids, ia)
+                        b = np.searchsorted(ids, ib)
+                        if (
+                            (a >= n_ids).any() or (b >= n_ids).any()
+                            or (ids[a.clip(0, n_ids - 1)] != ia).any()
+                            or (ids[b.clip(0, n_ids - 1)] != ib).any()
+                        ):
+                            raise ValueError(
+                                "candidate id missing from the signature "
+                                "side table — candidates must come from "
+                                "the same corpus build"
+                            )
+                        inter = (
+                            pop8[(wbits[a] & wbits[b]).view(np.uint8)]
+                            .reshape(len(ia), -1)
+                            .sum(axis=1, dtype=np.int64)
+                        )
+                        tot = nsz[a] + nsz[b]
+                        est_np = (mins[a] == mins[b]).sum(axis=1)
+                        keep = (est_np >= est_floor) & (
+                            inter >= raw_floor * (tot - inter)
+                        )
+                        yield pd.DataFrame(
+                            {
+                                "id_a": ia[keep],
+                                "id_b": ib[keep],
+                                "__i": inter[keep],
+                                "__t": tot[keep],
+                            }
+                        )
+
+                pre = cand.repartition(width).mapInPandas(
+                    gen, schema="id_a long, id_b long, __i long, __t long"
+                )
+                jac = F.round(
+                    F.col("__i").cast("double")
+                    / (F.col("__t").cast("double") - F.col("__i").cast("double")),
+                    6,
+                )
+                verified = pre.select(
+                    "id_a", "id_b", jac.alias("jaccard")
+                ).filter(F.col("jaccard") >= min_jaccard)
             else:
-                # array path: the per-pair hash-set intersect dominates,
-                # so the estimate screen stays below it
+                # array path (huge shingle universes, sides still under
+                # the cap): fused single-stage codegen verify — mins +
+                # set payload per side in one broadcast frame; the
+                # estimate screen runs before the per-pair hash-set
+                # intersect that dominates here
+                a = F.broadcast(side.select(
+                    F.col(id_col).alias("id_a"), F.col("mins").alias("mins_a"),
+                    *sided("_a")))
+                b = F.broadcast(side.select(
+                    F.col(id_col).alias("id_b"), F.col("mins").alias("mins_b"),
+                    *sided("_b")))
+                joined = cand.repartition(width).join(a, "id_a").join(b, "id_b")
                 verified = verify(joined.filter(est >= min_est_matches))
             if not memo:
                 return verified
