@@ -339,3 +339,20 @@ def prefix_sim_join(spark, sf_dir):
     threshold."""
     docs = load_sdf(spark, sf_dir, "documents")
     return D.prefix_filtered_pairs(docs, min_jaccard=0.7, partition_cols=["source"])
+
+
+@register(
+    "containment_join",
+    sql=D.containment_pairs_sql("documents", 0.8, partition_cols=["source"]),
+)
+def containment_join(spark, sf_dir):
+    """EXACT containment ≥ 0.8 directed self-join scoped within each
+    ingest source: near-SUBSET duplication (doc a's shingle set mostly
+    inside doc b's) that symmetric Jaccard structurally misses.
+    Candidates via a-side-only rarity prefix filtering against the
+    in-partition inverted index — provably complete, no probabilistic
+    conjunct — and the oracle still runs the EXHAUSTIVE directed join
+    as the data-level proof."""
+    docs = load_sdf(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, min_containment=0.8,
+                               partition_cols=["source"])
