@@ -68,6 +68,13 @@ def register(name: str, sql: str | None = None):
 # winnow_fingerprints and prefix_sim_join stay in-window deliberately:
 # both are rewritten this round (segmented min / band-conjunct pruning)
 # and the driver hash row is the proof the rewrites preserved results.
+# Late-r8 amendment: the three operators ADDED this round
+# (containment_join, bigram_lm_score, embedding_outliers) take the
+# slots of copurchase_pairs (graph keeps pagerank_parts +
+# triangle_counts), token_freq (tokens keeps tfidf_top_terms), and
+# kll_quantiles (sketches keep sketch_rollup) — new operators get a
+# driver hash row in their first round; the three rotated out are all
+# driver-green in CORRECTNESS_r07.json.
 # (Round-7 rotation history: token_freq, tfidf_top_terms,
 # triangle_counts, copurchase_pairs, source_mix, kll_quantiles,
 # skew_salted_join, simhash, theta_segments, json_agg,
@@ -86,9 +93,9 @@ PRIORITY = [
     "embed_near_dup", "cdc_scd2",
     "asof_join_events", "range_join_bands",
     "pagerank_parts", "winnow_fingerprints",
-    "triangle_counts", "copurchase_pairs",
-    "kll_quantiles",
-    "token_freq", "tfidf_top_terms", "lang_confusion",
+    "triangle_counts", "containment_join",
+    "bigram_lm_score",
+    "embedding_outliers", "tfidf_top_terms", "lang_confusion",
     "last_touch_attribution", "tree_depths",
     "llm_data_pipeline", "source_mix", "mix_rebalance",
     "skew_salted_join",

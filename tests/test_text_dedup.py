@@ -303,6 +303,56 @@ def test_prefix_filter_completeness_and_reduction(spark, sf_dir):
     assert got, "no near-dup pairs at this SF — test data assumption broken"
 
 
+def test_containment_completeness_and_planted_subset(spark, sf_dir):
+    """containment_pairs is (a) COMPLETE — matches the exhaustive
+    directed co-occurrence join at C ≥ t — on the real corpus, and
+    (b) correct on a planted strict-subset fixture where Jaccard would
+    miss the pair (small doc fully inside a much larger one)."""
+    from df_spark.sources.tables import load_sdf
+
+    docs = load_sdf(spark, sf_dir, "documents")
+    got = {
+        (r.id_a, r.id_b, r.n_common)
+        for r in D.containment_pairs(
+            docs, 0.8, k=7, partition_cols=["source"], memo=False
+        ).collect()
+    }
+    sh = D.shingle_hashes(docs.select("doc_id", "text"), "doc_id", "text", 7).distinct()
+    sh = sh.join(docs.select("doc_id", "source"), "doc_id")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    co = (
+        sh.selectExpr("doc_id id_a", "h", "source")
+        .join(sh.selectExpr("doc_id id_b", "h", "source"), ["h", "source"])
+        .filter("id_a <> id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(sizes.selectExpr("doc_id id_a", "sz sa"), "id_a")
+        .filter("20 * c >= 16 * sa")
+    )
+    expected = {(r.id_a, r.id_b, r.c) for r in co.collect()}
+    assert got == expected
+
+    # planted asymmetry: doc 1 is a strict substring of doc 2, padding
+    # makes |S2| >> |S1| so J(1,2) < 0.5 while C(1->2) = 1.0; doc 3 is
+    # unrelated; doc 4 is too short to shingle (len < k)
+    small = "the quick brown fox jumps over the lazy dog"
+    big = small + " " + " ".join(f"filler{i} words here" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, small, "s"), (2, big, "s"), (3, "completely different text entirely", "s"),
+         (4, "tiny", "s")],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r.id_a, r.id_b): r.containment
+        for r in D.containment_pairs(
+            df, 0.8, k=7, partition_cols=["source"], memo=False
+        ).collect()
+    }
+    assert out.get((1, 2)) == 1.0          # subset direction found
+    assert (2, 1) not in out               # reverse direction below t
+    assert all(3 not in pair and 4 not in pair for pair in out)
+
+
 def test_bitmap_verify_matches_array_verify(spark, sf_dir):
     """The bitmap (popcount) exact-Jaccard path must be bit-identical to
     the array (hash-set intersect) path — bits are assigned per distinct
