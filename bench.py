@@ -138,7 +138,7 @@ def main() -> None:
         wanted = {n.strip() for n in only.split(",")}
         names = [n for n in names if n in wanted]
 
-    def quiesce(max_wait: float = 2.0, idle_rate: float = 1.0) -> None:
+    def quiesce(max_wait: float = 8.0, idle_rate: float = 1.0) -> None:
         """Wait for the JVM's async post-query work (ContextCleaner,
         GC, codegen-class unloading) to drain before the NEXT query's
         CPU baseline is taken. Without this, a heavy query's cleanup
@@ -147,7 +147,14 @@ def main() -> None:
         on the saturated driver host. Returns as soon as the process
         tree burns < ``idle_rate`` cores over a 50 ms sample (most
         queries: one sample), capped at ``max_wait`` seconds — and the
-        wait happens OUTSIDE the timed region either way."""
+        wait happens OUTSIDE the timed region either way. The cap was
+        2 s through r7; r8's heavier cold builds (containment join,
+        bigram LM) drain cleanup for several seconds, and at 2 s the
+        residue bled 1.15-1.3x CPU into a ~40-query stretch of
+        alphabetical neighbors (measured: inmem_source_join 8.5 -> 31
+        CPU-s in-suite yet ~8 isolated). 8 s only costs wall when
+        there IS residual work, and it is never inside a timed
+        region."""
         deadline = time.time() + max_wait
         while time.time() < deadline:
             c0 = jvm_cpu_seconds()
