@@ -1765,6 +1765,124 @@ _BAND_R = 4
 _BAND_B = 8
 
 
+def _rarity_build(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    pcols: list[str],
+    memo: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared xxhash64 shingle-set build for the prefix-filter family
+    (:func:`prefix_candidate_pairs` and :func:`containment_pairs`):
+    returns ``(sh, arrays)`` — the (id, h) inverted-index stream and
+    the per-doc rarity-sorted array frame (``__arr`` struct array,
+    ``sz``, MinHash band signatures ``__bands``, plus ``pcols``).
+    Session-memoized (sets and arrays checkpoints) so a suite that
+    runs both the Jaccard and the containment join pays the corpus
+    aggregate once.
+
+    xxhash64, not the oracle-parity md5 h32: the hash only needs to
+    (a) give SOME total order for the rarity ranking — the
+    prefix-filter completeness theorem holds for any order — and (b)
+    preserve distinctness for the intersect counts, where 64 bits beat
+    h32's 32 (the oracles intersect raw strings). The md5→hex→conv
+    pipeline was 11 of this stage's 19 CPU-s at sf0.1.
+
+    The 32 MinHash minima ride the SAME aggregate as the shingle set
+    (min over the position multiset == min over the distinct set, so
+    no distinct pass is added); consumers that don't need the band
+    conjunct simply ignore ``__bands``."""
+    base = docs.select(F.col(id_col), *[F.col(c) for c in pcols], F.col(text_col))
+
+    def build_sets() -> DataFrame:
+        norm = base.select(
+            F.col(id_col), normalized(F.col(text_col)).alias("__t")
+        ).filter(F.length("__t") >= k)
+        norm = norm.repartition(barrier_width(norm))
+        toks = norm.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.length("__t") - (k - 1))).alias("__p"),
+            "__t",
+        ).select(
+            F.col(id_col),
+            F.xxhash64(F.col("__t").substr(F.col("__p"), F.lit(k))).alias("h"),
+        )
+        return (
+            toks.groupBy(id_col).agg(
+                F.collect_set("h").alias("__hs"),
+                *[
+                    F.min(F.xxhash64(F.col("h"), F.lit(j))).alias(f"__m{j}")
+                    for j in range(_BAND_R * _BAND_B)
+                ],
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    if memo:
+        sets = DEDUP_MEMO.get_or_build(
+            ("xxsets", frame_key(docs), id_col, text_col, k), build_sets)
+    else:
+        sets = build_sets()
+
+    # (id, h) stream re-derived map-only from the per-doc checkpoint;
+    # shared by the df aggregate and the non-broadcast verify regimes
+    sh = sets.select(F.col(id_col), F.explode("__hs").alias("h"))
+
+    # r=4 rows per band, b=8 bands: sig_i = hash of the band's minima.
+    # A J >= t pair agrees on a band iff all r minima match (P = J^r
+    # per band); sig collisions only ADD candidates (verify rejects),
+    # never lose one.
+    band_sigs = F.array(
+        *[
+            F.xxhash64(
+                *[F.col(f"__m{i * _BAND_R + j}") for j in range(_BAND_R)],
+                F.lit(i),
+            )
+            for i in range(_BAND_B)
+        ]
+    )
+
+    def build_arrays() -> DataFrame:
+        # vocabulary-sized (6k rows here, charset-bounded in general):
+        # checkpoint BEFORE counting so the size-hint count reads the
+        # materialized frame instead of re-running the explode+aggregate
+        # over the shingle stream (~3 CPU-s at sf0.1)
+        dfreq = (
+            sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+            .localCheckpoint(eager=True)
+        )
+        dfreq = size_hinted(dfreq, dfreq.count() * 16)
+        # bands ride the exploded rows into the per-doc aggregate (every
+        # row of a doc carries the same array, F.first picks it) — a
+        # docs×docs join here would SMJ two stat-less checkpoint frames,
+        # and bands are corpus-sized so broadcasting them would not scale
+        sh_b = sets.select(
+            F.col(id_col), F.explode("__hs").alias("h"),
+            band_sigs.alias("__bands"))
+        arr = (
+            sh_b.join(dfreq, "h")
+            .groupBy(id_col)
+            .agg(
+                F.sort_array(F.collect_list(F.struct("df", "h"))).alias("__arr"),
+                F.count(F.lit(1)).alias("sz"),
+                F.first("__bands").alias("__bands"),
+            )
+        )
+        if pcols:
+            arr = arr.join(base.select(id_col, *pcols), id_col)
+        # bounded: one row per doc (arr ≈ the doc's shingle set)
+        return arr.localCheckpoint(eager=True)
+
+    if memo:
+        arrays = DEDUP_MEMO.get_or_build(
+            ("xxarrays", frame_key(docs), id_col, text_col, k, tuple(pcols)),
+            build_arrays)
+    else:
+        arrays = build_arrays()
+    return sh, arrays
+
+
 def prefix_candidate_pairs(
     docs: DataFrame,
     min_jaccard: float = 0.7,
@@ -1817,88 +1935,7 @@ def prefix_candidate_pairs(
     the oracle's SELECT DISTINCT."""
     t20 = int(round(min_jaccard * 20))
     pcols = partition_cols or []
-
-    base = docs.select(F.col(id_col), *[F.col(c) for c in pcols], F.col(text_col))
-    norm = base.select(
-        F.col(id_col), normalized(F.col(text_col)).alias("__t")
-    ).filter(F.length("__t") >= k)
-    norm = norm.repartition(barrier_width(norm))
-    toks = norm.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(1), F.length("__t") - (k - 1))).alias("__p"),
-        "__t",
-    ).select(
-        # xxhash64, not the oracle-parity md5 h32: the hash only needs
-        # to (a) give SOME total order for the rarity ranking — the
-        # prefix-filter completeness theorem holds for any order — and
-        # (b) preserve distinctness for the intersect counts, where
-        # 64 bits beat h32's 32 (the oracle now intersects raw
-        # strings). The md5→hex→conv pipeline was 11 of this stage's
-        # 19 CPU-s at sf0.1.
-        F.col(id_col),
-        F.xxhash64(F.col("__t").substr(F.col("__p"), F.lit(k))).alias("h"),
-    )
-    # 32 MinHash minima ride the SAME aggregate as the shingle set
-    # (min over the position multiset == min over the distinct set, so
-    # no distinct pass is added); they become the per-doc band
-    # signatures for the candidate-join conjunct below. xxhash64(h, j)
-    # is the j-th permutation — deterministic, codegen'd, ~47M evals
-    # at sf0.1 (~1 CPU-s).
-    sets = (
-        toks.groupBy(id_col).agg(
-            F.collect_set("h").alias("__hs"),
-            *[
-                F.min(F.xxhash64(F.col("h"), F.lit(j))).alias(f"__m{j}")
-                for j in range(_BAND_R * _BAND_B)
-            ],
-        )
-        .localCheckpoint(eager=True)
-    )
-    # r=4 rows per band, b=8 bands: sig_i = hash of the band's minima.
-    # A J >= t pair agrees on a band iff all r minima match (P = J^r
-    # per band); sig collisions only ADD candidates (verify rejects),
-    # never lose one.
-    band_sigs = F.array(
-        *[
-            F.xxhash64(
-                *[F.col(f"__m{i * _BAND_R + j}") for j in range(_BAND_R)],
-                F.lit(i),
-            )
-            for i in range(_BAND_B)
-        ]
-    )
-    # (id, h) stream re-derived map-only from the per-doc checkpoint;
-    # shared by the df aggregate and the non-broadcast verify regime
-    sh = sets.select(F.col(id_col), F.explode("__hs").alias("h"))
-    # vocabulary-sized (6k rows here, charset-bounded in general):
-    # checkpoint BEFORE counting so the size-hint count reads the
-    # materialized frame instead of re-running the explode+aggregate
-    # over the shingle stream (~3 CPU-s at sf0.1)
-    dfreq = (
-        sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-        .localCheckpoint(eager=True)
-    )
-    dfreq = size_hinted(dfreq, dfreq.count() * 16)
-    # bands ride the exploded rows into the per-doc aggregate (every
-    # row of a doc carries the same array, F.first picks it) — a
-    # docs×docs join here would SMJ two stat-less checkpoint frames,
-    # and bands are corpus-sized so broadcasting them would not scale
-    sh_b = sets.select(
-        F.col(id_col), F.explode("__hs").alias("h"),
-        band_sigs.alias("__bands"))
-    arrays = (
-        sh_b.join(dfreq, "h")
-        .groupBy(id_col)
-        .agg(
-            F.sort_array(F.collect_list(F.struct("df", "h"))).alias("__arr"),
-            F.count(F.lit(1)).alias("sz"),
-            F.first("__bands").alias("__bands"),
-        )
-    )
-    if pcols:
-        arrays = arrays.join(base.select(id_col, *pcols), id_col)
-    # bounded: one row per doc (arr ≈ the doc's shingle set)
-    arrays = arrays.localCheckpoint(eager=True)
+    sh, arrays = _rarity_build(docs, id_col, text_col, k, pcols)
 
     # prefix length p = |s| - ceil(t·|s|) + 1; rank = position in the
     # rarity-sorted array (struct sort = (df asc, h asc), exactly the
@@ -1995,54 +2032,20 @@ def containment_pairs(
 
     100 TB shape: same build discipline as :func:`prefix_candidate_
     pairs` (map-side set collapse, vocab-sized df aggregate, per-doc
-    rarity arrays; no shingle-sized exchange); the candidate join keys
-    on a's rarest content plus the partition columns; the b-side index
-    is the plain (id, h) stream, shuffled once on h. Verify is
-    adaptive: broadcast array-intersect under the cap, shingle-row
-    count join above it."""
+    rarity arrays; no shingle-sized exchange) — and literally the SAME
+    memoized build (:func:`_rarity_build`), so a suite running both
+    the Jaccard and the containment join pays the corpus aggregate
+    once; the candidate join keys on a's rarest content plus the
+    partition columns; the b-side index is the plain (id, h) stream,
+    shuffled once on h. Verify is adaptive: broadcast array-intersect
+    under the cap, shingle-row count join above it."""
     t20 = int(round(min_containment * 20))
     assert abs(min_containment * 20 - t20) < 1e-9, (
         "min_containment must be a multiple of 0.05")
     pcols = partition_cols or []
 
     def build() -> DataFrame:
-        base = docs.select(
-            F.col(id_col), *[F.col(c) for c in pcols], F.col(text_col))
-        norm = docs.select(
-            F.col(id_col), normalized(F.col(text_col)).alias("__t")
-        ).filter(F.length("__t") >= k)
-        norm = norm.repartition(barrier_width(norm))
-        toks = norm.select(
-            F.col(id_col),
-            F.explode(F.sequence(F.lit(1), F.length("__t") - (k - 1))).alias("__p"),
-            "__t",
-        ).select(
-            F.col(id_col),
-            F.xxhash64(F.col("__t").substr(F.col("__p"), F.lit(k))).alias("h"),
-        )
-        sets = (
-            toks.groupBy(id_col)
-            .agg(F.collect_set("h").alias("__hs"))
-            .localCheckpoint(eager=True)
-        )
-        sh = sets.select(F.col(id_col), F.explode("__hs").alias("h"))
-        dfreq = (
-            sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-            .localCheckpoint(eager=True)
-        )
-        dfreq = size_hinted(dfreq, dfreq.count() * 16)
-        arrays = (
-            sh.join(dfreq, "h")
-            .groupBy(id_col)
-            .agg(
-                F.sort_array(F.collect_list(F.struct("df", "h"))).alias("__arr"),
-                F.count(F.lit(1)).alias("sz"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        if pcols:
-            arrays = arrays.join(base.select(id_col, *pcols), id_col)
-            arrays = arrays.localCheckpoint(eager=True)
+        sh, arrays = _rarity_build(docs, id_col, text_col, k, pcols, memo=memo)
         pa = (F.col("sz") - F.ceil(F.lit(min_containment) * F.col("sz")) + 1).cast("int")
         prefix_a = arrays.select(
             F.col(id_col).alias("id_a"), F.col("sz").alias("sa"),
