@@ -696,9 +696,7 @@ def minhash_near_dups(
         combined = _shared_build(docs, id_col, text_col, memo=memo)
         words = _build_words(combined)
         prof = combined.select(id_col, *[f"m{i}" for i in range(NUM_HASHES)])
-        sigs = minhash_signatures(id_col=id_col, profile=prof)
-        cand = lsh_candidate_pairs(sigs, id_col, memo=memo)
-        par = cand.sparkSession.sparkContext.defaultParallelism
+        par = docs.sparkSession.sparkContext.defaultParallelism
         # one cheap agg over the materialized build checkpoint: ~8 B per
         # hash + per-row overhead; drives both the broadcast decision
         # and the per-doc payload size estimate
@@ -733,117 +731,190 @@ def minhash_near_dups(
                 pairs, "id_a", "id_b", "sh_a", "sh_b", min_jaccard)
 
         side = combined.select(F.col(id_col), mins_arr.alias("mins"), *pay_cols)
+        if words and pay_bytes + mins_bytes < BROADCAST_BYTES_CAP:
+            # FUSED BANDED VERIFY (r8, bitmap regime): candidates are
+            # never materialized JVM-side at all. r8's first cut still
+            # shipped the 2.3 M candidate pairs THROUGH Arrow into the
+            # numpy gather, and the transfer itself — not the popcount
+            # math — turned out to be the cost (measured: an IDENTITY
+            # mapInPandas/mapInArrow over the candidate frame is ~18-24
+            # CPU-s at sf0.1 under the C1 bench JIT; the numpy verify
+            # inside is ~2). Everything the banding join derives is a
+            # pure function of the broadcast side table (16 minima per
+            # doc), so each task re-derives the LSH buckets it OWNS
+            # from the broadcast minima instead: lexsort the band's 4
+            # minima columns, split groups, keep buckets hashing to
+            # this task id, enumerate id_a < id_b pairs per bucket
+            # (vectorized per bucket-size class), drop pairs that
+            # already share an EARLIER band (exact min-band dedup — a
+            # pair is emitted by exactly one bucket globally, so no
+            # JVM-side distinct), then screen + popcount-verify in the
+            # same array pass. Input: one row per task id; output:
+            # verified integers only.
+            #
+            # Bucket semantics match lsh_candidate_pairs exactly: two
+            # docs share band b iff their 4 minima tuples are equal
+            # (the md5 band digest is injective on the tuple), and the
+            # oracle's DISTINCT-pair + estimate-floor + exact-Jaccard
+            # contract is evaluated on the same integers. EXACTNESS of
+            # the emitted rows is the r8 gather argument verbatim: the
+            # UDF emits only exact integers (|∩| and na+nb) screened by
+            # the exact integer estimate floor and a CONSERVATIVE
+            # raw-ratio screen (margin 1e-6 > the 5e-7 half-ulp a
+            # rounded value can move); the authoritative
+            # round-then-threshold runs JVM-side with the identical
+            # double expression as jaccard_words_projection.
+            #
+            # 100 TB note: this regime is, by construction, the
+            # bounded-corpus one (the whole side table must fit the
+            # broadcast cap); past the cap the two-phase JVM path below
+            # is unchanged and fully distributed.
+            import numpy as np
+
+            mcols = [f"m{i}" for i in range(NUM_HASHES)]
+            pside = (
+                combined.select(F.col(id_col), F.col("n_sh"), *words, *mcols)
+                .toPandas()
+                .sort_values(id_col)
+            )
+            ids_np = np.ascontiguousarray(pside[id_col].to_numpy(np.int64))
+            n_np = np.ascontiguousarray(pside["n_sh"].to_numpy(np.int64))
+            words_np = np.ascontiguousarray(
+                pside[list(words)].to_numpy(np.int64)
+            ).view(np.uint64)
+            mins_np = np.ascontiguousarray(pside[mcols].to_numpy(np.int64))
+            bc = docs.sparkSession.sparkContext.broadcast(
+                (ids_np, n_np, words_np, mins_np)
+            )
+            raw_floor = float(min_jaccard) - 1e-6
+            est_floor = int(min_est_matches)
+            # tasks scale with corpus size (each re-derives the banding
+            # over the broadcast minima — trivial next to enumeration),
+            # NOT fixed at full parallelism: a fresh python worker
+            # costs ~0.7-2.5 CPU-s of interpreter+import spin-up, which
+            # at 32 tasks would dwarf the ~3 CPU-s of actual numpy work
+            # on a 5k-doc corpus
+            n_parts = max(1, min(par, n_docs // 600 + 1))
+            bands, rpb = 4, NUM_HASHES // 4  # lsh_candidate_pairs defaults
+
+            def gen(batches):
+                import numpy as np
+                import pyarrow as pa
+
+                ids, nsz, wbits, mins = bc.value
+                pop8 = np.unpackbits(
+                    np.arange(256, dtype=np.uint8)[:, None], axis=1
+                ).sum(axis=1).astype(np.int64)
+                CHUNK = 1 << 19  # pairs per enumeration slice (memory cap)
+
+                def band_pairs(pid):
+                    if len(mins) < 2:
+                        return
+                    for band in range(bands):
+                        sub = mins[:, band * rpb:(band + 1) * rpb]
+                        order = np.lexsort(sub.T[::-1])
+                        srt = sub[order]
+                        brk = np.flatnonzero(
+                            np.any(srt[1:] != srt[:-1], axis=1)) + 1
+                        starts = np.concatenate(([0], brk))
+                        sizes = np.diff(np.concatenate((starts, [len(srt)])))
+                        # deterministic bucket -> task assignment (FNV-
+                        # style mix of the band minima; only balance
+                        # depends on it, never correctness)
+                        key = srt[starts].astype(np.uint64)
+                        hsh = np.full(len(starts), 0xcbf29ce484222325,
+                                      np.uint64)
+                        for j in range(rpb):
+                            hsh = (hsh ^ key[:, j]) * np.uint64(0x100000001b3)
+                        sel = ((hsh % np.uint64(n_parts)).astype(np.int64)
+                               == pid) & (sizes >= 2)
+                        sel_starts, sel_sizes = starts[sel], sizes[sel]
+                        for sz in np.unique(sel_sizes):
+                            gs = sel_starts[sel_sizes == sz]
+                            mat = order[gs[:, None] + np.arange(sz)[None, :]]
+                            mat.sort(axis=1)  # table index asc == id asc
+                            iu0, iu1 = np.triu_indices(sz, 1)
+                            gpc = max(1, CHUNK // len(iu0))
+                            for g0 in range(0, len(gs), gpc):
+                                m = mat[g0:g0 + gpc]
+                                A = m[:, iu0].ravel()
+                                B = m[:, iu1].ravel()
+                                if band:
+                                    # min-band dedup: an earlier shared
+                                    # band already emitted this pair
+                                    dup = np.zeros(len(A), bool)
+                                    for j in range(band):
+                                        dup |= (
+                                            mins[A, j * rpb:(j + 1) * rpb]
+                                            == mins[B, j * rpb:(j + 1) * rpb]
+                                        ).all(axis=1)
+                                    A, B = A[~dup], B[~dup]
+                                if not len(A):
+                                    continue
+                                est_np = (mins[A] == mins[B]).sum(axis=1)
+                                ok = est_np >= est_floor
+                                A, B = A[ok], B[ok]
+                                if not len(A):
+                                    continue
+                                inter = (
+                                    pop8[(wbits[A] & wbits[B]).view(np.uint8)]
+                                    .reshape(len(A), -1)
+                                    .sum(axis=1, dtype=np.int64)
+                                )
+                                tot = nsz[A] + nsz[B]
+                                keep = inter >= raw_floor * (tot - inter)
+                                if keep.any():
+                                    yield (ids[A[keep]], ids[B[keep]],
+                                           inter[keep], tot[keep])
+
+                for batch in batches:
+                    for pid in batch.column(0).to_numpy(
+                            zero_copy_only=False):
+                        for ia, ib, ii, tt in band_pairs(int(pid)):
+                            yield pa.RecordBatch.from_arrays(
+                                [pa.array(ia), pa.array(ib),
+                                 pa.array(ii), pa.array(tt)],
+                                names=["id_a", "id_b", "__i", "__t"],
+                            )
+
+            pre = docs.sparkSession.range(
+                0, n_parts, 1, numPartitions=n_parts
+            ).mapInArrow(gen, schema="id_a long, id_b long, __i long, __t long")
+            jac = F.round(
+                F.col("__i").cast("double")
+                / (F.col("__t").cast("double") - F.col("__i").cast("double")),
+                6,
+            )
+            verified = pre.select(
+                "id_a", "id_b", jac.alias("jaccard")
+            ).filter(F.col("jaccard") >= min_jaccard)
+            if not memo:
+                return verified
+            # store at data-sized width (the verified set scales with
+            # the corpus, not the candidate count — which this path
+            # never materializes); downstream consumers (CC loop,
+            # span stats) re-scan this frame many times
+            store_width = max(1, min(n_docs // 1_000 + 1, par))
+            return verified.repartition(store_width).localCheckpoint(eager=True)
+
+        sigs = minhash_signatures(id_col=id_col, profile=prof)
+        cand = lsh_candidate_pairs(sigs, id_col, memo=memo)
         if pay_bytes + mins_bytes < BROADCAST_BYTES_CAP:
             n_cand = cand.count()  # cheap: cand is checkpointed
             width = max(par, min(n_cand // 100_000 + 1, 8 * par))
-            if words:
-                # ARROW GATHER VERIFY (r8, bitmap regime): the codegen'd
-                # broadcast-join verify moved ~50 scalar fields per pair
-                # through two hash-join row copies — ~15 µs/pair at
-                # sf0.1 (34 CPU-s for 2.3 M candidates). The same work
-                # as vectorized numpy gathers is ~1 µs/pair: ship the
-                # bounded side table (ids, set sizes, bitmap words,
-                # mins) once per executor via sc.broadcast — bounded BY
-                # CONSTRUCTION, this branch is gated on the broadcast
-                # cap — then per Arrow batch gather both sides by
-                # searchsorted and evaluate popcount + estimate as
-                # array ops. EXACTNESS: the UDF emits only exact
-                # integers (|∩| and na+nb) for pairs passing the exact
-                # integer estimate floor and a CONSERVATIVE raw-ratio
-                # screen (margin 1e-6 > the 5e-7 half-ulp a rounded
-                # value can move, and >> the 1e-16 fp error of the
-                # ratio itself); the authoritative round-then-threshold
-                # runs JVM-side on those integers with the identical
-                # double expression as jaccard_words_projection, so
-                # results are bit-equal to the join-based verify.
-                import numpy as np
-
-                mcols = [f"m{i}" for i in range(NUM_HASHES)]
-                pside = (
-                    combined.select(F.col(id_col), F.col("n_sh"), *words, *mcols)
-                    .toPandas()
-                    .sort_values(id_col)
-                )
-                ids_np = np.ascontiguousarray(pside[id_col].to_numpy(np.int64))
-                n_np = np.ascontiguousarray(pside["n_sh"].to_numpy(np.int64))
-                words_np = np.ascontiguousarray(
-                    pside[list(words)].to_numpy(np.int64)
-                ).view(np.uint64)
-                mins_np = np.ascontiguousarray(pside[mcols].to_numpy(np.int64))
-                bc = cand.sparkSession.sparkContext.broadcast(
-                    (ids_np, n_np, words_np, mins_np)
-                )
-                raw_floor = float(min_jaccard) - 1e-6
-                est_floor = int(min_est_matches)
-
-                def gen(batches):
-                    import numpy as np
-                    import pandas as pd
-
-                    ids, nsz, wbits, mins = bc.value
-                    pop8 = np.unpackbits(
-                        np.arange(256, dtype=np.uint8)[:, None], axis=1
-                    ).sum(axis=1).astype(np.int64)
-                    n_ids = len(ids)
-                    for pdf in batches:
-                        ia = pdf["id_a"].to_numpy(np.int64)
-                        ib = pdf["id_b"].to_numpy(np.int64)
-                        a = np.searchsorted(ids, ia)
-                        b = np.searchsorted(ids, ib)
-                        if (
-                            (a >= n_ids).any() or (b >= n_ids).any()
-                            or (ids[a.clip(0, n_ids - 1)] != ia).any()
-                            or (ids[b.clip(0, n_ids - 1)] != ib).any()
-                        ):
-                            raise ValueError(
-                                "candidate id missing from the signature "
-                                "side table — candidates must come from "
-                                "the same corpus build"
-                            )
-                        inter = (
-                            pop8[(wbits[a] & wbits[b]).view(np.uint8)]
-                            .reshape(len(ia), -1)
-                            .sum(axis=1, dtype=np.int64)
-                        )
-                        tot = nsz[a] + nsz[b]
-                        est_np = (mins[a] == mins[b]).sum(axis=1)
-                        keep = (est_np >= est_floor) & (
-                            inter >= raw_floor * (tot - inter)
-                        )
-                        yield pd.DataFrame(
-                            {
-                                "id_a": ia[keep],
-                                "id_b": ib[keep],
-                                "__i": inter[keep],
-                                "__t": tot[keep],
-                            }
-                        )
-
-                pre = cand.repartition(width).mapInPandas(
-                    gen, schema="id_a long, id_b long, __i long, __t long"
-                )
-                jac = F.round(
-                    F.col("__i").cast("double")
-                    / (F.col("__t").cast("double") - F.col("__i").cast("double")),
-                    6,
-                )
-                verified = pre.select(
-                    "id_a", "id_b", jac.alias("jaccard")
-                ).filter(F.col("jaccard") >= min_jaccard)
-            else:
-                # array path (huge shingle universes, sides still under
-                # the cap): fused single-stage codegen verify — mins +
-                # set payload per side in one broadcast frame; the
-                # estimate screen runs before the per-pair hash-set
-                # intersect that dominates here
-                a = F.broadcast(side.select(
-                    F.col(id_col).alias("id_a"), F.col("mins").alias("mins_a"),
-                    *sided("_a")))
-                b = F.broadcast(side.select(
-                    F.col(id_col).alias("id_b"), F.col("mins").alias("mins_b"),
-                    *sided("_b")))
-                joined = cand.repartition(width).join(a, "id_a").join(b, "id_b")
-                verified = verify(joined.filter(est >= min_est_matches))
+            # array path (huge shingle universes, sides still under
+            # the cap): fused single-stage codegen verify — mins +
+            # set payload per side in one broadcast frame; the
+            # estimate screen runs before the per-pair hash-set
+            # intersect that dominates here
+            a = F.broadcast(side.select(
+                F.col(id_col).alias("id_a"), F.col("mins").alias("mins_a"),
+                *sided("_a")))
+            b = F.broadcast(side.select(
+                F.col(id_col).alias("id_b"), F.col("mins").alias("mins_b"),
+                *sided("_b")))
+            joined = cand.repartition(width).join(a, "id_a").join(b, "id_b")
+            verified = verify(joined.filter(est >= min_est_matches))
             if not memo:
                 return verified
             store_width = max(1, min(n_cand // 500_000 + 1, par))
@@ -2036,9 +2107,12 @@ def containment_pairs(
     memoized build (:func:`_rarity_build`), so a suite running both
     the Jaccard and the containment join pays the corpus aggregate
     once; the candidate join keys on a's rarest content plus the
-    partition columns; the b-side index is the plain (id, h) stream,
-    shuffled once on h. Verify is adaptive: broadcast array-intersect
-    under the cap, shingle-row count join above it."""
+    partition columns; the b-side index is the rank-carrying explode
+    of the per-doc arrays, shuffled once on h. Verify is adaptive:
+    Arrow gather over broadcast per-doc bitmaps when the corpus fits
+    the gate (exact popcount intersections, see the inline note),
+    broadcast array-intersect when only the hash payload fits, and
+    the shingle-row count join at full scale."""
     t20 = int(round(min_containment * 20))
     assert abs(min_containment * 20 - t20) < 1e-9, (
         "min_containment must be a multiple of 0.05")
@@ -2056,14 +2130,19 @@ def containment_pairs(
             (F.col("__pos") + 1).alias("rk_a"),
             F.col("__e.h").alias("h"),
         )
-        sizes_b = size_hinted(
-            arrays.select(
-                F.col(id_col).alias("id_b"), F.col("sz").alias("sb"),
-                *[F.col(c) for c in pcols],
-            ),
-            arrays.count() * 24,
+        # the b-side index carries each shingle's RANK in b's rarity
+        # order (posexplode of the same per-doc array the a-prefix
+        # comes from, replacing the rank-less (id, h) stream + sizes
+        # join) so the TWO-SIDED positional filter below can run.
+        inv_b = arrays.select(
+            F.col(id_col).alias("id_b"), F.col("sz").alias("sb"),
+            *[F.col(c) for c in pcols],
+            F.posexplode("__arr").alias("__pos", "__e"),
+        ).select(
+            "id_b", "sb", *[F.col(c) for c in pcols],
+            (F.col("__pos") + 1).alias("rk_b"),
+            F.col("__e.h").alias("h"),
         )
-        inv_b = sh.select(F.col(id_col).alias("id_b"), "h").join(sizes_b, "id_b")
         cand = (
             # partition columns are part of the JOIN KEY — equality as
             # a post-join filter would still enumerate every cross-
@@ -2072,7 +2151,26 @@ def containment_pairs(
             .filter(
                 (F.col("id_a") != F.col("id_b"))
                 & (F.lit(20) * F.col("sb") >= F.lit(t20) * F.col("sa"))
-                & ((F.lit(1) + F.col("sa") - F.col("rk_a")) * F.lit(20)
+                # two-sided positional filter (Xiao et al. PPJoin,
+                # containment form): both docs' arrays share ONE global
+                # (df, h) order, so every common shingle of a
+                # qualifying pair sits at or after its FIRST common
+                # shingle's position in BOTH docs — overlap ≤ 1 +
+                # min(sa − rk_a, sb − rk_b) at that first match. The
+                # first common shingle is always inside a's prefix
+                # when the pair qualifies (prefix theorem), so the
+                # qualifying pair always survives via that row;
+                # non-first matches may pass spuriously (bound not
+                # tight there), which only ADDS candidates. EXACTLY
+                # complete — no probabilistic conjunct. On open
+                # vocabularies this is the standard PPJoin prune; on
+                # THIS closed-vocab corpus its power is modest
+                # (435k → 390k candidates at sf0.1 — shared shingles
+                # are rare in BOTH docs' orders), which is why the
+                # verify below is the vectorized gather, not a join.
+                & ((F.lit(1) + F.least(
+                        F.col("sa") - F.col("rk_a"),
+                        F.col("sb") - F.col("rk_b"))) * F.lit(20)
                    >= F.lit(t20) * F.col("sa"))
             )
             .select("id_a", "id_b", "sa")
@@ -2080,21 +2178,123 @@ def containment_pairs(
             .localCheckpoint(eager=True)
         )
         n_sh_rows = sh.count()
+        gathered = None
         if n_sh_rows * 8 < BROADCAST_BYTES_CAP:
-            # strip the (df, h) rank structs down to plain bigint
-            # arrays — array_intersect on STRUCT elements has no
-            # hash-set fast path (see prefix_filtered_pairs)
-            ha = arrays.select(
-                F.col(id_col),
-                F.transform("__arr", lambda x: x["h"]).alias("__ha"))
-            a = F.broadcast(ha.select(
-                F.col(id_col).alias("id_a"), F.col("__ha").alias("__ha_a")))
-            b = F.broadcast(ha.select(
-                F.col(id_col).alias("id_b"), F.col("__ha").alias("__ha_b")))
-            common = cand.join(a, "id_a").join(b, "id_b").select(
-                "id_a", "id_b", "sa",
-                F.size(F.array_intersect("__ha_a", "__ha_b")).alias("c"),
+            # ARROW GATHER VERIFY (same move as the MinHash bitmap
+            # regime, minhash_near_dups above): the closed-vocabulary
+            # corpus makes the candidate set ~60% of all in-source
+            # pairs (390k at sf0.1 for 14 outputs — no exact filter
+            # prunes it, see the positional-filter note), so per-pair
+            # verify cost IS the operator's cost. array_intersect over
+            # two broadcast joins measured ~47 CPU-s; the same
+            # intersection as bitmap popcounts over the corpus
+            # vocabulary is vectorizable end-to-end: assign each
+            # distinct shingle hash its rank in the sorted vocab (bit
+            # index — injective, so popcount(AND) == |∩| EXACTLY),
+            # build per-doc bitmap words ONCE driver-side (bounded by
+            # this regime's gate), broadcast, and gather+AND+popcount
+            # per Arrow batch. The UDF emits only exact integers
+            # (c, sa) screened by the exact integer threshold; the
+            # authoritative filter + round run JVM-side on those
+            # integers, so results are bit-equal to the join verify.
+            import numpy as np
+
+            ha = (
+                arrays.select(
+                    F.col(id_col),
+                    F.transform("__arr", lambda x: x["h"]).alias("__ha"))
+                .toPandas()
+                .sort_values(id_col)
             )
+            ids_np = np.ascontiguousarray(ha[id_col].to_numpy(np.int64))
+            lens = ha["__ha"].map(len).to_numpy(np.int64)
+            flat = np.concatenate(ha["__ha"].to_list()).astype(np.int64) \
+                if len(ha) else np.empty(0, np.int64)
+            vocab = np.unique(flat)
+            n_words = (len(vocab) + 63) // 64
+            if len(ids_np) * n_words * 8 < BROADCAST_BYTES_CAP:
+                bit = np.searchsorted(vocab, flat)
+                doc_idx = np.repeat(np.arange(len(ids_np)), lens)
+                wbits = np.zeros((len(ids_np), n_words), np.uint64)
+                np.bitwise_or.at(
+                    wbits, (doc_idx, bit >> 6),
+                    np.uint64(1) << (bit & 63).astype(np.uint64))
+                bc = cand.sparkSession.sparkContext.broadcast(
+                    (ids_np, lens, wbits))
+                par = cand.sparkSession.sparkContext.defaultParallelism
+                n_cand = cand.count()  # cheap: cand is checkpointed
+                # ~50k pairs/task (each ~6 µs of numpy), capped at the
+                # session's width; no max(par, ...) floor — a fresh
+                # python worker costs ~2 CPU-s of pandas import, so
+                # fanning a 390k-pair stage to 32 tasks burns more on
+                # worker spin-up than the popcounts themselves when
+                # the pool isn't already warm
+                width = max(1, min(n_cand // 50_000 + 1, 8 * par))
+
+                def gen(batches):
+                    import numpy as np
+                    import pandas as pd
+
+                    ids, nsz, words = bc.value
+                    pop8 = np.unpackbits(
+                        np.arange(256, dtype=np.uint8)[:, None], axis=1
+                    ).sum(axis=1).astype(np.int64)
+                    n_ids = len(ids)
+                    for pdf in batches:
+                        ia = pdf["id_a"].to_numpy(np.int64)
+                        ib = pdf["id_b"].to_numpy(np.int64)
+                        a = np.searchsorted(ids, ia)
+                        b = np.searchsorted(ids, ib)
+                        if (
+                            (a >= n_ids).any() or (b >= n_ids).any()
+                            or (ids[a.clip(0, n_ids - 1)] != ia).any()
+                            or (ids[b.clip(0, n_ids - 1)] != ib).any()
+                        ):
+                            raise ValueError(
+                                "candidate id missing from the arrays "
+                                "side table — candidates must come "
+                                "from the same corpus build"
+                            )
+                        inter = (
+                            pop8[(words[a] & words[b]).view(np.uint8)]
+                            .reshape(len(ia), -1)
+                            .sum(axis=1, dtype=np.int64)
+                        )
+                        sa = nsz[a]
+                        keep = 20 * inter >= t20 * sa  # integer-exact
+                        yield pd.DataFrame(
+                            {
+                                "id_a": ia[keep],
+                                "id_b": ib[keep],
+                                "sa": sa[keep],
+                                "c": inter[keep],
+                            }
+                        )
+
+                gathered = cand.select("id_a", "id_b").repartition(
+                    width
+                ).mapInPandas(
+                    gen, schema="id_a long, id_b long, sa long, c long"
+                )
+            if gathered is not None:
+                common = gathered
+            else:
+                # vocab too wide for per-doc bitmaps: broadcast the
+                # plain bigint hash arrays and intersect per pair
+                # (array_intersect on STRUCT elements has no hash-set
+                # fast path — hence the strip, see
+                # prefix_filtered_pairs)
+                haf = arrays.select(
+                    F.col(id_col),
+                    F.transform("__arr", lambda x: x["h"]).alias("__ha"))
+                a = F.broadcast(haf.select(
+                    F.col(id_col).alias("id_a"), F.col("__ha").alias("__ha_a")))
+                b = F.broadcast(haf.select(
+                    F.col(id_col).alias("id_b"), F.col("__ha").alias("__ha_b")))
+                common = cand.join(a, "id_a").join(b, "id_b").select(
+                    "id_a", "id_b", "sa",
+                    F.size(F.array_intersect("__ha_a", "__ha_b")).alias("c"),
+                )
         else:
             common = (
                 cand.join(sh.select(F.col(id_col).alias("id_a"), "h"), "id_a")
