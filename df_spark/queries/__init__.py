@@ -74,7 +74,10 @@ def register(name: str, sql: str | None = None):
 # triangle_counts), token_freq (tokens keeps tfidf_top_terms), and
 # kll_quantiles (sketches keep sketch_rollup) — new operators get a
 # driver hash row in their first round; the three rotated out are all
-# driver-green in CORRECTNESS_r07.json.
+# driver-green in CORRECTNESS_r07.json. embed_quantize (added later in
+# r8) takes embed_near_dup's slot under the same policy (similarity
+# keeps ann_lsh_topk + embedding_outliers in-window; embed_near_dup is
+# driver-green r7 and stamp-covered).
 # (Round-7 rotation history: token_freq, tfidf_top_terms,
 # triangle_counts, copurchase_pairs, source_mix, kll_quantiles,
 # skew_salted_join, simhash, theta_segments, json_agg,
@@ -90,7 +93,7 @@ PRIORITY = [
     "dedup_exact", "minhash_near_dups", "dedup_clusters",
     "cross_near_dups",
     "interval_overlap_join", "ann_lsh_topk",
-    "embed_near_dup", "cdc_scd2",
+    "embed_quantize", "cdc_scd2",
     "asof_join_events", "range_join_bands",
     "pagerank_parts", "winnow_fingerprints",
     "triangle_counts", "containment_join",

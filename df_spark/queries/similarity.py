@@ -370,3 +370,102 @@ def embedding_outliers(spark, sf_dir):
         .orderBy(F.col("cos_centroid").asc(), F.col("vec_id").asc())
         .limit(_OUTLIER_K)
     )
+
+
+@register(
+    "embed_quantize",
+    sql=f"""
+    WITH comp AS (
+      SELECT i, MAX(ABS(CAST(embedding[i] AS DOUBLE))) AS mx
+      FROM embeddings, (SELECT unnest(generate_series(1, {S.DIM})) AS i) idx
+      GROUP BY i
+    ),
+    scal AS (
+      SELECT LIST(CASE WHEN mx > 0 THEN mx ELSE 1.0 END ORDER BY i) AS svec
+      FROM comp
+    ),
+    q AS (
+      SELECT vec_id, label, embedding, svec,
+             list_transform(generate_series(1, {S.DIM}),
+               i -> FLOOR(CAST(embedding[i] AS DOUBLE) / svec[i] * 127.0 + 0.5)
+             ) AS qv
+      FROM embeddings, scal
+    )
+    SELECT vec_id, label,
+      list_sum(list_transform(qv,
+        v -> CAST(v AS BIGINT) * CAST(v AS BIGINT))) AS qnorm,
+      round(list_max(list_transform(generate_series(1, {S.DIM}),
+        i -> ABS(CAST(embedding[i] AS DOUBLE) - qv[i] * svec[i] / 127.0))),
+        6) AS max_abs_err,
+      list_sum(list_transform(generate_series(1, {S.DIM}),
+        i -> CAST(round((CAST(embedding[i] AS DOUBLE) - qv[i] * svec[i] / 127.0)
+                        * (CAST(embedding[i] AS DOUBLE) - qv[i] * svec[i] / 127.0)
+                        * 1000000000000.0, 0) AS BIGINT))) AS sse_pico
+    FROM q
+    """,
+)
+def embed_quantize(spark, sf_dir):
+    """Symmetric per-dimension int8 scalar quantization of the
+    embedding corpus, with an exact reconstruction-error audit per
+    vector — the 4x storage/IO lever for serving ANN over a 100 TB
+    embedding store (SQ8 is the standard first rung before PQ). Each
+    dimension's scale is the corpus max-|x| for that dimension, so the
+    int8 range is never clipped; q = floor(x/s*127 + 0.5); the audit
+    reports the quantized L2 norm (integer-exact), the max absolute
+    reconstruction error, and the summed squared error in pico units.
+
+    Determinism: the scales are per-dimension MAXes (order-free double
+    compares, no summation), collected once (64 bounded rows — same
+    pattern as embedding_outliers' centroid) and re-emitted as a
+    literal array; q is floor() of one identically-associated double
+    expression in both engines; qnorm sums exact BIGINTs; the error
+    audit sums per-component err^2 scaled to integer picounits
+    (round-to-integer agrees half-up on positives across engines;
+    terms are ~1e6 so the BIGINT sum is exact and order-free) and the
+    column stays a BIGINT — a final mean-divide at sf0.1 produced a
+    6-decimal round TIE the engines split differently, so no float
+    ever leaves the row.
+
+    Scale shape: the scale vector is one {S.DIM}-key map-side-combined
+    aggregate + a bounded driver round-trip; quantization and the
+    audit are map-only array transforms against the literal scales
+    (whole-stage codegen, no shuffle, no UDF) — at 100 TB this is a
+    single scan-shaped pass, and the quantized vectors themselves
+    would be written by the same expression with the audit dropped."""
+    emb = load_sdf(spark, sf_dir, "embeddings")
+    comp = (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("x").cast("double"))).alias("mx"))
+    )
+    scales = [
+        (float(r["mx"]) if r["mx"] and r["mx"] > 0 else 1.0)
+        for r in sorted(comp.collect(), key=lambda r: r["pos"])
+    ]
+    sarr = F.array(*[F.lit(s) for s in scales])
+    pair = F.zip_with(
+        F.col("embedding"), sarr,
+        lambda x, s: F.struct(x.cast("double").alias("x"), s.alias("s")),
+    )
+
+    def _q(p):
+        return F.floor(p["x"] / p["s"] * F.lit(127.0) + F.lit(0.5))
+
+    def _err(p):
+        return p["x"] - _q(p).cast("double") * p["s"] / F.lit(127.0)
+
+    qarr = F.transform(pair, _q)
+    err = F.transform(pair, _err)
+    terms = F.transform(
+        err,
+        lambda e: F.round(e * e * F.lit(1000000000000.0), 0).cast("long"),
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.aggregate(qarr, F.lit(0).cast("long"),
+                    lambda a, v: a + v * v).alias("qnorm"),
+        F.round(F.array_max(F.transform(err, F.abs)), 6).alias("max_abs_err"),
+        F.aggregate(terms, F.lit(0).cast("long"),
+                    lambda a, v: a + v).alias("sse_pico"),
+    )

@@ -167,3 +167,30 @@ def test_kmeans_centroids_bounded_and_stable_ids(spark, sf_dir):
     cents = kmeans_refined_centroids(emb, n_cells=8, n_iter=2)
     assert [c[0] for c in cents] == list(range(8))  # ids stable across rounds
     assert all(len(c[1]) == 64 for c in cents)
+
+
+def test_embed_quantize_numpy_reference(spark, sf_dir):
+    """embed_quantize vs a numpy SQ8 reference: identical q-norms,
+    errors bounded by half a quantization step per dimension."""
+    import numpy as np
+
+    from df_spark.queries.similarity import embed_quantize
+
+    out = {r["vec_id"]: r for r in embed_quantize(spark, sf_dir).collect()}
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    mat = np.array([list(r.embedding) for r in emb], dtype=np.float64)
+    ids = [r.vec_id for r in emb]
+    scales = np.abs(mat).max(axis=0)
+    scales[scales == 0] = 1.0
+    q = np.floor(mat / scales * 127.0 + 0.5)
+    err = mat - q * scales / 127.0
+    assert np.abs(q).max() <= 127  # max-abs scaling never clips
+    for i, vid in enumerate(ids):
+        r = out[vid]
+        assert r["qnorm"] == int((q[i] * q[i]).sum())
+        assert abs(r["max_abs_err"] - np.abs(err[i]).max()) < 1e-6
+        # every per-dim error is at most half a step (s / 254)
+        assert r["max_abs_err"] <= (scales / 254.0).max() + 1e-9
+        # np.round is half-even vs the engine's half-up: allow one
+        # picounit per dimension for tie terms
+        assert abs(r["sse_pico"] - int(np.round(err[i] * err[i] * 1e12).sum())) <= 64
