@@ -1492,6 +1492,162 @@ def _cross_verify(
     (incompatible bit assignments). Single-frame sides mean the
     in-table path never self-joins its own build's slices."""
     prof_n, prof_b = side_new, side_base
+
+    if words:
+        # FUSED CROSS-BANDED VERIFY (r8, in-table bitmap regime): the
+        # same move as minhash_near_dups' fused path — the cross band
+        # join, estimate screen, and popcount verify are all pure
+        # functions of the two bounded side tables, and shipping the
+        # candidate pairs through the JVM join pipeline (bucket join +
+        # distinct + two payload-attaching joins, ~60 columns per pair)
+        # was the cost. Each task re-derives the cross-band buckets it
+        # OWNS from the broadcast minima (lexsort both sides' band
+        # tuples together, split groups, new-side x base-side cross
+        # product per group via grouped-cartesian index arithmetic),
+        # drops pairs sharing an EARLIER band (exact min-band dedup —
+        # no distinct anywhere), then screens + popcount-verifies in
+        # the same array pass. Exactness contract identical to the
+        # fused in-corpus path: only exact integers leave the UDF and
+        # the authoritative round-then-threshold runs JVM-side.
+        # Size-gated like the JVM path below; past the cap (the 100 TB
+        # base corpus) the distributed join pipeline below runs
+        # unchanged.
+        n_new = side_new.count()
+        n_base = side_base.count()
+        per_doc = (len(words) + 1) * 8 + NUM_HASHES * 8 + 56
+        if (n_new + n_base) * per_doc < BROADCAST_BYTES_CAP:
+            import numpy as np
+
+            mcols = [f"m{i}" for i in range(NUM_HASHES)]
+
+            def np_side(side: DataFrame):
+                p = (
+                    side.select(
+                        F.col(id_col), F.col("n_sh"), *words, *mcols)
+                    .toPandas()
+                    .sort_values(id_col)
+                )
+                return (
+                    np.ascontiguousarray(p[id_col].to_numpy(np.int64)),
+                    np.ascontiguousarray(p["n_sh"].to_numpy(np.int64)),
+                    np.ascontiguousarray(
+                        p[list(words)].to_numpy(np.int64)).view(np.uint64),
+                    np.ascontiguousarray(p[mcols].to_numpy(np.int64)),
+                )
+
+            bc = side_new.sparkSession.sparkContext.broadcast(
+                (np_side(side_new), np_side(side_base)))
+            raw_floor = float(min_jaccard) - 1e-6
+            est_floor = int(min_est_matches)
+            par = side_new.sparkSession.sparkContext.defaultParallelism
+            n_parts = max(1, min(par, (n_new + n_base) // 600 + 1))
+            bands, rpb = 4, NUM_HASHES // 4
+
+            def gen(batches):
+                import numpy as np
+                import pyarrow as pa
+
+                (ids_n, nsz_n, w_n, m_n), (ids_b, nsz_b, w_b, m_b) = bc.value
+                nn = len(ids_n)
+                pop8 = np.unpackbits(
+                    np.arange(256, dtype=np.uint8)[:, None], axis=1
+                ).sum(axis=1).astype(np.int64)
+                CHUNK = 1 << 19
+
+                def cross_pairs(pid):
+                    if nn == 0 or len(ids_b) == 0:
+                        return
+                    for band in range(bands):
+                        sl = slice(band * rpb, (band + 1) * rpb)
+                        allm = np.concatenate([m_n[:, sl], m_b[:, sl]])
+                        order = np.lexsort(allm.T[::-1])
+                        srt = allm[order]
+                        brk = np.flatnonzero(
+                            np.any(srt[1:] != srt[:-1], axis=1)) + 1
+                        starts = np.concatenate(([0], brk))
+                        ends = np.concatenate((brk, [len(srt)]))
+                        # new-side members first within each group
+                        gid = np.zeros(len(srt), np.int64)
+                        gid[brk] = 1
+                        gid = np.cumsum(gid)
+                        is_new = order < nn
+                        pos2 = np.lexsort(
+                            (np.where(is_new, 0, 1), gid))
+                        members2 = order[pos2]
+                        csum = np.concatenate(
+                            ([0], np.cumsum(is_new[pos2])))
+                        cn = csum[ends] - csum[starts]
+                        cb = (ends - starts) - cn
+                        key = srt[starts].astype(np.uint64)
+                        hsh = np.full(len(starts), 0xcbf29ce484222325,
+                                      np.uint64)
+                        for j in range(rpb):
+                            hsh = ((hsh ^ key[:, j])
+                                   * np.uint64(0x100000001b3))
+                        sel = (((hsh % np.uint64(n_parts)).astype(np.int64)
+                                == pid) & (cn > 0) & (cb > 0))
+                        st2, gn, gb = starts[sel], cn[sel], cb[sel]
+                        if not len(st2):
+                            continue
+                        off = np.concatenate(([0], np.cumsum(gn * gb)))
+                        total = off[-1]
+                        for c0 in range(0, int(total), CHUNK):
+                            idx = np.arange(
+                                c0, min(c0 + CHUNK, int(total)))
+                            g = np.searchsorted(off, idx, "right") - 1
+                            r = idx - off[g]
+                            A = members2[st2[g] + r // gb[g]]
+                            Bm = members2[
+                                st2[g] + gn[g] + r % gb[g]] - nn
+                            if band:
+                                dup = np.zeros(len(A), bool)
+                                for j in range(band):
+                                    js = slice(j * rpb, (j + 1) * rpb)
+                                    dup |= (m_n[A, js]
+                                            == m_b[Bm, js]).all(axis=1)
+                                A, Bm = A[~dup], Bm[~dup]
+                            if not len(A):
+                                continue
+                            est_np = (m_n[A] == m_b[Bm]).sum(axis=1)
+                            ok = est_np >= est_floor
+                            A, Bm = A[ok], Bm[ok]
+                            if not len(A):
+                                continue
+                            inter = (
+                                pop8[(w_n[A] & w_b[Bm]).view(np.uint8)]
+                                .reshape(len(A), -1)
+                                .sum(axis=1, dtype=np.int64)
+                            )
+                            tot = nsz_n[A] + nsz_b[Bm]
+                            keep = inter >= raw_floor * (tot - inter)
+                            if keep.any():
+                                yield (ids_n[A[keep]], ids_b[Bm[keep]],
+                                       inter[keep], tot[keep])
+
+                for batch in batches:
+                    for pid in batch.column(0).to_numpy(
+                            zero_copy_only=False):
+                        for i_n, i_b, ii, tt in cross_pairs(int(pid)):
+                            yield pa.RecordBatch.from_arrays(
+                                [pa.array(i_n), pa.array(i_b),
+                                 pa.array(ii), pa.array(tt)],
+                                names=["id_new", "id_base", "__i", "__t"],
+                            )
+
+            pre = side_new.sparkSession.range(
+                0, n_parts, 1, numPartitions=n_parts
+            ).mapInArrow(
+                gen, schema="id_new long, id_base long, __i long, __t long")
+            jac = F.round(
+                F.col("__i").cast("double")
+                / (F.col("__t").cast("double")
+                   - F.col("__i").cast("double")),
+                6,
+            )
+            return pre.select(
+                "id_new", "id_base", jac.alias("jaccard")
+            ).filter(F.col("jaccard") >= min_jaccard)
+
     sig_n = minhash_signatures(id_col=id_col, profile=prof_n)
     sig_b = minhash_signatures(id_col=id_col, profile=prof_b)
 
