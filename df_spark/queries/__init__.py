@@ -77,7 +77,12 @@ def register(name: str, sql: str | None = None):
 # driver-green in CORRECTNESS_r07.json. embed_quantize (added later in
 # r8) takes embed_near_dup's slot under the same policy (similarity
 # keeps ann_lsh_topk + embedding_outliers in-window; embed_near_dup is
-# driver-green r7 and stamp-covered).
+# driver-green r7 and stamp-covered), bucketed_join takes
+# jsonl_roundtrip's (sources keep csv_roundtrip + inmem_source_join;
+# jsonl_roundtrip is driver-green in an earlier round and
+# stamp-covered at both SFs this round), and ngram_novelty takes
+# tfidf_top_terms' (text keeps lang_confusion + bigram_lm_score;
+# tfidf_top_terms is driver-green r7 and stamp-covered).
 # (Round-7 rotation history: token_freq, tfidf_top_terms,
 # triangle_counts, copurchase_pairs, source_mix, kll_quantiles,
 # skew_salted_join, simhash, theta_segments, json_agg,
@@ -98,13 +103,13 @@ PRIORITY = [
     "pagerank_parts", "winnow_fingerprints",
     "triangle_counts", "containment_join",
     "bigram_lm_score",
-    "embedding_outliers", "tfidf_top_terms", "lang_confusion",
+    "embedding_outliers", "ngram_novelty", "lang_confusion",
     "last_touch_attribution", "tree_depths",
     "llm_data_pipeline", "source_mix", "mix_rebalance",
     "skew_salted_join",
     "sample_weighted", "pack_sequences",
     "prefix_sim_join", "mv_incremental", "profile_table",
-    "jsonl_roundtrip", "zorder_key", "events_anomaly",
+    "bucketed_join", "zorder_key", "events_anomaly",
     "rollup_hypertable", "sketch_rollup", "variant_stats",
     "bloom_semi_join", "dpp_partition_prune",
     "stream_sessions", "stream_decontaminate",

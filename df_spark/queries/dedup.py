@@ -356,3 +356,82 @@ def containment_join(spark, sf_dir):
     docs = load_sdf(spark, sf_dir, "documents")
     return D.containment_pairs(docs, min_containment=0.8,
                                partition_cols=["source"])
+
+
+@register(
+    "ngram_novelty",
+    sql=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({{sh5}}) AS s FROM documents
+    ),
+    owner AS (
+      SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ),
+    firsts AS (
+      SELECT first_doc AS doc_id, COUNT(*) AS n_first
+      FROM owner GROUP BY first_doc
+    )
+    SELECT p.doc_id,
+           CAST(p.n_sh AS BIGINT) AS n_sh,
+           CAST(COALESCE(f.n_first, 0) AS BIGINT) AS n_first,
+           CAST((1000 * COALESCE(f.n_first, 0)) // p.n_sh AS BIGINT)
+             AS novelty_permille
+    FROM per_doc p LEFT JOIN firsts f ON p.doc_id = f.doc_id
+    """.replace("{sh5}", char_shingles_sql("text", 5)),
+)
+def ngram_novelty(spark, sf_dir):
+    """Per-doc n-gram NOVELTY — how many of a doc's distinct 5-char
+    shingles appear in NO earlier document (first-introduction count by
+    doc_id order). The dataset-curation signal behind "novelty curves":
+    as a corpus saturates, late documents introduce fewer new n-grams,
+    and near-zero-novelty docs are redundancy candidates that per-pair
+    dedup (which compares two docs at a time) structurally misses.
+
+    One shuffle shapes the whole query: shingles aggregate to
+    (shingle → min doc_id), first-introduction counts roll up per doc,
+    and a left join restores zero-novelty docs. Shingle identity rides
+    xxhash64 (the oracle groups raw shingle STRINGS — same distinctness
+    contract as the rarity-prefix family: 64-bit collisions would
+    surface as a driver hash mismatch). All outputs are exact integers;
+    the novelty ratio is emitted as integer permille (floor division —
+    identical in both engines), never as a rounded double.
+
+    100 TB shape: two hash aggregates on uniform keys (shingle hash,
+    then doc id) plus one data-sized join — no windows, no arrays
+    crossing shuffles, map-side partials collapse the hot shingles."""
+    from ..functions.text import normalized
+    from ..operators.partitioning import barrier_width
+
+    k = 5
+    docs = load_sdf(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id", normalized(F.col("text")).alias("__t")
+    ).filter(F.length("__t") >= k)
+    norm = norm.repartition(barrier_width(norm))
+    idx = F.sequence(F.lit(1), F.length("__t") - (k - 1))
+    sh = norm.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(idx, lambda i: F.substring(F.col("__t"), i, k)))
+        ).alias("__s"),
+    ).select("doc_id", F.xxhash64("__s").alias("h"))
+    per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    firsts = (
+        sh.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_first"))
+    )
+    n_first = F.coalesce(F.col("n_first"), F.lit(0)).cast("long")
+    return (
+        per_doc.join(firsts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_sh").cast("long").alias("n_sh"),
+            n_first.alias("n_first"),
+            F.expr("(1000 * coalesce(n_first, 0)) div n_sh")
+            .cast("long").alias("novelty_permille"),
+        )
+    )

@@ -486,3 +486,52 @@ def dpp_partition_prune(spark, sf_dir):
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+@register(
+    "bucketed_join",
+    sql="""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(round(l.l_extendedprice, 2) AS DECIMAL(18, 2)))
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def bucketed_join(spark, sf_dir):
+    """Bucketed-table co-located join — the 100 TB answer to REPEATED
+    fact-fact joins on one key: write both sides ``bucketBy`` the join
+    key once, and every subsequent join on that key runs with ZERO
+    exchanges (the bucket layout satisfies the hash-partitioning
+    requirement on both sides; ``test_bucketed_join_has_no_shuffle``
+    pins the plan). This row drives the full write→bucket-layout→
+    read→join path and checks the VALUES against the plain join on the
+    original parquet, so a bucket-routing bug (a row hashed to the
+    wrong bucket would silently drop from the join) is a hash
+    mismatch, not just a plan-shape change.
+
+    Money sums follow the registry's DECIMAL policy: per-row round to
+    cents, exact DECIMAL accumulation, one final cast.
+    """
+    wh = _scratch("df_spark_bucketed", sf_dir)
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    orders = load_sdf(spark, sf_dir, "orders")
+    li = load_sdf(spark, sf_dir, "lineitem")
+    (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+     .sortBy("o_orderkey").option("path", os.path.join(wh, "orders_b"))
+     .format("parquet").saveAsTable(f"orders_b_{sfx}"))
+    (li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+     .sortBy("l_orderkey").option("path", os.path.join(wh, "lineitem_b"))
+     .format("parquet").saveAsTable(f"lineitem_b_{sfx}"))
+    o = spark.table(f"orders_b_{sfx}")
+    l = spark.table(f"lineitem_b_{sfx}")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.round("l_extendedprice", 2).cast("decimal(18,2)"))
+            .cast("double").alias("revenue"),
+        )
+    )
