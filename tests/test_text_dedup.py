@@ -399,3 +399,31 @@ def test_banded_ngram_jaccard_exact_within_blocks(spark):
     assert out[(1, 2)] == 1.0
     # doc 3 shares no band with 1/2 (different content) -> no pair
     assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_ngram_novelty_duplicate_doc_scores_zero(spark, sf_dir, tmp_path):
+    """A verbatim duplicate of an earlier doc introduces no new
+    shingles: its novelty must be exactly zero, and the first doc of
+    the corpus is all-novel."""
+    import pyspark.sql.functions as F
+
+    from df_spark.queries.dedup import ngram_novelty
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    dup = docs.filter(F.col("doc_id") == 0).withColumn(
+        "doc_id", F.lit(10_000_000))
+    out_dir = str(tmp_path / "docs")
+    docs.unionByName(dup).write.parquet(out_dir)
+
+    class _Dir(str):
+        pass
+
+    # ngram_novelty loads "<sf_dir>/documents.parquet"
+    import os
+    os.makedirs(str(tmp_path / "sf"), exist_ok=True)
+    os.symlink(out_dir, str(tmp_path / "sf" / "documents.parquet"))
+    rows = {r.doc_id: r for r in ngram_novelty(spark, str(tmp_path / "sf")).collect()}
+    assert rows[10_000_000].n_first == 0
+    assert rows[10_000_000].novelty_permille == 0
+    assert rows[0].n_first == rows[0].n_sh  # doc 0 introduces everything
+    assert rows[0].novelty_permille == 1000
