@@ -394,9 +394,10 @@ def embedding_outliers(spark, sf_dir):
     SELECT vec_id, label,
       list_sum(list_transform(qv,
         v -> CAST(v AS BIGINT) * CAST(v AS BIGINT))) AS qnorm,
-      round(list_max(list_transform(generate_series(1, {S.DIM}),
-        i -> ABS(CAST(embedding[i] AS DOUBLE) - qv[i] * svec[i] / 127.0))),
-        6) AS max_abs_err,
+      list_max(list_transform(generate_series(1, {S.DIM}),
+        i -> CAST(round(ABS(CAST(embedding[i] AS DOUBLE)
+                            - qv[i] * svec[i] / 127.0)
+                        * 1000000000000.0, 0) AS BIGINT))) AS max_abs_err_pico,
       list_sum(list_transform(generate_series(1, {S.DIM}),
         i -> CAST(round((CAST(embedding[i] AS DOUBLE) - qv[i] * svec[i] / 127.0)
                         * (CAST(embedding[i] AS DOUBLE) - qv[i] * svec[i] / 127.0)
@@ -412,7 +413,8 @@ def embed_quantize(spark, sf_dir):
     dimension's scale is the corpus max-|x| for that dimension, so the
     int8 range is never clipped; q = floor(x/s*127 + 0.5); the audit
     reports the quantized L2 norm (integer-exact), the max absolute
-    reconstruction error, and the summed squared error in pico units.
+    reconstruction error in integer picounits, and the summed squared
+    error in pico units.
 
     Determinism: the scales are per-dimension MAXes (order-free double
     compares, no summation), collected once (64 bounded rows — same
@@ -423,8 +425,12 @@ def embed_quantize(spark, sf_dir):
     (round-to-integer agrees half-up on positives across engines;
     terms are ~1e6 so the BIGINT sum is exact and order-free) and the
     column stays a BIGINT — a final mean-divide at sf0.1 produced a
-    6-decimal round TIE the engines split differently, so no float
-    ever leaves the row.
+    6-decimal round TIE the engines split differently. max_abs_err is
+    likewise emitted as per-component round(|err|*1e12)->BIGINT then
+    MAX (integer max is order-free): the r8 driver hash split a
+    round(max, 6) 6-decimal tie that the local DuckDB build did not,
+    so NO float ever leaves the row — every output column is BIGINT
+    or a pass-through key.
 
     Scale shape: the scale vector is one {S.DIM}-key map-side-combined
     aggregate + a bounded driver round-trip; quantization and the
@@ -465,7 +471,13 @@ def embed_quantize(spark, sf_dir):
         "label",
         F.aggregate(qarr, F.lit(0).cast("long"),
                     lambda a, v: a + v * v).alias("qnorm"),
-        F.round(F.array_max(F.transform(err, F.abs)), 6).alias("max_abs_err"),
+        F.array_max(
+            F.transform(
+                err,
+                lambda e: F.round(F.abs(e) * F.lit(1000000000000.0), 0)
+                .cast("long"),
+            )
+        ).alias("max_abs_err_pico"),
         F.aggregate(terms, F.lit(0).cast("long"),
                     lambda a, v: a + v).alias("sse_pico"),
     )

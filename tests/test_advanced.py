@@ -188,9 +188,10 @@ def test_embed_quantize_numpy_reference(spark, sf_dir):
     for i, vid in enumerate(ids):
         r = out[vid]
         assert r["qnorm"] == int((q[i] * q[i]).sum())
-        assert abs(r["max_abs_err"] - np.abs(err[i]).max()) < 1e-6
+        # half-up vs numpy half-even: allow one picounit on the max
+        assert abs(r["max_abs_err_pico"] - np.abs(err[i]).max() * 1e12) <= 1.0
         # every per-dim error is at most half a step (s / 254)
-        assert r["max_abs_err"] <= (scales / 254.0).max() + 1e-9
+        assert r["max_abs_err_pico"] <= (scales / 254.0).max() * 1e12 + 1.0
         # np.round is half-even vs the engine's half-up: allow one
         # picounit per dimension for tie terms
         assert abs(r["sse_pico"] - int(np.round(err[i] * err[i] * 1e12).sum())) <= 64
