@@ -83,36 +83,63 @@ def register(name: str, sql: str | None = None):
 # stamp-covered at both SFs this round), and ngram_novelty takes
 # tfidf_top_terms' (text keeps lang_confusion + bigram_lm_score;
 # tfidf_top_terms is driver-green r7 and stamp-covered).
-# (Round-7 rotation history: token_freq, tfidf_top_terms,
-# triangle_counts, copurchase_pairs, source_mix, kll_quantiles,
-# skew_salted_join, simhash, theta_segments, json_agg,
-# stream_tumbling_hourly, stream_click_attribution in — all green in
-# CORRECTNESS_r07.json. Round-6: doc_rarity, bm25_rank,
-# cohort_retention, events_gapfill, winnow_fingerprints, ohlc_bars,
-# dup_span_stats in — all green in CORRECTNESS_r06.json.)
+# Round-9 rotation (judge directive #2): 12 long-green members of
+# multiply-represented families rotated out — set_ops, join_full_outer
+# (join_inner + union_distinct keep the join/set families),
+# minhash_near_dups, cross_near_dups (dedup keeps dedup_exact,
+# dedup_clusters, winnow_fingerprints, prefix_sim_join,
+# containment_join), interval_overlap_join (asof_join_events +
+# range_join_bands keep the range family), triangle_counts
+# (pagerank_parts keeps graph), source_mix + sample_weighted
+# (mix_rebalance + pack_sequences + incoming sample_bernoulli keep
+# sampling/mixing), skew_salted_join + zorder_key (bucketed_join +
+# dpp_partition_prune keep the layout/join-strategy family),
+# sketch_rollup (variant_stats + rollup_hypertable stay),
+# events_anomaly (incoming events_funnel keeps events) — all 12 are
+# driver-green in CORRECTNESS_r08.json. In their place, 12 names that
+# had NEVER had a driver hash row: stream_dedup, stream_user_profiles,
+# grouped_zscore, knn_classify, mime_sniff, orc_roundtrip,
+# parquet_partitioned_sink, window_distribution, events_funnel,
+# unpivot_metrics, sample_bernoulli, q7_nation_volume.
+# embed_quantize stays in-window: its max_abs_err column was rewritten
+# to integer picounits this round and the driver hash row is the proof
+# (the one red row on the r8 board).
+# (Round-8 rotation history: cross_near_dups, stream_sessions,
+# stream_decontaminate, bloom_semi_join, dpp_partition_prune,
+# mix_rebalance, lang_confusion, inmem_source_join, set_ops,
+# join_full_outer, sample_weighted, pack_sequences + the six late-r8
+# operator adds in — 49/50 green in CORRECTNESS_r08.json. Round-7:
+# token_freq, tfidf_top_terms, triangle_counts, copurchase_pairs,
+# source_mix, kll_quantiles, skew_salted_join, simhash,
+# theta_segments, json_agg, stream_tumbling_hourly,
+# stream_click_attribution in — all green in CORRECTNESS_r07.json.
+# Round-6: doc_rarity, bm25_rank, cohort_retention, events_gapfill,
+# winnow_fingerprints, ohlc_bars, dup_span_stats in — all green in
+# CORRECTNESS_r06.json.)
 PRIORITY = [
     "q1_pricing_summary",
     "filter_predicates", "select_arith", "orderby_limit", "group_collect",
-    "join_inner", "join_full_outer", "set_ops",
+    "join_inner",
     "union_distinct", "csv_roundtrip", "inmem_source_join",
-    "dedup_exact", "minhash_near_dups", "dedup_clusters",
-    "cross_near_dups",
-    "interval_overlap_join", "ann_lsh_topk",
-    "embed_quantize", "cdc_scd2",
+    "orc_roundtrip", "parquet_partitioned_sink",
+    "dedup_exact", "dedup_clusters",
+    "winnow_fingerprints", "prefix_sim_join", "containment_join",
+    "ann_lsh_topk", "embed_quantize", "knn_classify",
+    "cdc_scd2",
     "asof_join_events", "range_join_bands",
-    "pagerank_parts", "winnow_fingerprints",
-    "triangle_counts", "containment_join",
+    "pagerank_parts",
     "bigram_lm_score",
     "embedding_outliers", "ngram_novelty", "lang_confusion",
     "last_touch_attribution", "tree_depths",
-    "llm_data_pipeline", "source_mix", "mix_rebalance",
-    "skew_salted_join",
-    "sample_weighted", "pack_sequences",
-    "prefix_sim_join", "mv_incremental", "profile_table",
-    "bucketed_join", "zorder_key", "events_anomaly",
-    "rollup_hypertable", "sketch_rollup", "variant_stats",
-    "bloom_semi_join", "dpp_partition_prune",
+    "grouped_zscore", "window_distribution", "events_funnel",
+    "llm_data_pipeline", "mix_rebalance",
+    "sample_bernoulli", "pack_sequences",
+    "mv_incremental", "profile_table", "unpivot_metrics",
+    "bucketed_join", "dpp_partition_prune", "bloom_semi_join",
+    "rollup_hypertable", "variant_stats",
+    "mime_sniff", "q7_nation_volume",
     "stream_sessions", "stream_decontaminate",
+    "stream_dedup", "stream_user_profiles",
 ]
 
 
