@@ -85,9 +85,16 @@ def stream_decontaminate(spark, sf_dir):
     bench = docs.filter(F.expr("doc_id % 20 = 0"))
     stream = SW.read_documents_stream(spark, sf_dir).filter(
         F.expr("NOT (doc_id % 20 = 0)"))
+    # 2 state partitions: the stateful aggregate holds one counter per
+    # contaminated doc (~5k at sf0.1) — per-store commit overhead beats
+    # any parallelism 8 partitions would buy; the shingle/hash probe
+    # work is spread by the stateless repartition inside
+    # decontaminate_stream, not by the state partitioning. Complete
+    # mode runs no no-data batch (no watermark), so that knob is moot
+    # here.
     _, out = SW.run_stream_to_memory(
         SW.decontaminate_stream(stream, bench, min_shared=25),
-        output_mode="complete", state_partitions=8,
+        output_mode="complete", state_partitions=2,
     )
     return out
 
@@ -131,8 +138,18 @@ def stream_click_attribution(spark, sf_dir):
         stream.filter(F.col("event_type") == "click"),
         stream.filter(F.col("event_type") == "purchase"),
     )
+    # 2 state partitions: a stream-stream join keeps FOUR state stores
+    # per partition, and per-store commit overhead — not the 200k-row
+    # probe — dominates this bounded drain (8 partitions = 32 store
+    # commits per batch; the driver-host wall tracked store count, not
+    # data). The no-data batch is skipped: inner joins emit matches on
+    # arrival, so the trailing empty batch only paid a second full
+    # round of state commits. On a real cluster sizing state
+    # partitions to stateful-key cardinality is the same deliberate
+    # call (frozen by the first checkpoint).
     _, out = SW.run_stream_to_memory(joined, output_mode="append",
-                                     state_partitions=8)
+                                     state_partitions=2,
+                                     no_data_batch=False)
     return out.select(
         "user_id", "click_id", "purchase_id",
         F.unix_micros("click_ts").alias("click_us"),

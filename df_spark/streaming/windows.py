@@ -123,7 +123,7 @@ def dedup_stream(
 
 def run_stream_to_memory(
     agg: DataFrame, output_mode: str = "append", name: str | None = None,
-    state_partitions: int | None = None,
+    state_partitions: int | None = None, no_data_batch: bool = True,
 ) -> tuple[str, "DataFrame"]:
     """Drive a bounded stream to completion into an in-memory table;
     returns (table_name, result DataFrame). Test/smoke harness only.
@@ -139,6 +139,18 @@ def run_stream_to_memory(
     sized to stateful-key cardinality deliberately rather than
     inherited from the batch shuffle default.
 
+    ``no_data_batch=False`` turns off the extra empty micro-batch Spark
+    runs after the data drains to advance the watermark
+    (``spark.sql.streaming.noDataMicroBatches.enabled``). That batch is
+    what EMITS closed windows for append-mode aggregates and fires
+    state timeouts — it must stay on for those — but an INNER
+    stream-stream join emits every match the moment it is found and
+    only uses the no-data batch for state eviction, which is pointless
+    on the last trigger of a bounded drain. Skipping it removes one
+    full round of per-partition state-store commits (measured at
+    sf0.1: the empty batch costs ~1.2 s of the join's 3.5 s wall
+    locally, and scales with store count on a loaded host).
+
     NOT thread-safe: the override mutates the session-global conf for
     the duration of the drain, so a batch query planned concurrently on
     the same SparkSession would inherit the reduced partition count.
@@ -146,9 +158,13 @@ def run_stream_to_memory(
     dedicated session (``spark.newSession()``) per stream."""
     name = name or f"stream_out_{uuid.uuid4().hex[:8]}"
     spark = agg.sparkSession
+    _NDB = "spark.sql.streaming.noDataMicroBatches.enabled"
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    old_ndb = spark.conf.get(_NDB)
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if not no_data_batch:
+        spark.conf.set(_NDB, "false")
     try:
         q = (
             agg.writeStream.outputMode(output_mode)
@@ -163,6 +179,8 @@ def run_stream_to_memory(
         # conf when planning batches, not at .start()
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old)
+        if not no_data_batch:
+            spark.conf.set(_NDB, old_ndb)
     return name, spark.sql(f"SELECT * FROM {name}")
 
 
