@@ -7,7 +7,9 @@ UDF signature, batch shape. The codec step decodes uncompressed
 24-bit BMP, 8-bit truecolor PNG (zlib inflate + scanline unfilter),
 GIF87a/89a first frames (LZW + palette), and 16-bit PCM WAV
 end-to-end in pure stdlib (real dimensions / duration / signal
-stats — see ``_decode_real``); every other format
+stats — see ``_decode_real``); JPEG parses the SOF0/1/2 frame header
+for real dimensions/components (metadata-only, no IDCT — the channel
+means carry a -1.0 sentinel); every other format
 raises the documented NotImplementedError (this container has no
 PIL/librosa/ffmpeg), with ``decode_stub`` as the deterministic fake
 for pipeline tests. Swapping in real libraries means changing only
@@ -338,16 +340,79 @@ def _decode_wav(payload: bytes) -> list[float]:
     ]
 
 
+def _decode_jpeg(payload: bytes) -> list[float]:
+    """Metadata-only JPEG parse: walk the marker segments to the frame
+    header (SOF0 baseline / SOF1 extended / SOF2 progressive) and
+    report real dimensions, component count, and sample precision —
+    no entropy decode or IDCT, so the channel-mean slots carry the
+    -1.0 meta-only sentinel instead of fabricated pixel stats (the
+    honesty contract: dims are parsed, means are not). Lossless /
+    arithmetic-coded SOFs (3, 5-7, 9-15) and streams whose scan starts
+    before any frame header raise the documented NotImplementedError.
+    """
+    import struct
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG payload")
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise NotImplementedError(f"corrupt JPEG marker stream at {i}")
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone marker, no length
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        seg_len = struct.unpack_from(">H", payload, i + 2)[0]
+        if seg_len < 2 or i + 2 + seg_len > len(payload):
+            raise NotImplementedError("truncated JPEG segment")
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+            if seg_len < 8:
+                raise NotImplementedError("truncated JPEG frame header")
+            precision = payload[i + 4]
+            height, width = struct.unpack_from(">HH", payload, i + 5)
+            n_comp = payload[i + 9]
+            if width == 0 or height == 0 or n_comp == 0:
+                raise NotImplementedError(
+                    f"degenerate JPEG dimensions {width}x{height} "
+                    f"({n_comp} components)"
+                )
+            return [
+                float(width), float(height),
+                -1.0, -1.0, -1.0,  # channel means: meta-only sentinel
+                float(width) / float(height),
+                float(precision * n_comp),  # bits per pixel
+                1.0,  # modality tag: image
+            ]
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                      0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"unsupported JPEG frame type SOF{marker - 0xC0} "
+                "(lossless/arithmetic)"
+            )
+        if marker == 0xDA:  # SOS before any SOF: not a decodable frame
+            break
+        i += 2 + seg_len
+    raise NotImplementedError("no JPEG frame header (SOF) found")
+
+
 def _decode_real(kind: str, payload: bytes) -> list[float]:
     """Real codec dispatch, pure stdlib: uncompressed 24-bit BMP and
     16-bit PCM WAV decode end-to-end (dimensions / duration / signal
-    stats); every other format still raises — PIL/librosa/ffmpeg are
+    stats); JPEG parses frame-header metadata (dims/components, no
+    IDCT); every other format still raises — PIL/librosa/ffmpeg are
     not in this container, and the error path is part of the tested
     contract (reference has no multimodal surface; this is the
     Spark-native extension)."""
     payload = payload or b""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):

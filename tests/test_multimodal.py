@@ -318,6 +318,67 @@ def test_gif_unsupported_variants_raise():
         M._decode_gif(b"NOTGIF00")
 
 
+def _jpeg_bytes(width, height, n_comp=3, precision=8, sof=0xC0,
+                progressive_junk=True):
+    """Minimal structurally-valid JPEG up to the frame header: SOI,
+    APP0/JFIF, a DQT segment, then SOFn — enough for the metadata
+    parse (no scan data needed)."""
+    import struct
+
+    app0 = (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x01\x01"
+            + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64)
+    comps = b"".join(
+        struct.pack("BBB", cid + 1, 0x11 if cid else 0x22, 0)
+        for cid in range(n_comp)
+    )
+    sof_seg = bytes([0xFF, sof]) + struct.pack(
+        ">HBHHB", 8 + 3 * n_comp, precision, height, width, n_comp) + comps
+    junk = dqt if progressive_junk else b""
+    return b"\xff\xd8" + app0 + junk + sof_seg + b"\xff\xd9"
+
+
+def test_real_codec_decodes_jpeg_metadata(spark):
+    """JPEG frame-header parse through the distributed featurizer:
+    real dimensions / bits-per-pixel from SOF0 (baseline) and SOF2
+    (progressive); channel means carry the -1.0 meta-only sentinel —
+    the documented no-IDCT honesty contract."""
+    rows = [
+        (1, "image", _jpeg_bytes(640, 480), "fixture"),
+        (2, "image", _jpeg_bytes(31, 17, sof=0xC2), "fixture"),  # progressive
+        (3, "image", _jpeg_bytes(12, 12, n_comp=1), "fixture"),  # grayscale
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, source string")
+    feats = {r.media_id: r.feature for r in M.featurize(df, use_stub=False).collect()}
+    assert feats[1][:2] == [640.0, 480.0]
+    assert feats[1][2:5] == [-1.0, -1.0, -1.0]
+    assert feats[1][6] == 24.0 and feats[1][7] == 1.0
+    assert feats[2][:2] == [31.0, 17.0]
+    assert abs(feats[2][5] - 31.0 / 17.0) < 1e-6
+    assert feats[3][:2] == [12.0, 12.0] and feats[3][6] == 8.0
+
+
+def test_jpeg_unsupported_variants_raise():
+    # lossless SOF3 stays an explicit NotImplementedError
+    with pytest.raises(NotImplementedError, match="SOF3"):
+        M._decode_jpeg(_jpeg_bytes(8, 8, sof=0xC3))
+    # arithmetic-coded progressive SOF10
+    with pytest.raises(NotImplementedError, match="SOF10"):
+        M._decode_jpeg(_jpeg_bytes(8, 8, sof=0xCA))
+    # EOI before any SOF
+    with pytest.raises(NotImplementedError, match="no JPEG frame header"):
+        M._decode_jpeg(b"\xff\xd8\xff\xd9")
+    # truncated segment length
+    with pytest.raises(NotImplementedError, match="truncated"):
+        M._decode_jpeg(b"\xff\xd8\xff\xe0\xff\xff")
+    # degenerate zero-width frame
+    with pytest.raises(NotImplementedError, match="degenerate"):
+        M._decode_jpeg(_jpeg_bytes(0, 8))
+    with pytest.raises(NotImplementedError, match="not a JPEG"):
+        M._decode_jpeg(b"NOPE")
+
+
 def test_real_codec_unknown_format_still_raises(spark):
     df = spark.createDataFrame(
         [(1, "video", b"\x00\x01\x02\x03mpeg?", "fixture")],
