@@ -104,6 +104,19 @@ def register(name: str, sql: str | None = None):
 # embed_quantize stays in-window: its max_abs_err column was rewritten
 # to integer picounits this round and the driver hash row is the proof
 # (the one red row on the r8 board).
+# Late-r9 amendment: the SEVEN operators added this round
+# (ngram_repetition, fuzzy_name_join, events_debounce,
+# seasonality_profile, parquet_schema_evolution,
+# jsonl_corrupt_quarantine, retention_sweep) take the slots of seven
+# r8-green rows whose families stay represented — range_join_bands
+# (asof_join_events keeps the range family), lang_confusion +
+# ngram_novelty (text keeps bigram_lm_score, doc_repetition, and the
+# incoming ngram_repetition), embedding_outliers (similarity keeps ann_lsh_topk,
+# embed_quantize, knn_classify), last_touch_attribution (analytics
+# keeps grouped_zscore, window_distribution, unpivot_metrics),
+# profile_table (governance keeps mime_sniff + incoming
+# retention_sweep), cdc_scd2 (mv_incremental keeps the CDC/MV
+# family) — new operators get a driver hash row in their first round.
 # (Round-8 rotation history: cross_near_dups, stream_sessions,
 # stream_decontaminate, bloom_semi_join, dpp_partition_prune,
 # mix_rebalance, lang_confusion, inmem_source_join, set_ops,
@@ -122,22 +135,23 @@ PRIORITY = [
     "join_inner",
     "union_distinct", "csv_roundtrip", "inmem_source_join",
     "orc_roundtrip", "parquet_partitioned_sink",
+    "parquet_schema_evolution", "jsonl_corrupt_quarantine",
     "dedup_exact", "dedup_clusters",
     "winnow_fingerprints", "prefix_sim_join", "containment_join",
+    "fuzzy_name_join",
     "ann_lsh_topk", "embed_quantize", "knn_classify",
-    "cdc_scd2",
-    "asof_join_events", "range_join_bands",
+    "asof_join_events",
     "pagerank_parts",
-    "bigram_lm_score",
-    "embedding_outliers", "ngram_novelty", "lang_confusion",
-    "last_touch_attribution", "tree_depths",
+    "bigram_lm_score", "ngram_repetition",
+    "tree_depths",
     "grouped_zscore", "window_distribution", "events_funnel",
+    "events_debounce", "seasonality_profile",
     "llm_data_pipeline", "mix_rebalance",
     "sample_bernoulli", "pack_sequences",
-    "mv_incremental", "profile_table", "unpivot_metrics",
+    "mv_incremental", "unpivot_metrics",
     "bucketed_join", "dpp_partition_prune", "bloom_semi_join",
     "rollup_hypertable", "variant_stats",
-    "mime_sniff", "q7_nation_volume",
+    "mime_sniff", "retention_sweep", "q7_nation_volume",
     "stream_sessions", "stream_decontaminate",
     "stream_dedup", "stream_user_profiles",
 ]

@@ -435,3 +435,64 @@ def ngram_novelty(spark, sf_dir):
             .cast("long").alias("novelty_permille"),
         )
     )
+
+
+@register(
+    "fuzzy_name_join",
+    sql="""
+    WITH names AS (
+      SELECT p_name AS nm, COUNT(*) AS n_parts FROM part GROUP BY 1
+    ),
+    blk AS (
+      SELECT nm, n_parts, string_split(nm, ' ')[-1] AS b FROM names
+    )
+    SELECT a.nm AS name_a, b.nm AS name_b,
+           levenshtein(a.nm, b.nm)::BIGINT AS dist,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM blk a JOIN blk b ON a.b = b.b AND a.nm < b.nm
+    WHERE levenshtein(a.nm, b.nm) <= 2
+    """,
+)
+def fuzzy_name_join(spark, sf_dir):
+    """Blocked fuzzy entity resolution: near-identical part names
+    (edit distance <= 2) found by BLOCKING on the name's last token
+    and verifying candidates with JVM-side levenshtein — the standard
+    record-linkage shape (block -> candidate equi-join -> exact
+    verify) that turns an O(n^2) string comparison into an equi-join
+    whose candidate count is sum of per-block squares.
+
+    Scale shape: matching runs on the DISTINCT-name relation (an
+    aggregate that collapses row count to vocabulary size — names
+    repeat heavily in any real catalog), so the quadratic term is
+    per-block distinct names, not rows; per-name frequencies ride
+    along and the verify is a whole-stage-codegen levenshtein, no
+    UDF. A skewed block (one dominant last token) is the documented
+    failure mode; the fix at 100 TB is a second blocking key (length
+    band), same plan shape. Both keys kept + `nm_a < nm_b` dedups the
+    symmetric pair exactly like the reference's join-key contract
+    (src/schema.rs:69-75 keeps both sides)."""
+    parts = load_sdf(spark, sf_dir, "part")
+    names = parts.groupBy(F.col("p_name").alias("nm")).agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    blk = names.select(
+        "nm", "n_parts", F.element_at(F.split("nm", " "), -1).alias("b")
+    )
+    a = blk.select(
+        F.col("nm").alias("name_a"), F.col("n_parts").alias("n_parts_a"),
+        F.col("b"),
+    )
+    bb = blk.select(
+        F.col("nm").alias("name_b"), F.col("n_parts").alias("n_parts_b"),
+        F.col("b"),
+    )
+    return (
+        a.join(bb, "b")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 2)
+        .select(
+            "name_a", "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+            "n_parts_a", "n_parts_b",
+        )
+    )

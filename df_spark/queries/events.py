@@ -554,3 +554,87 @@ def ohlc_bars(spark, sf_dir):
             "volume",
         )
     )
+
+
+@register(
+    "events_debounce",
+    sql="""
+    WITH o AS (
+      SELECT event_type,
+             CAST(ts AS TIMESTAMP) AS ts,
+             LAG(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+      FROM events
+    )
+    SELECT event_type,
+           SUM(CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 6 HOUR
+                    THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           SUM(CASE WHEN prev IS NOT NULL AND ts - prev < INTERVAL 6 HOUR
+                    THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+    FROM o GROUP BY event_type
+    """,
+)
+def events_debounce(spark, sf_dir):
+    """Debounce / event-throttling: within each (user, event_type)
+    stream, an event arriving less than 6 hours after its predecessor
+    is a bounce (retry storms, double-clicks, duplicate webhooks at
+    production scale) — report kept vs dropped per type. The rule
+    compares to the previous RAW event (pure lag), so it is one window
+    pass, not a stateful scan; the streaming twin of the concept is
+    ``dropDuplicatesWithinWatermark`` (`stream_dedup`), which debounces
+    on exact key instead of time gap. Ordering ties broken by
+    event_id so both engines see identical lag frames.
+
+    Scale shape: one shuffle on (user_id, event_type) — the same
+    partitioning every per-user window op in this file reuses — then a
+    type-keyed re-aggregate over 5 keys. No skew risk: the window key
+    includes user_id."""
+    from pyspark.sql import Window as W
+
+    ev = load_sdf(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type", "ts", F.lag("ts").over(w).alias("prev")
+    )
+    gap_ok = F.col("prev").isNull() | (
+        F.unix_micros("ts") - F.unix_micros("prev") >= 6 * 3600 * 1_000_000
+    )
+    return o.groupBy("event_type").agg(
+        F.sum(F.when(gap_ok, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(gap_ok, 0).otherwise(1)).cast("long").alias("n_dropped"),
+    )
+
+
+@register(
+    "seasonality_profile",
+    sql="""
+    SELECT isodow(CAST(ts AS TIMESTAMP))::BIGINT AS dow,
+           hour(CAST(ts AS TIMESTAMP))::BIGINT AS hod,
+           COUNT(*)::BIGINT AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def seasonality_profile(spark, sf_dir):
+    """Seasonality profile: event volume and value by (ISO day-of-week,
+    hour-of-day) — the capacity-planning / anomaly-baseline aggregate
+    every event pipeline maintains (the divisor behind "traffic is 3x
+    its Tuesday-10am norm"). Spark's ``weekday()+1`` equals DuckDB's
+    ``isodow`` (1=Monday..7=Sunday) — ``dayofweek`` does NOT line up
+    across engines (Spark 1=Sunday, DuckDB 0=Sunday), which is the
+    kind of calendar-convention trap this oracle row pins. Value sums
+    follow the DECIMAL policy.
+
+    Scale shape: single hash aggregate onto at most 168 keys,
+    map-side combined — scan-bound at any corpus size."""
+    ev = load_sdf(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.weekday("ts") + 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+        .alias("total_value"),
+    )

@@ -121,3 +121,60 @@ def mime_sniff(spark, sf_dir):
         expr.alias("detected"),
         F.length("payload").cast("long").alias("n_bytes"),
     )
+
+
+# retention policy dim: days of history kept per event class (the
+# bounded config table a real pipeline stores beside the data)
+_RETENTION_DAYS = [("click", 7), ("view", 3), ("purchase", 30),
+                   ("signup", 30), ("error", 14)]
+
+
+@register(
+    "retention_sweep",
+    sql=f"""
+    WITH pol(event_type, keep_days) AS (
+      VALUES {', '.join(f"('{t}', {d})" for t, d in _RETENTION_DAYS)}
+    ),
+    mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mt FROM events)
+    SELECT e.event_type,
+           SUM(CASE WHEN CAST(e.ts AS TIMESTAMP)
+                         >= mx.mt - to_days(p.keep_days)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           SUM(CASE WHEN CAST(e.ts AS TIMESTAMP)
+                         < mx.mt - to_days(p.keep_days)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_expired,
+           epoch_us(MIN(CASE WHEN CAST(e.ts AS TIMESTAMP)
+                                  >= mx.mt - to_days(p.keep_days)
+                             THEN CAST(e.ts AS TIMESTAMP) END))
+             AS oldest_kept_us
+    FROM events e JOIN pol p USING (event_type), mx
+    GROUP BY e.event_type
+    """,
+)
+def retention_sweep(spark, sf_dir):
+    """TTL / retention enforcement audit: each event class keeps a
+    different history horizon (policy dim), the cutoff is anchored at
+    the corpus max event time, and the sweep reports kept vs expired
+    counts plus the oldest surviving timestamp per class — the
+    dry-run every GDPR/TTL delete job emits before destructive
+    compaction. The policy rides a broadcast join (bounded dim); the
+    cutoff scalar is one bounded aggregate; interval arithmetic stays
+    in exact microseconds on both engines (no ms flooring needed —
+    this is batch, not a streaming watermark).
+
+    Scale shape at 100 TB: the expired predicate is partition-prunable
+    when the table is date-partitioned (the production layout), so the
+    sweep reads only boundary partitions; here it is one scan + one
+    5-key aggregate."""
+    from ..sources.tables import load_sdf as _load
+    ev = _load(spark, sf_dir, "events")
+    mt = ev.agg(F.max("ts")).collect()[0][0]  # bounded scalar
+    pol = spark.createDataFrame(_RETENTION_DAYS, "event_type string, keep_days int")
+    cutoff = F.lit(mt) - F.col("keep_days") * F.expr("INTERVAL 1 DAY")
+    j = ev.join(F.broadcast(pol), "event_type")
+    kept = F.col("ts") >= cutoff
+    return j.groupBy("event_type").agg(
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, 0).otherwise(1)).cast("long").alias("n_expired"),
+        F.unix_micros(F.min(F.when(kept, F.col("ts")))).alias("oldest_kept_us"),
+    )

@@ -568,3 +568,102 @@ def bucketed_join(spark, sf_dir):
             .cast("double").alias("revenue"),
         )
     )
+
+
+@register(
+    "parquet_schema_evolution",
+    sql="""
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                ELSE o_orderstatus END AS o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def parquet_schema_evolution(spark, sf_dir):
+    """Schema evolution on read: half the orders are written with the
+    v1 schema (key, price), half with v2 (key, price, + status), into
+    sibling directories; ``mergeSchema`` reads the union — v1 rows
+    surface the added column as NULL, exactly the lake contract when a
+    pipeline adds a column mid-history. The aggregate groups by the
+    (nullable) evolved column, so a type-widening or column-alignment
+    bug in the merged read is a value/hash mismatch against the oracle
+    computed from the unsplit original.
+
+    Scale shape: schema merge is a FOOTER-only planning step
+    (``mergeSchema`` reads metadata, not data); the scan itself stays
+    pushdown/pruning-capable per file. At 100 TB the guidance stands:
+    merge at write time into the table schema, keep read-merge for
+    heterogeneous history."""
+    out = _scratch("df_spark_schema_evo", sf_dir)
+    orders = load_sdf(spark, sf_dir, "orders")
+    (orders.filter(F.col("o_orderkey") % 2 == 0)
+     .select("o_orderkey", "o_totalprice")
+     .write.mode("overwrite").parquet(os.path.join(out, "v=1")))
+    (orders.filter(F.col("o_orderkey") % 2 == 1)
+     .select("o_orderkey", "o_totalprice", "o_orderstatus")
+     .write.mode("overwrite").parquet(os.path.join(out, "v=2")))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "v=1"), os.path.join(out, "v=2"))
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        .alias("sum_total"),
+    )
+
+
+@register(
+    "jsonl_corrupt_quarantine",
+    sql="""
+    SELECT COUNT(CASE WHEN o_orderkey % 13 <> 0 THEN 1 END) AS n_valid,
+           COUNT(CASE WHEN o_orderkey % 13 = 0 THEN 1 END) AS n_corrupt,
+           CAST(SUM(CASE WHEN o_orderkey % 13 <> 0
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS valid_total
+    FROM orders
+    """,
+)
+def jsonl_corrupt_quarantine(spark, sf_dir):
+    """Malformed-record quarantine on a JSONL source: every 13th order
+    is written TRUNCATED (invalid JSON), the read runs PERMISSIVE with
+    ``columnNameOfCorruptRecord`` — corrupt lines land in the
+    quarantine column with NULL data fields instead of failing the
+    job, the dead-letter-queue contract of lake ingestion. The output
+    audits the split (valid/corrupt counts + value total over valid
+    rows) against an oracle that applies the corruption rule to the
+    original table, so a parser that silently salvages or drops a
+    line is a hash mismatch.
+
+    Scale shape: line-delimited JSON splits by newline, so the
+    PERMISSIVE parse is embarrassingly parallel; the audit is a
+    global single-key aggregate. At 100 TB corrupt rows would be
+    routed to a quarantine sink via the same column, not collected."""
+    out = _scratch("df_spark_jsonl_corrupt", sf_dir)
+    orders = load_sdf(spark, sf_dir, "orders")
+    line = F.to_json(F.struct("o_orderkey", "o_orderstatus", "o_totalprice"))
+    corrupted = F.when(
+        F.col("o_orderkey") % 13 == 0,
+        F.substring(line, 1, F.length(line) - F.lit(6)),
+    ).otherwise(line)
+    orders.select(corrupted.alias("value")).write.mode("overwrite").text(out)
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("_quarantine", T.StringType()),
+    ])
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_quarantine")
+        .json(out)
+    )
+    return back.agg(
+        F.count(F.when(F.col("_quarantine").isNull(), 1)).alias("n_valid"),
+        F.count(F.when(F.col("_quarantine").isNotNull(), 1)).alias("n_corrupt"),
+        F.sum(F.when(F.col("_quarantine").isNull(),
+                     F.col("o_totalprice").cast("decimal(18,2)")))
+        .cast("double").alias("valid_total"),
+    )

@@ -381,3 +381,96 @@ def token_len_histogram(spark, sf_dir):
         "n_docs", "total_tokens",
         F.sum("n_docs").over(w).cast("long").alias("cum_docs"),
     )
+
+
+@register(
+    "ngram_repetition",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    big AS (
+      SELECT doc_id, u.bg
+      FROM tok, UNNEST(list_transform(generate_series(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i + 1])) AS u(bg)
+      WHERE len(w) >= 2
+    ),
+    bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY 1, 2),
+    bstat AS (
+      SELECT doc_id, (1000 * MAX(c)) // SUM(c) AS top_bigram_permille
+      FROM bc GROUP BY doc_id
+    ),
+    four AS (
+      SELECT doc_id, u.fg
+      FROM tok, UNNEST(list_transform(generate_series(1, len(w) - 3),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+           AS u(fg)
+      WHERE len(w) >= 4
+    ),
+    fc AS (SELECT doc_id, fg, COUNT(*) AS c FROM four GROUP BY 1, 2),
+    fstat AS (
+      SELECT doc_id, (1000 * SUM(c - 1)) // SUM(c) AS dup_fourgram_permille
+      FROM fc GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(w)::BIGINT AS n_words,
+           (1000 * len(list_distinct(w))) // len(w) AS uniq_word_permille,
+           b.top_bigram_permille,
+           f.dup_fourgram_permille
+    FROM tok t JOIN bstat b USING (doc_id) JOIN fstat f USING (doc_id)
+    """,
+)
+def ngram_repetition(spark, sf_dir):
+    """Gopher-style repetition/boilerplate signals per document — the
+    quality gates a pretraining pipeline applies before dedup (Rae et
+    al. 2021 §A1.1: docs dominated by one repeated n-gram or with low
+    lexical diversity are filtered): share of word-bigram occurrences
+    owned by the single most frequent bigram, share of word-4-gram
+    occurrences that are repeats (beyond each 4-gram's first), and the
+    unique-word ratio. All three emitted as integer permille via
+    integer floor-division (BIGINT in, BIGINT out — no float crosses
+    the oracle boundary, per the registry's round-tie policy).
+
+    Scale shape: the unique-word ratio is map-only array math; the two
+    n-gram shares are explode -> hash-aggregate keyed on (doc_id,
+    gram) -> per-doc re-aggregate — partial map-side combine absorbs
+    the within-doc repeats that are the signal itself, and the final
+    join is doc_id-keyed (uniform). At 100 TB this is two scan-shaped
+    aggregate passes; no window, no skewed key (grams are scoped by
+    doc_id so a globally common bigram never concentrates)."""
+    docs = load_sdf(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.split("text", " ").alias("w"))
+
+    def grams(n: int, alias: str):
+        idx = F.sequence(F.lit(1), F.size("w") - (n - 1))
+        g = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("w", (i + j).cast("int")) for j in range(n)]
+            ),
+        )
+        return (
+            tok.filter(F.size("w") >= n)
+            .select("doc_id", F.explode(g).alias(alias))
+        )
+
+    bstat = (
+        grams(2, "bg")
+        .groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.expr("(1000 * MAX(c)) div SUM(c)").alias("top_bigram_permille"))
+    )
+    fstat = (
+        grams(4, "fg")
+        .groupBy("doc_id", "fg").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.expr("(1000 * SUM(c - 1)) div SUM(c)")
+             .alias("dup_fourgram_permille"))
+    )
+    base = tok.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        F.expr("(1000 * size(array_distinct(w))) div size(w)")
+        .alias("uniq_word_permille"),
+    )
+    return base.join(bstat, "doc_id").join(fstat, "doc_id")
