@@ -117,6 +117,12 @@ def register(name: str, sql: str | None = None):
 # profile_table (governance keeps mime_sniff + incoming
 # retention_sweep), cdc_scd2 (mv_incremental keeps the CDC/MV
 # family) — new operators get a driver hash row in their first round.
+# Two further r9 adds (join_hint_shuffle_hash, grouped_median_filter)
+# take the slots of mix_rebalance (sampling keeps sample_bernoulli +
+# pack_sequences) and rollup_hypertable (events keeps events_funnel,
+# events_debounce, seasonality_profile; variant_stats keeps
+# sketches/json) — both rotated out are driver-green in
+# CORRECTNESS_r08.json.
 # (Round-8 rotation history: cross_near_dups, stream_sessions,
 # stream_decontaminate, bloom_semi_join, dpp_partition_prune,
 # mix_rebalance, lang_confusion, inmem_source_join, set_ops,
@@ -146,11 +152,11 @@ PRIORITY = [
     "tree_depths",
     "grouped_zscore", "window_distribution", "events_funnel",
     "events_debounce", "seasonality_profile",
-    "llm_data_pipeline", "mix_rebalance",
+    "llm_data_pipeline", "grouped_median_filter",
     "sample_bernoulli", "pack_sequences",
     "mv_incremental", "unpivot_metrics",
     "bucketed_join", "dpp_partition_prune", "bloom_semi_join",
-    "rollup_hypertable", "variant_stats",
+    "join_hint_shuffle_hash", "variant_stats",
     "mime_sniff", "retention_sweep", "q7_nation_volume",
     "stream_sessions", "stream_decontaminate",
     "stream_dedup", "stream_user_profiles",

@@ -568,3 +568,106 @@ def nullsafe_join(spark, sf_dir):
         .cast("double")
         .alias("sum_price"),
     )
+
+
+@register(
+    "join_hint_shuffle_hash",
+    sql="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS segment_total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def join_hint_shuffle_hash(spark, sf_dir):
+    """Join-strategy HINT surface: the same orders-customer equi-join
+    forced through SHUFFLE_HASH instead of letting the planner pick
+    broadcast/SMJ — the escape hatch for the 100 TB case Catalyst
+    gets wrong (a build side that is small per partition but over the
+    broadcast threshold, where sort-merge pays two sorts for
+    nothing). The hint changes the PHYSICAL strategy only; the oracle
+    pins that values are identical to the plain join, and
+    ``test_join_hint_yields_shuffled_hash_join`` pins that the plan
+    actually contains ShuffledHashJoin (a hint Spark silently ignores
+    is the real-world failure mode this row guards).
+
+    Scale shape: one shuffle per side on the join key, hash build on
+    the (hinted) customer side per partition — no sort, no broadcast
+    collect; at 100 TB this is the strategy for mid-size dims that
+    fit executor memory per-partition but not on the driver."""
+    orders = load_sdf(spark, sf_dir, "orders")
+    cust = load_sdf(spark, sf_dir, "customer").hint("SHUFFLE_HASH")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .alias("segment_total"),
+        )
+    )
+
+
+@register(
+    "grouped_median_filter",
+    sql="""
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    ),
+    med AS (
+      SELECT lang, n_chars AS med_chars
+      FROM ranked WHERE rn = (n + 1) // 2
+    )
+    SELECT d.lang,
+           med.med_chars,
+           SUM(CASE WHEN d.n_chars > med.med_chars THEN 1 ELSE 0 END)::BIGINT
+             AS n_above,
+           SUM(CASE WHEN d.n_chars <= med.med_chars THEN 1 ELSE 0 END)::BIGINT
+             AS n_at_or_below
+    FROM documents d JOIN med USING (lang)
+    GROUP BY d.lang, med.med_chars
+    """,
+)
+def grouped_median_filter(spark, sf_dir):
+    """Per-group EXACT median as a length-filter threshold: the
+    rank-based lower median of n_chars per language (rn == (n+1)//2
+    under a total order tie-broken by doc_id — an integer the two
+    engines cannot disagree on, unlike interpolated percentiles whose
+    float midpoints tie-split), joined back to classify every doc
+    against its own language's threshold. This is the per-language
+    length gate of a curation pipeline, where a global cutoff is wrong
+    because languages have different character economics.
+
+    Scale shape: one window pass partitioned by lang (bounded key
+    count, but a HOT key risk when one lang dominates — at 100 TB the
+    fix is computing the same rank threshold via approx_percentile
+    per group or a two-pass count+offset read, same join shape); the
+    medians relation is tiny and broadcasts back onto the scan."""
+    from pyspark.sql import Window as W
+
+    docs = load_sdf(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "lang", "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rn") == ((F.col("n") + 1) / 2).cast("long")
+    ).select("lang", F.col("n_chars").alias("med_chars"))
+    above = F.col("n_chars") > F.col("med_chars")
+    return (
+        docs.join(F.broadcast(med), "lang")
+        .groupBy("lang", "med_chars")
+        .agg(
+            F.sum(F.when(above, 1).otherwise(0)).cast("long").alias("n_above"),
+            F.sum(F.when(above, 0).otherwise(1)).cast("long")
+            .alias("n_at_or_below"),
+        )
+    )

@@ -258,3 +258,13 @@ def test_dpp_prunes_partitions(spark):
     assert "dynamicpruning" in plan
     i = plan.index("PartitionFilters")
     assert "dynamicpruning" in plan[i:i + 300]
+
+
+def test_join_hint_yields_shuffled_hash_join(spark):
+    """The SHUFFLE_HASH hint must actually change the physical
+    strategy: a silently-ignored hint (wrong side, lost through an
+    alias, disabled by conf) would leave broadcast/SMJ and this row
+    would be testing nothing."""
+    plan = plan_of(spark, "join_hint_shuffle_hash")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -119,3 +119,20 @@ def test_retention_sweep_cutoffs(spark, sf_dir):
         assert out[t].oldest_kept_us >= cut - 1  # nothing older survives
         n = ev.filter(F.col("event_type") == t).count()
         assert out[t].n_kept + out[t].n_expired == n
+
+
+def test_grouped_median_filter_is_exact_lower_median(spark, sf_dir):
+    from df_spark.queries.analytics import grouped_median_filter
+
+    out = {r.lang: r for r in grouped_median_filter(spark, sf_dir).collect()}
+    docs = load_sdf(spark, sf_dir, "documents").collect()
+    by_lang: dict[str, list] = {}
+    for d in docs:
+        by_lang.setdefault(d.lang, []).append((d.n_chars, d.doc_id))
+    for lang, vals in by_lang.items():
+        vals.sort()
+        med = vals[(len(vals) + 1) // 2 - 1][0]  # rank-based lower median
+        r = out[lang]
+        assert r.med_chars == med
+        assert r.n_above == sum(1 for c, _ in vals if c > med)
+        assert r.n_above + r.n_at_or_below == len(vals)
