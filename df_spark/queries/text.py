@@ -438,7 +438,12 @@ def ngram_repetition(spark, sf_dir):
     join is doc_id-keyed (uniform). At 100 TB this is two scan-shaped
     aggregate passes; no window, no skewed key (grams are scoped by
     doc_id so a globally common bigram never concentrates)."""
-    docs = load_sdf(spark, sf_dir, "documents")
+    return ngram_repetition_stats(load_sdf(spark, sf_dir, "documents"))
+
+
+def ngram_repetition_stats(docs):
+    """Frame-level body of :func:`ngram_repetition` (also probed at
+    10x by ``tools/scale_probe.py``)."""
     tok = docs.select("doc_id", F.split("text", " ").alias("w"))
 
     def grams(n: int, alias: str):

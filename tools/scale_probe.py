@@ -98,6 +98,15 @@ def main() -> None:
         S.ann_multi_lsh_topk(embN, embN.filter(F.col("vec_id") < 5)),
     )
     probe("exact_dedup", D.exact_dedup_stats(docs1), D.exact_dedup_stats(docsN))
+    # r9 repetition signals: two explode->hash-agg passes keyed by
+    # (doc_id, gram) — map-side combine should keep this linear
+    from df_spark.queries.text import ngram_repetition_stats  # noqa: E402
+
+    probe(
+        "ngram_repetition",
+        ngram_repetition_stats(docs1),
+        ngram_repetition_stats(docsN),
+    )
     # banded n-gram Jaccard (round 6): the band in the block key is what
     # keeps block sizes corpus-invariant — replicas are text-perturbed,
     # so they land in different band buckets and the pair join scales
