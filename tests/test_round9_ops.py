@@ -136,3 +136,69 @@ def test_grouped_median_filter_is_exact_lower_median(spark, sf_dir):
         assert r.med_chars == med
         assert r.n_above == sum(1 for c, _ in vals if c > med)
         assert r.n_above + r.n_at_or_below == len(vals)
+
+
+def test_bucket_layout_memo_invalidates_on_data_change(spark, tmp_path):
+    """The bucketed layout must rebuild when the SOURCE DATA changes:
+    the memo key carries (size, mtime_ns) of both inputs, so a stale
+    layout over refreshed data — the silent-wrong-results failure mode
+    of cached physical layouts — cannot be served."""
+    import os
+    import shutil
+
+    from df_spark.queries.sources_q import _BUCKET_LAYOUTS, bucketed_join
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sfcopy"
+    d.mkdir()
+    for t in ("orders", "lineitem"):
+        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    sf_dir = str(d)
+
+    before = dict(_BUCKET_LAYOUTS)
+    r1 = {tuple(r) for r in bucketed_join(spark, sf_dir).collect()}
+    keys1 = set(_BUCKET_LAYOUTS) - set(before)
+    assert len(keys1) == 1  # first run wrote and memoized the layout
+
+    # same data -> same key -> no new memo entry
+    r2 = {tuple(r) for r in bucketed_join(spark, sf_dir).collect()}
+    assert r2 == r1
+    assert set(_BUCKET_LAYOUTS) - set(before) == keys1
+
+    # refresh the data (mtime bump is what a rewritten file shows)
+    os.utime(d / "orders.parquet")
+    r3 = {tuple(r) for r in bucketed_join(spark, sf_dir).collect()}
+    assert r3 == r1  # same content, rebuilt layout
+    assert len(set(_BUCKET_LAYOUTS) - set(before)) == 2  # new key, rebuilt
+
+
+def test_jpeg_fill_bytes_before_marker_parse():
+    """JPEG allows 0xFF fill bytes before a marker; the segment walk
+    must skip them rather than mis-reading a length."""
+    from df_spark import multimodal as M
+    from tests.test_multimodal import _jpeg_bytes
+
+    base = _jpeg_bytes(20, 10)
+    # inject fill bytes after SOI, before the APP0 marker
+    padded = base[:2] + b"\xff\xff\xff" + base[2:]
+    # the walker sees 0xFF fill -> skips; the following bytes are
+    # \xff\xe0 (APP0) so the parse proceeds normally
+    f = M._decode_jpeg(padded)
+    assert f[:2] == [20.0, 10.0]
+
+
+def test_stream_no_data_batch_knob_restores_conf(spark, sf_dir):
+    """run_stream_to_memory(no_data_batch=False) must restore the
+    session conf after the drain — a leaked 'false' would silently
+    break every later append-mode aggregate in the session (closed
+    windows would never be emitted)."""
+    from df_spark.streaming import windows as SW
+
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    before = spark.conf.get(key)
+    stream = SW.read_events_stream(spark, sf_dir)
+    SW.run_stream_to_memory(
+        SW.dedup_stream(stream, keys=["event_id"], watermark="2 hours"),
+        output_mode="append", state_partitions=2, no_data_batch=False,
+    )
+    assert spark.conf.get(key) == before
