@@ -268,3 +268,48 @@ def test_join_hint_yields_shuffled_hash_join(spark):
     plan = plan_of(spark, "join_hint_shuffle_hash")
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_name_join_broadcasts_and_never_cartesian(spark):
+    """The blocked fuzzy join must stay an equi-join on the block key
+    with the tiny distinct-name relation broadcast — a lost block key
+    (e.g. a refactor moving the levenshtein filter above the join
+    condition) degrades to BroadcastNestedLoopJoin/cartesian, the
+    O(n^2) shape blocking exists to prevent."""
+    plan = plan_of(spark, "fuzzy_name_join")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_grouped_median_filter_broadcasts_medians(spark):
+    """The per-lang medians relation is bounded (one row per lang) and
+    must broadcast back onto the documents scan, not shuffle it."""
+    plan = plan_of(spark, "grouped_median_filter")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_retention_sweep_broadcasts_policy_dim(spark):
+    plan = plan_of(spark, "retention_sweep")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_seasonality_profile_single_aggregate_pass(spark):
+    """Scan → partial agg → one exchange on the 168-key space → final
+    agg; anything more means the calendar expressions stopped being
+    map-side."""
+    plan = plan_of(spark, "seasonality_profile")
+    assert count_in(plan, "Exchange") <= 1
+    assert count_in(plan, "HashAggregate") == 2
+
+
+def test_ngram_repetition_no_window_no_udf(spark):
+    """The repetition signals must stay explode → hash-aggregate (JVM,
+    whole-stage) — no window operator (per-doc sort at scale) and no
+    Python stage."""
+    plan = plan_of(spark, "ngram_repetition")
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    assert count_in(plan, "HashAggregate") >= 4  # two partial+final pairs
