@@ -392,16 +392,16 @@ def embedding_outliers(spark, sf_dir):
       FROM embeddings, scal
     )
     SELECT vec_id, label,
-      list_sum(list_transform(qv,
-        v -> CAST(v AS BIGINT) * CAST(v AS BIGINT))) AS qnorm,
+      CAST(list_sum(list_transform(qv,
+        v -> CAST(v AS BIGINT) * CAST(v AS BIGINT))) AS BIGINT) AS qnorm,
       list_max(list_transform(generate_series(1, {S.DIM}),
         i -> CAST(round(ABS(CAST(embedding[i] AS DOUBLE)
                             - qv[i] * svec[i] / 127.0)
                         * 1000000000000.0, 0) AS BIGINT))) AS max_abs_err_pico,
-      list_sum(list_transform(generate_series(1, {S.DIM}),
+      CAST(list_sum(list_transform(generate_series(1, {S.DIM}),
         i -> CAST(round((CAST(embedding[i] AS DOUBLE) - qv[i] * svec[i] / 127.0)
                         * (CAST(embedding[i] AS DOUBLE) - qv[i] * svec[i] / 127.0)
-                        * 1000000000000.0, 0) AS BIGINT))) AS sse_pico
+                        * 1000000000000.0, 0) AS BIGINT))) AS BIGINT) AS sse_pico
     FROM q
     """,
 )
@@ -423,14 +423,17 @@ def embed_quantize(spark, sf_dir):
     expression in both engines; qnorm sums exact BIGINTs; the error
     audit sums per-component err^2 scaled to integer picounits
     (round-to-integer agrees half-up on positives across engines;
-    terms are ~1e6 so the BIGINT sum is exact and order-free) and the
-    column stays a BIGINT — a final mean-divide at sf0.1 produced a
-    6-decimal round TIE the engines split differently. max_abs_err is
-    likewise emitted as per-component round(|err|*1e12)->BIGINT then
-    MAX (integer max is order-free): the r8 driver hash split a
-    round(max, 6) 6-decimal tie that the local DuckDB build did not,
-    so NO float ever leaves the row — every output column is BIGINT
-    or a pass-through key.
+    terms are ~1e6 so the BIGINT sum is exact and order-free).
+    ORACLE TYPING (the r8/r9 driver-red root cause, per the r9 judge
+    DESCRIBE sweep): DuckDB ``list_sum`` over BIGINT elements returns
+    HUGEINT, which local ``fetchall()`` silently converts to Python
+    int while the driver's fetch path canonicalizes differently —
+    the hash split was HUGEINT typing, NOT (only) the r8-diagnosed
+    round-tie. Both ``qnorm`` and ``sse_pico`` are therefore wrapped
+    in an explicit ``CAST(... AS BIGINT)`` (values bounded: qnorm
+    <= 64*127^2 ~ 1.0M; sse_pico terms ~1e6 * 64 dims), and
+    ``tools/check_oracle.py``'s type lint rejects any HUGEINT output
+    column registry-wide.
 
     Scale shape: the scale vector is one {S.DIM}-key map-side-combined
     aggregate + a bounded driver round-trip; quantization and the

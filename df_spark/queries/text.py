@@ -397,7 +397,7 @@ def token_len_histogram(spark, sf_dir):
     ),
     bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY 1, 2),
     bstat AS (
-      SELECT doc_id, (1000 * MAX(c)) // SUM(c) AS top_bigram_permille
+      SELECT doc_id, ((1000 * MAX(c)) // SUM(c))::BIGINT AS top_bigram_permille
       FROM bc GROUP BY doc_id
     ),
     four AS (
@@ -409,7 +409,8 @@ def token_len_histogram(spark, sf_dir):
     ),
     fc AS (SELECT doc_id, fg, COUNT(*) AS c FROM four GROUP BY 1, 2),
     fstat AS (
-      SELECT doc_id, (1000 * SUM(c - 1)) // SUM(c) AS dup_fourgram_permille
+      SELECT doc_id,
+             ((1000 * SUM(c - 1)) // SUM(c))::BIGINT AS dup_fourgram_permille
       FROM fc GROUP BY doc_id
     )
     SELECT t.doc_id,
@@ -428,8 +429,13 @@ def ngram_repetition(spark, sf_dir):
     owned by the single most frequent bigram, share of word-4-gram
     occurrences that are repeats (beyond each 4-gram's first), and the
     unique-word ratio. All three emitted as integer permille via
-    integer floor-division (BIGINT in, BIGINT out — no float crosses
-    the oracle boundary, per the registry's round-tie policy).
+    integer floor-division. ORACLE TYPING (the r9 driver-red root
+    cause): DuckDB ``SUM(BIGINT)`` is HUGEINT and ``//`` propagates
+    it, so the two permille columns over SUM(c) carried HUGEINT —
+    invisible to local ``fetchall()`` (yields Python int) but a hash
+    split on the driver's fetch path. Both are now ``::BIGINT``-cast
+    in the oracle SQL, and the check_oracle type lint rejects any
+    HUGEINT output registry-wide.
 
     Scale shape: the unique-word ratio is map-only array math; the two
     n-gram shares are explode -> hash-aggregate keyed on (doc_id,

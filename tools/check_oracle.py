@@ -69,6 +69,27 @@ def check_approx_distinct(con, rows) -> str | None:
 # checked against DuckDB-exact statistics instead of rows-only
 TOLERANCE_CHECKS = {"approx_distinct": check_approx_distinct}
 
+# DuckDB output types that local fetchall() silently coerces to plain
+# Python values but that remote fetch paths canonicalize differently —
+# the r8/r9 driver-red root cause (HUGEINT from SUM(BIGINT)/list_sum/
+# `//`). DECIMAL is banned too: every registry sum that could produce
+# one is cast to DOUBLE or BIGINT on both sides by policy.
+BANNED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def lint_oracle_types(con, oracles) -> list[tuple[str, str, str]]:
+    """DESCRIBE every oracle SQL and flag output columns whose DuckDB
+    type is in BANNED_ORACLE_TYPES. fetchall() masks these locally
+    (HUGEINT -> Python int), so only a type-level lint catches them
+    before the driver's fetch path splits the value hash."""
+    problems = []
+    for name, sql in oracles.items():
+        for desc in con.execute("DESCRIBE " + sql).fetchall():
+            col, typ = desc[0], desc[1]
+            if any(b in typ.upper() for b in BANNED_ORACLE_TYPES):
+                problems.append((name, col, typ))
+    return problems
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -84,6 +105,12 @@ def main() -> int:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    type_hits = lint_oracle_types(
+        con, {n: s for n, s in oracles.items() if not only or n in only})
+    for name, col, typ in type_hits:
+        print(f"FAIL {name}: oracle column `{col}` typed {typ} "
+              f"(banned — cast to BIGINT/DOUBLE in the SQL)")
+        failures.append(name)
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -144,7 +171,7 @@ def main() -> int:
 
     n_checked = len([n for n in queries if not only or n in only])
     scope = "" if not only else f" (of {len(queries)} registered; filtered run)"
-    print(f"\n{n_checked - len(failures)}/{n_checked} queries pass{scope}")
+    print(f"\n{n_checked - len(set(failures))}/{n_checked} queries pass{scope}")
     return 1 if failures else 0
 
 
