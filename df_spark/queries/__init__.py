@@ -123,6 +123,35 @@ def register(name: str, sql: str | None = None):
 # events_debounce, seasonality_profile; variant_stats keeps
 # sketches/json) — both rotated out are driver-green in
 # CORRECTNESS_r08.json.
+# Round-10 rotation (judge directive #4): 12 r9-green members of
+# multiply-represented families rotated out — dedup_clusters (dedup
+# keeps dedup_exact, winnow_fingerprints, prefix_sim_join,
+# containment_join), fuzzy_name_join (incoming levenshtein_pairs keeps
+# the edit-distance family), ann_lsh_topk (similarity keeps
+# embed_quantize + knn_classify), asof_join_events (range family has
+# interval_overlap_join/range_join_bands driver-green r8),
+# pagerank_parts (graph has triangle_counts driver-green r8;
+# tree_depths stays in-window), bigram_lm_score (text keeps
+# ngram_repetition + incoming doc_repetition/token_len_histogram),
+# grouped_zscore (analytics keeps window_distribution,
+# unpivot_metrics + incoming price_histogram/quality_deciles),
+# events_funnel (events keeps events_debounce, seasonality_profile +
+# incoming events_regression/events_rolling), sample_bernoulli
+# (sampling keeps pack_sequences + incoming sample_exact_k/
+# train_val_split/shard_assign), bloom_semi_join + dpp_partition_prune
+# (layout/join-strategy keeps bucketed_join, join_hint_shuffle_hash +
+# incoming partition_backfill), q7_nation_volume (TPC-H has 8 green
+# driver rows; q1 stays). In their place, the 12 judge-named rows that
+# have NEVER had a driver hash row: doc_repetition, dq_checks,
+# events_regression, events_rolling, levenshtein_pairs,
+# partition_backfill, price_histogram, quality_deciles, sample_exact_k,
+# shard_assign, token_len_histogram, train_val_split.
+# embed_quantize and ngram_repetition STAY in-window deliberately
+# (judge directive #1): their oracle SQLs are retyped BIGINT this
+# round and the driver hash row is the proof. stream_decontaminate,
+# stream_user_profiles, retention_sweep, and bucketed_join also stay:
+# all four have r10 code changes (streaming trim, scan fusion, memo
+# eviction) that need fresh driver rows.
 # (Round-8 rotation history: cross_near_dups, stream_sessions,
 # stream_decontaminate, bloom_semi_join, dpp_partition_prune,
 # mix_rebalance, lang_confusion, inmem_source_join, set_ops,
@@ -142,22 +171,23 @@ PRIORITY = [
     "union_distinct", "csv_roundtrip", "inmem_source_join",
     "orc_roundtrip", "parquet_partitioned_sink",
     "parquet_schema_evolution", "jsonl_corrupt_quarantine",
-    "dedup_exact", "dedup_clusters",
+    "dedup_exact",
     "winnow_fingerprints", "prefix_sim_join", "containment_join",
-    "fuzzy_name_join",
-    "ann_lsh_topk", "embed_quantize", "knn_classify",
-    "asof_join_events",
-    "pagerank_parts",
-    "bigram_lm_score", "ngram_repetition",
+    "levenshtein_pairs",
+    "embed_quantize", "knn_classify",
+    "doc_repetition", "ngram_repetition",
     "tree_depths",
-    "grouped_zscore", "window_distribution", "events_funnel",
+    "window_distribution", "events_regression", "events_rolling",
     "events_debounce", "seasonality_profile",
     "llm_data_pipeline", "grouped_median_filter",
-    "sample_bernoulli", "pack_sequences",
+    "sample_exact_k", "train_val_split", "shard_assign",
+    "pack_sequences",
     "mv_incremental", "unpivot_metrics",
-    "bucketed_join", "dpp_partition_prune", "bloom_semi_join",
+    "price_histogram", "quality_deciles", "token_len_histogram",
+    "dq_checks",
+    "bucketed_join", "partition_backfill",
     "join_hint_shuffle_hash", "variant_stats",
-    "mime_sniff", "retention_sweep", "q7_nation_volume",
+    "mime_sniff", "retention_sweep",
     "stream_sessions", "stream_decontaminate",
     "stream_dedup", "stream_user_profiles",
 ]
