@@ -158,20 +158,25 @@ def retention_sweep(spark, sf_dir):
     counts plus the oldest surviving timestamp per class — the
     dry-run every GDPR/TTL delete job emits before destructive
     compaction. The policy rides a broadcast join (bounded dim); the
-    cutoff scalar is one bounded aggregate; interval arithmetic stays
-    in exact microseconds on both engines (no ms flooring needed —
-    this is batch, not a streaming watermark).
+    cutoff anchor stays fully IN-PLAN as a broadcast 1-row aggregate
+    (the SQL oracle's ``mx`` CTE shape) rather than a collected
+    scalar — no driver round-trip, and an empty events table yields
+    zero rows instead of a None-literal error (r9 ADVICE). Interval
+    arithmetic stays in exact microseconds on both engines (no ms
+    flooring needed — this is batch, not a streaming watermark).
 
-    Scale shape at 100 TB: the expired predicate is partition-prunable
-    when the table is date-partitioned (the production layout), so the
-    sweep reads only boundary partitions; here it is one scan + one
-    5-key aggregate."""
+    Scale shape at 100 TB: the anchor pass scans only the pruned
+    ``ts`` column (map-side-combined max); the expired predicate is
+    partition-prunable when the table is date-partitioned (the
+    production layout), so the sweep reads only boundary partitions;
+    here it is one column-pruned anchor scan + one scan with a 5-key
+    aggregate."""
     from ..sources.tables import load_sdf as _load
     ev = _load(spark, sf_dir, "events")
-    mt = ev.agg(F.max("ts")).collect()[0][0]  # bounded scalar
+    mx = ev.agg(F.max("ts").alias("mt"))  # 1-row bounded aggregate
     pol = spark.createDataFrame(_RETENTION_DAYS, "event_type string, keep_days int")
-    cutoff = F.lit(mt) - F.col("keep_days") * F.expr("INTERVAL 1 DAY")
-    j = ev.join(F.broadcast(pol), "event_type")
+    j = ev.join(F.broadcast(pol), "event_type").join(F.broadcast(mx))
+    cutoff = F.col("mt") - F.col("keep_days") * F.expr("INTERVAL 1 DAY")
     kept = F.col("ts") >= cutoff
     return j.groupBy("event_type").agg(
         F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),

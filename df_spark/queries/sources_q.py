@@ -556,6 +556,12 @@ def bucketed_join(spark, sf_dir):
         (li.write.mode("overwrite").bucketBy(8, "l_orderkey")
          .sortBy("l_orderkey").option("path", os.path.join(wh, "lineitem_b"))
          .format("parquet").saveAsTable(tables[1]))
+        # at most ONE fingerprint may ever vouch for these tables: a
+        # rebuild under a new key must evict any older key pointing at
+        # them, or reverting the source bytes to a previously-memoized
+        # state would serve the newer layout as if it matched.
+        for k in [k for k, v in _BUCKET_LAYOUTS.items() if v == tables]:
+            del _BUCKET_LAYOUTS[k]
         _BUCKET_LAYOUTS[key] = tables
     o = spark.table(tables[0])
     l = spark.table(tables[1])

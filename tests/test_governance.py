@@ -60,3 +60,22 @@ def test_attribution_conserves_purchases(spark, sf_dir):
     assert sum(r.n_purchases for r in out) == n_purchases
     for r in out:
         assert r.attributed_value > 0
+
+
+def test_retention_sweep_empty_events_yields_zero_rows(spark, tmp_path):
+    """The cutoff anchor lives in-plan (broadcast 1-row max), so an
+    empty events table returns an empty frame instead of failing on a
+    None literal (r9 ADVICE)."""
+    src = load_sdf(spark, "/root/testdata/sf0.001", "events")
+    d = str(tmp_path / "empty_sf")
+    src.limit(0).write.parquet(f"{d}/events.parquet")
+    out = REG["retention_sweep"].fn(spark, d)
+    assert out.collect() == []
+
+
+def test_retention_sweep_plan_keeps_anchor_in_plan(spark, sf_dir):
+    """No driver round-trip: the anchor max rides a broadcast exchange
+    inside one executed plan."""
+    plan = (REG["retention_sweep"].fn(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

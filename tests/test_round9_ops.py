@@ -169,7 +169,48 @@ def test_bucket_layout_memo_invalidates_on_data_change(spark, tmp_path):
     os.utime(d / "orders.parquet")
     r3 = {tuple(r) for r in bucketed_join(spark, sf_dir).collect()}
     assert r3 == r1  # same content, rebuilt layout
-    assert len(set(_BUCKET_LAYOUTS) - set(before)) == 2  # new key, rebuilt
+    keys2 = set(_BUCKET_LAYOUTS) - set(before)
+    # rebuild evicted the stale fingerprint: exactly ONE key may vouch
+    # for the layout at any time (else reverting the source to the
+    # older bytes would silently serve the newer layout)
+    assert len(keys2) == 1 and keys2 != keys1
+
+
+def test_bucket_layout_memo_rejects_reverted_source(spark, tmp_path):
+    """The r9 ADVICE hole: change the source data (layout rebuilt
+    under key B), then RESTORE the original bytes with preserved mtime
+    (a snapshot/`cp -p` restore reproduces fingerprint key A exactly).
+    Before the eviction fix, key A still vouched for the tables, so
+    the query silently served the layout built from the CHANGED data
+    — wrong results, no error. With at-most-one-vouching-key, the
+    revert forces a rebuild and results match the original."""
+    import os
+    import shutil
+
+    from df_spark.queries.sources_q import bucketed_join
+
+    d = tmp_path / "sfrev"
+    d.mkdir()
+    shutil.copy("/root/testdata/sf0.001/lineitem.parquet",
+                d / "lineitem.parquet")
+    dst = d / "orders.parquet"
+    shutil.copy("/root/testdata/sf0.001/orders.parquet", dst)
+    st = os.stat(dst)
+    state_a = (dst.read_bytes(), (st.st_atime_ns, st.st_mtime_ns))
+    sf_dir = str(d)
+
+    r_a = {tuple(x) for x in bucketed_join(spark, sf_dir).collect()}
+
+    # state B: different valid orders data (bigger SF) -> rebuild
+    shutil.copy("/root/testdata/sf0.01/orders.parquet", dst)
+    r_b = {tuple(x) for x in bucketed_join(spark, sf_dir).collect()}
+    assert r_b != r_a  # the changed data genuinely changes results
+
+    # restore state A bytes AND mtime -> fingerprint key A reproduced
+    dst.write_bytes(state_a[0])
+    os.utime(dst, ns=state_a[1])
+    r_rev = {tuple(x) for x in bucketed_join(spark, sf_dir).collect()}
+    assert r_rev == r_a  # bug would return r_b here
 
 
 def test_jpeg_fill_bytes_before_marker_parse():
