@@ -205,6 +205,24 @@ def main() -> None:
         ((n, t) for n, t in timings.items() if t >= 0),
         key=lambda kv: -kv[1],
     )[:10])
+    # First-touch vs warm attribution for the most expensive rows
+    # (judge r9: persistent driver/local wall gaps on specific rows had
+    # no committed explanation). `first` is the pass-1 sample — it
+    # carries cold parquet scans, fresh codegen, and first-caller memo
+    # builds; `warm` is the median of the later passes. A row whose
+    # cost is first-touch shows first >> warm; a row that is expensive
+    # every pass shows them close. Kept in the TAIL region of the JSON
+    # line so the driver's ~2000-char truncation preserves it.
+    top_cost_detail = {
+        n: {
+            "first": samples[n][0] if samples[n] else -1.0,
+            "warm": round(statistics.median(
+                [t for t in samples[n][1:] if t >= 0] or [-1.0]), 3),
+            "lo": spread[n][0], "hi": spread[n][1],
+            "cpu": cpu[n],
+        }
+        for n in list(top_cost)[:8]
+    }
     # Key order is deliberate: the driver's permanent record keeps only
     # the LAST ~2000 chars of this line (r5 lost the totals and 51
     # per-query rows to head-truncation), so the bulky per-query maps
@@ -220,6 +238,7 @@ def main() -> None:
         "load_avg": [round(x, 2) for x in os.getloadavg()],
         "sf": sf,
         "n_queries": len(timings),
+        "top_cost_detail": top_cost_detail,
         "top_cost": top_cost,
         "value_cpu": total_cpu,
         "value_core": core,  # round-4 query set only — cross-round comparable

@@ -53,8 +53,13 @@ def stream_tumbling_hourly(spark, sf_dir):
     events. On a cluster the same query writes a parquet/Kafka sink via
     ``streaming.sinks.foreach_batch_parquet``."""
     stream = SW.read_events_stream(spark, sf_dir)
+    # 2 state partitions: state is (open windows x event types) — tens
+    # of keys — so store-commit overhead dominates any parallelism
+    # (the r9 click_attribution finding, applied suite-wide in r10).
+    # The no-data batch stays ON: append mode needs it to emit the
+    # windows the final watermark closes.
     _, out = SW.run_stream_to_memory(
-        SW.tumbling_counts(stream), output_mode="append", state_partitions=8)
+        SW.tumbling_counts(stream), output_mode="append", state_partitions=2)
     return out.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
@@ -173,9 +178,13 @@ def stream_dedup(spark, sf_dir):
     state = ids inside the watermark window."""
     stream = SW.read_events_stream(spark, sf_dir)
     doubled = stream.unionByName(stream)
+    # 2 state partitions: ~100k ids in state at sf0.1 — well inside a
+    # single store's comfort zone, and commit count beats parallelism
+    # on a bounded drain. On a real cluster size this to id-cardinality
+    # x horizon (the partitioning is frozen by the first checkpoint).
     _, out = SW.run_stream_to_memory(
         SW.dedup_stream(doubled, keys=["event_id"], watermark="2 hours"),
-        output_mode="append", state_partitions=8)
+        output_mode="append", state_partitions=2)
     return out.select("event_id")
 
 
@@ -206,9 +215,15 @@ def stream_user_profiles(spark, sf_dir):
     from pyspark.sql import functions as F2
 
     stream = SW.read_events_stream(spark, sf_dir)
+    # 2 state partitions (the click_attribution trim, r9): state is
+    # one fixed-width row per user (~1.5k at sf0.1) — per-store commit
+    # overhead beats parallelism; the Arrow UDF work itself is tiny.
+    # The no-data batch stays ON: applyInPandasWithState uses it to
+    # fire timeouts (NoTimeout today, but the contract is the
+    # operator's, not this call site's).
     _, out = SW.run_stream_to_memory(
         user_profiles_stream(stream), output_mode="update",
-        state_partitions=8)
+        state_partitions=2)
     # update mode appends one row per (user, batch); the accumulators
     # are monotone, so max = the final profile — robust to the file
     # source splitting into multiple micro-batches
@@ -277,9 +292,12 @@ def stream_sessions(spark, sf_dir):
     engine's.) State at 100 TB: open sessions per user inside the
     watermark horizon, evicted on close."""
     stream = SW.read_events_stream(spark, sf_dir)
+    # 2 state partitions: open sessions per user (~1.5k users at
+    # sf0.1) — the suite-wide store-commit trim; no-data batch stays
+    # ON (append mode emits watermark-closed sessions there).
     _, out = SW.run_stream_to_memory(
         SW.session_windows(stream, gap="30 minutes"), output_mode="append",
-        state_partitions=8)
+        state_partitions=2)
     return out.select(
         "user_id",
         F.unix_micros("session_start").alias("start_us"),
