@@ -152,6 +152,23 @@ def register(name: str, sql: str | None = None):
 # stream_user_profiles, retention_sweep, and bucketed_join also stay:
 # all four have r10 code changes (streaming trim, scan fusion, memo
 # eviction) that need fresh driver rows.
+# Late-r10 amendment: the SEVEN operators added this round
+# (boilerplate_segments, rtbf_cascade, join_skew_report,
+# grouping_sets_agg, wav_energy_windows, stream_left_outer,
+# stream_quota_alerts, plus the eighth add stream_timeout_sessions
+# in containment_join's slot — dedup keeps dedup_exact,
+# prefix_sim_join and the incoming boilerplate_segments) take the
+# slots of r9-green rows whose
+# families stay represented — winnow_fingerprints (dedup keeps
+# dedup_exact, prefix_sim_join, containment_join), knn_classify
+# (similarity keeps embed_quantize), seasonality_profile (events
+# keeps events_debounce + incoming events_regression/events_rolling),
+# grouped_median_filter (analytics keeps window_distribution +
+# incoming quality_deciles/price_histogram), mv_incremental (CDC/MV
+# family driver-green r8+r9), variant_stats (sketch/JSON family has
+# json_extract/json_agg green rows), unpivot_metrics (reshape family
+# has pivot_status green rows) — new operators get a driver hash row
+# in their first round, same policy as r8/r9.
 # (Round-8 rotation history: cross_near_dups, stream_sessions,
 # stream_decontaminate, bloom_semi_join, dpp_partition_prune,
 # mix_rebalance, lang_confusion, inmem_source_join, set_ops,
@@ -172,24 +189,25 @@ PRIORITY = [
     "orc_roundtrip", "parquet_partitioned_sink",
     "parquet_schema_evolution", "jsonl_corrupt_quarantine",
     "dedup_exact",
-    "winnow_fingerprints", "prefix_sim_join", "containment_join",
+    "prefix_sim_join",
+    "boilerplate_segments", "stream_timeout_sessions",
     "levenshtein_pairs",
-    "embed_quantize", "knn_classify",
+    "embed_quantize", "wav_energy_windows",
     "doc_repetition", "ngram_repetition",
     "tree_depths",
     "window_distribution", "events_regression", "events_rolling",
-    "events_debounce", "seasonality_profile",
-    "llm_data_pipeline", "grouped_median_filter",
+    "events_debounce", "join_skew_report",
+    "llm_data_pipeline", "grouping_sets_agg",
     "sample_exact_k", "train_val_split", "shard_assign",
     "pack_sequences",
-    "mv_incremental", "unpivot_metrics",
+    "rtbf_cascade",
     "price_histogram", "quality_deciles", "token_len_histogram",
     "dq_checks",
     "bucketed_join", "partition_backfill",
-    "join_hint_shuffle_hash", "variant_stats",
+    "join_hint_shuffle_hash", "stream_left_outer",
     "mime_sniff", "retention_sweep",
     "stream_sessions", "stream_decontaminate",
-    "stream_dedup", "stream_user_profiles",
+    "stream_dedup", "stream_user_profiles", "stream_quota_alerts",
 ]
 
 

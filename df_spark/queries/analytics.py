@@ -671,3 +671,115 @@ def grouped_median_filter(spark, sf_dir):
             .alias("n_at_or_below"),
         )
     )
+
+
+@register(
+    "join_skew_report",
+    sql="""
+    WITH kc AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1
+    ),
+    g AS (
+      SELECT COUNT(*) AS n_keys, SUM(cnt)::BIGINT AS total_rows,
+             MAX(cnt) AS max_cnt
+      FROM kc
+    )
+    SELECT kc.user_id, kc.cnt::BIGINT AS cnt,
+           ((1000 * kc.cnt) // g.total_rows)::BIGINT AS share_permille,
+           g.n_keys::BIGINT AS n_keys, g.total_rows,
+           ((1000 * g.max_cnt * g.n_keys) // g.total_rows)::BIGINT
+             AS skew_ratio_permille
+    FROM kc, g
+    ORDER BY kc.cnt DESC, kc.user_id ASC
+    LIMIT 10
+    """,
+)
+def join_skew_report(spark, sf_dir):
+    """Join-key skew pre-flight: before shuffling a 100 TB fact table
+    on a key, profile the key's distribution — per-key row counts, the
+    top heavy hitters with their permille share, and the global skew
+    ratio (max key count vs the uniform-average count, in permille) —
+    the diagnosis that decides between a plain shuffle join, AQE skew
+    splitting, and explicit salting (``skew_salted_join`` is the cure;
+    this row is the X-ray that justifies it).
+
+    Scale shape: one hash aggregate keyed on the join key (map-side
+    combine absorbs the skew being measured — a hot key's rows
+    pre-aggregate within each input partition, so the shuffle carries
+    one row per key per map task, never the raw fact rows); the global
+    stats reduce the per-key frame to ONE row that broadcasts back
+    over the top-k; top-k is a bounded TakeOrdered, not a full sort.
+
+    Determinism: counts are exact integers; share/skew are integer
+    floor-divisions; ties in cnt break on user_id asc.
+    """
+    ev = load_sdf(spark, sf_dir, "events")
+    kc = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    g = kc.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    return (
+        kc.join(F.broadcast(g))
+        .select(
+            "user_id",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.expr("(1000 * cnt) div total_rows").alias("share_permille"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("total_rows").cast("long").alias("total_rows"),
+            F.expr("(1000 * max_cnt * n_keys) div total_rows")
+            .alias("skew_ratio_permille"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "grouping_sets_agg",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           (2 * GROUPING(l_returnflag) + GROUPING(l_linestatus))::BIGINT
+             AS gid,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    """,
+)
+def grouping_sets_agg(spark, sf_dir):
+    """GROUPING SETS with a grouping-id discriminator — the missing
+    sibling of the registry's CUBE/ROLLUP rows: one aggregation pass
+    that emits the (flag, status) detail, the per-flag subtotal, and
+    the grand total, with ``gid`` disambiguating NULL-as-subtotal from
+    a (hypothetically) NULL group value — the SQL-surface contract BI
+    layers compile to. Expressed via ``spark.sql`` over a registered
+    temp view (the declared-SQL path, same as ``sql_surface``), so
+    Catalyst plans the Expand + single hash aggregate itself.
+
+    Scale shape: Expand multiplies each input row by the number of
+    grouping sets (3 here) BEFORE the exchange, but partial
+    aggregation collapses per-set keys map-side, so the shuffle
+    carries |flags x statuses| + |flags| + 1 rows per map task — the
+    same one-pass multi-granularity trick as ``rollup_hypertable``.
+
+    Money follows the registry DECIMAL policy; gid composes
+    GROUPING() bits identically in both engines (Spark's
+    ``grouping_id()`` bit order is column order, matched explicitly).
+    """
+    li = load_sdf(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(2 * grouping(l_returnflag) + grouping(l_linestatus)
+                    AS BIGINT) AS gid,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)))
+                    AS DOUBLE) AS revenue
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+    """)

@@ -183,3 +183,93 @@ def retention_sweep(spark, sf_dir):
         F.sum(F.when(kept, 0).otherwise(1)).cast("long").alias("n_expired"),
         F.unix_micros(F.min(F.when(kept, F.col("ts")))).alias("oldest_kept_us"),
     )
+
+
+@register(
+    "rtbf_cascade",
+    sql="""
+    WITH forget AS (
+      SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 97 = 0
+    ),
+    fo AS (
+      SELECT o.o_orderkey, o.o_totalprice, f.c_mktsegment
+      FROM orders o JOIN forget f ON o.o_custkey = f.c_custkey
+    ),
+    agg_c AS (
+      SELECT c_mktsegment, COUNT(DISTINCT c_custkey) AS n_customers
+      FROM forget GROUP BY 1
+    ),
+    agg_o AS (
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS fv
+      FROM fo GROUP BY 1
+    ),
+    agg_l AS (
+      SELECT fo.c_mktsegment, COUNT(*) AS n_lineitems
+      FROM lineitem l JOIN fo ON l.l_orderkey = fo.o_orderkey
+      GROUP BY 1
+    )
+    SELECT c.c_mktsegment,
+           c.n_customers::BIGINT AS n_customers,
+           COALESCE(o.n_orders, 0)::BIGINT AS n_orders,
+           COALESCE(l.n_lineitems, 0)::BIGINT AS n_lineitems,
+           CAST(COALESCE(o.fv, 0) AS DOUBLE) AS frozen_value
+    FROM agg_c c
+    LEFT JOIN agg_o o USING (c_mktsegment)
+    LEFT JOIN agg_l l USING (c_mktsegment)
+    """,
+)
+def rtbf_cascade(spark, sf_dir):
+    """Right-to-be-forgotten cascade audit: given a forget-set of
+    customers (here the deterministic ``c_custkey % 97 = 0`` sample —
+    in production, the DSAR queue), report per market segment how many
+    customers, orders, and line items a hard delete would cascade to,
+    plus the frozen order value — the dry-run every GDPR erasure job
+    emits before destructive deletion, and the same plan shape the
+    delete itself would use.
+
+    Scale shape: the forget-set is bounded (thousands of keys against
+    billions of rows), so it BROADCASTS into the orders scan — a
+    map-side semi-join that prunes 1/97th of orders with zero shuffle
+    on the fact side. The order->lineitem hop keys on o_orderkey; the
+    forgotten-order set is too big to broadcast at 100 TB, so that hop
+    is a shuffle equi-join on a uniform key (AQE picks broadcast
+    locally). Final rollup is a 5-key aggregate.
+
+    Oracle note: the per-segment aggregates are computed in separate
+    branches then LEFT-joined (a segment whose forgotten customers
+    have no orders still reports zeros) — mirrored exactly in the SQL.
+    """
+    cust = load_sdf(spark, sf_dir, "customer")
+    orders = load_sdf(spark, sf_dir, "orders")
+    li = load_sdf(spark, sf_dir, "lineitem")
+    forget = (cust.filter(F.col("c_custkey") % 97 == 0)
+              .select("c_custkey", "c_mktsegment"))
+    fo = orders.join(
+        F.broadcast(forget), orders.o_custkey == forget.c_custkey
+    ).select("o_orderkey", "o_totalprice", "c_mktsegment")
+    per_cust = forget.groupBy("c_mktsegment").agg(
+        F.count_distinct("c_custkey").alias("n_customers"))
+    per_ord = fo.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__fv"),
+    )
+    per_li = (
+        li.join(fo.select("o_orderkey", "c_mktsegment"),
+                li.l_orderkey == fo.o_orderkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lineitems"))
+    )
+    return (
+        per_cust.join(per_ord, "c_mktsegment", "left")
+        .join(per_li, "c_mktsegment", "left")
+        .select(
+            "c_mktsegment",
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce("n_lineitems", F.lit(0)).cast("long")
+            .alias("n_lineitems"),
+            F.coalesce(F.col("__fv"), F.lit(0).cast("decimal(18,2)"))
+            .cast("double").alias("frozen_value"),
+        )
+    )

@@ -304,3 +304,199 @@ def stream_sessions(spark, sf_dir):
         F.unix_micros("session_end").alias("end_us"),
         "n_events",
     )
+
+
+@register(
+    "stream_left_outer",
+    sql="""
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS pts,
+             value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT LEAST(
+               date_trunc('milliseconds', (SELECT max(cts) FROM c)),
+               date_trunc('milliseconds', (SELECT max(pts) FROM p))
+             ) - INTERVAL '2 hours' AS w
+    )
+    SELECT c.user_id, c.click_id, p.purchase_id,
+           epoch_us(c.cts) AS click_us, epoch_us(p.pts) AS purchase_us,
+           p.purchase_value
+    FROM c JOIN p ON c.user_id = p.user_id
+      AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL '30 minutes'
+    UNION ALL
+    SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT),
+           epoch_us(c.cts), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM c, wm
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = c.user_id
+          AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL '30 minutes')
+      AND c.cts + INTERVAL '30 minutes' <= wm.w
+    """,
+)
+def stream_left_outer(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join — the semantics the
+    inner-join row cannot show: clicks with NO purchase in the 30-min
+    horizon surface as null-augmented rows once the engine can PROVE
+    no match is coming (state eviction by watermark), the
+    "unconverted clicks" ledger of an attribution pipeline.
+
+    Emission contract (probed empirically at sf0.001 and sf0.01, both
+    exact): matches emit on arrival (inner semantics); an unmatched
+    click's null row emits when ``click_ts + horizon <= W`` where the
+    global watermark ``W = least(floor_ms(max click ts), floor_ms(max
+    purchase ts)) - 2h`` — the engine takes the MIN across the two
+    per-side watermark operators (each side's event-time stats are
+    computed after its filter), NOT the overall event max; r9's
+    ms-floored-watermark recipe applies per side. The no-data batch
+    must stay ON: it advances the final watermark and is the batch
+    that performs the eviction emitting the null rows (the
+    ``no_data_batch=False`` knob is documented inner-join-only).
+
+    State at 100 TB: same bound as the inner join — events inside
+    watermark x horizon per user partition — plus the unmatched-click
+    buffer the outer semantics require anyway."""
+    stream = SW.read_events_stream(spark, sf_dir)
+    joined = SW.interval_join_streams_outer(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+    )
+    _, out = SW.run_stream_to_memory(joined, output_mode="append",
+                                     state_partitions=2)
+    return out.select(
+        "user_id", "click_id", "purchase_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        "purchase_value",
+    )
+
+
+_QUOTA_PER_DAY = 7
+
+
+@register(
+    "stream_quota_alerts",
+    sql=f"""
+    WITH agg AS (
+      SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS wb,
+             user_id, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(wb, '%Y-%m-%d %H:%M:%S') AS window_start,
+           user_id, n_events
+    FROM agg
+    WHERE n_events >= {_QUOTA_PER_DAY}
+      AND wb + INTERVAL '1 day'
+          <= (SELECT date_trunc('milliseconds', max(CAST(ts AS TIMESTAMP)))
+                     - INTERVAL '2 hours' FROM events)
+    """,
+)
+def stream_quota_alerts(spark, sf_dir):
+    """Streaming quota/rate-limit alerting: per-user event counts in
+    1-day tumbling event-time windows, emitting only users that breach
+    the daily quota — the abuse/billing alert every event pipeline
+    runs beside ingestion. Append mode + 2-hour watermark: an alert
+    fires exactly once, when its window closes (watermark-emitted),
+    never re-fires on late updates inside the watermark, and the
+    still-open day is withheld — that is the alerting contract (no
+    flapping), and the oracle encodes the same cutoff
+    (``window_end <= floor_ms(max ts) - 2h``; day-aligned ends make
+    the ms floor belt-and-braces).
+
+    Scale shape: state is one counter per (open day x active user) —
+    watermark-evicted; the quota filter rides AFTER the stateful
+    aggregate so partial map-side combine still applies. 2 state
+    partitions per the suite-wide store-commit trim."""
+    stream = SW.read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") >= _QUOTA_PER_DAY)
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "user_id", "n_events",
+        )
+    )
+    _, out = SW.run_stream_to_memory(agg, output_mode="append",
+                                     state_partitions=2)
+    return out
+
+
+@register(
+    "stream_timeout_sessions",
+    sql="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), o AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM e
+    ), brk AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS is_new
+      FROM o
+    ), grp AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS g
+      FROM brk
+    ), sess AS (
+      SELECT user_id, g,
+             MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL '30 minutes' AS session_end,
+             COUNT(*) AS n_events
+      FROM grp GROUP BY user_id, g
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY g DESC)
+               AS rn
+      FROM sess
+    )
+    SELECT user_id,
+           epoch_us(session_start) AS start_us,
+           epoch_us(session_end) AS end_us,
+           n_events
+    FROM ranked
+    WHERE rn > 1
+       OR date_trunc('milliseconds', session_end)
+          <= (SELECT date_trunc('milliseconds', max(CAST(ts AS TIMESTAMP)))
+                     - INTERVAL '2 hours' FROM events)
+    """,
+)
+def stream_timeout_sessions(spark, sf_dir):
+    """CUSTOM stateful sessionizer via ``applyInPandasWithState`` with
+    EVENT-TIME TIMEOUT eviction (``streaming/stateful.py``) — the
+    timeout path no other operator exercises: sessions closed by a
+    later in-batch event emit immediately; each user's trailing OPEN
+    session parks in the state store with
+    ``setTimeoutTimestamp(last + gap)`` and is flushed when the no-data
+    batch advances the watermark past it (which is why the no-data
+    batch must stay ON for applyInPandasWithState — the knob doc's
+    caveat, here load-bearing).
+
+    Emission contract (probed exact at sf0.001 and sf0.01): every
+    non-final session per user, plus final sessions with
+    ``floor_ms(last + gap) <= floor_ms(max ts) - 2h``. Contrast with
+    ``stream_sessions`` (native session_window, append mode): there
+    the WATERMARK gates every emission, so recent closed sessions are
+    withheld; the custom operator emits in-batch-closed sessions
+    regardless — more production-like for a sessionizer feeding
+    downstream joins, and a genuinely different contract, not a
+    re-skin. State at 100 TB: one open-session row per active user,
+    evicted by timeout."""
+    from ..streaming.stateful import timeout_sessions_stream
+
+    stream = SW.read_events_stream(spark, sf_dir)
+    _, out = SW.run_stream_to_memory(
+        timeout_sessions_stream(stream), output_mode="append",
+        state_partitions=2)
+    return out.select("user_id", "start_us", "end_us", "n_events")

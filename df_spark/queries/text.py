@@ -485,3 +485,102 @@ def ngram_repetition_stats(docs):
         .alias("uniq_word_permille"),
     )
     return base.join(bstat, "doc_id").join(fstat, "doc_id")
+
+
+_SEG_WORDS = 2     # words per (sliding) segment — the "line" stand-in:
+                   # the synthetic corpus has no newlines, and its
+                   # ~30-word vocabulary only produces cross-doc
+                   # repeats at 2-word granularity (8-word chunks never
+                   # reach df>=3 at sf0.01, making the gate vacuous)
+_SEG_MIN_DF = 3    # a segment seen in >= this many docs of one source
+                   # is boilerplate (the RefinedWeb line-dedup rule)
+
+
+@register(
+    "boilerplate_segments",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, source, u.seg
+      FROM tok, UNNEST(list_transform(
+             generate_series(1, len(w) - {_SEG_WORDS - 1}, 1),
+             i -> array_to_string(w[i:i + {_SEG_WORDS - 1}], ' '))) AS u(seg)
+      WHERE len(w) >= {_SEG_WORDS}
+    ),
+    freq AS (
+      SELECT source, seg, COUNT(DISTINCT doc_id) AS df
+      FROM segs GROUP BY 1, 2
+    )
+    SELECT s.doc_id,
+           COUNT(*)::BIGINT AS n_segs,
+           SUM(CASE WHEN f.df >= {_SEG_MIN_DF} THEN 1 ELSE 0 END)::BIGINT
+             AS n_boiler_segs,
+           ((1000 * SUM(CASE WHEN f.df >= {_SEG_MIN_DF} THEN 1 ELSE 0 END))
+            // COUNT(*))::BIGINT AS boiler_permille
+    FROM segs s JOIN freq f USING (source, seg)
+    GROUP BY s.doc_id
+    """,
+)
+def boilerplate_segments(spark, sf_dir):
+    """RefinedWeb/C4-style boilerplate detection, adapted to a corpus
+    without newlines: slide a 2-word segment window over each doc (the
+    "line" unit), count in how many DISTINCT docs of the same source
+    each segment appears, and report per doc how many of its segments
+    are boilerplate (document frequency >= 3 within its source) as an
+    integer permille — the pre-dedup gate that strips navigation/
+    template text before MinHash ever runs (Penedo et al. 2023 §3.2
+    remove lines duplicated across documents; the reference engine has
+    no text surface — this is the Spark-native extension).
+
+    Scale shape: one explode pass -> hash aggregate keyed on
+    (source, segment) -> join BACK to the exploded rows on the same
+    key (Catalyst reuses the exchange: the aggregate and the probe
+    share partitioning) -> per-doc re-aggregate. Segment keys are
+    scoped by source and bounded by corpus vocabulary; a globally
+    common segment never concentrates beyond its source's doc count,
+    so no salting is needed. At 100 TB this is the same two
+    scan-shaped aggregates as ngram_repetition.
+
+    Oracle typing: the permille rides ``SUM(BIGINT)`` which is HUGEINT
+    in DuckDB — ``::BIGINT``-cast per the registry's type-lint policy.
+    """
+    return boilerplate_segment_stats(load_sdf(spark, sf_dir, "documents"))
+
+
+def boilerplate_segment_stats(docs):
+    """Frame-level body of :func:`boilerplate_segments` (also probed
+    at 10x by ``tools/scale_probe.py``)."""
+    tok = docs.select("doc_id", "source", F.split("text", " ").alias("w"))
+    starts = F.sequence(
+        F.lit(1), F.size("w") - (_SEG_WORDS - 1), F.lit(1))
+    seg = F.transform(
+        starts,
+        lambda i: F.concat_ws(
+            " ",
+            *[F.element_at("w", (i + j).cast("int"))
+              for j in range(_SEG_WORDS)],
+        ),
+    )
+    segs = (
+        tok.filter(F.size("w") >= _SEG_WORDS)
+        .select("doc_id", "source", F.explode(seg).alias("seg"))
+    )
+    freq = (
+        segs.groupBy("source", "seg")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    boiler = F.when(F.col("df") >= _SEG_MIN_DF, 1).otherwise(0)
+    return (
+        segs.join(freq, ["source", "seg"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segs"),
+            F.sum(boiler).cast("long").alias("n_boiler_segs"),
+            F.expr(
+                f"(1000 * sum(CASE WHEN df >= {_SEG_MIN_DF} THEN 1 ELSE 0 END))"
+                " div count(1)"
+            ).alias("boiler_permille"),
+        )
+    )

@@ -63,3 +63,77 @@ def user_profiles_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, start_us long, end_us long, n_events long"
+)
+# open-session accumulator: first/last event time + count
+SESSION_STATE_SCHEMA = "start_us long, last_us long, n_events long"
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def _sessionize(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Custom sessionizer with EVENT-TIME TIMEOUT eviction: closed
+    sessions (a later event opened a new one) emit immediately; the
+    trailing open session parks in the state store with a timeout at
+    ``last + gap`` and is flushed by the no-data batch once the
+    watermark passes it — the applyInPandasWithState timeout path no
+    other operator in this repo exercises."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        start, last, n = state.get
+        state.remove()
+        yield pd.DataFrame([{
+            "user_id": user_id, "start_us": start,
+            "end_us": last + _GAP_US, "n_events": n,
+        }])
+        return
+    ts: list[int] = []
+    for pdf in pdfs:
+        ts.extend(int(t) for t in pdf["ts_us"])
+    ts.sort()
+    if state.exists:
+        start, last, n = state.get
+    else:
+        start, last, n = None, None, 0
+    out = []
+    for t in ts:
+        if last is not None and t - last >= _GAP_US:
+            out.append({"user_id": user_id, "start_us": start,
+                        "end_us": last + _GAP_US, "n_events": n})
+            start, last, n = t, t, 1
+        else:
+            start = t if start is None else start
+            last, n = t, n + 1
+    state.update((start, last, n))
+    # fire when the event-time watermark passes the open session's gap
+    state.setTimeoutTimestamp((last + _GAP_US) // 1000)  # ms epoch
+    if out:
+        yield pd.DataFrame(out)
+
+
+def timeout_sessions_stream(events: DataFrame, ) -> DataFrame:
+    """events (streaming, ``ts`` + watermark applied here) → per-user
+    session summaries; see :func:`_sessionize` for the emission
+    contract."""
+    from pyspark.sql import functions as F
+
+    # the watermarked timestamp column must survive the projection —
+    # EventTimeTimeout resolves the watermark from the child's
+    # event-time column, and dropping it is an AnalysisException
+    prepared = events.withWatermark("ts", "2 hours").select(
+        "user_id", "ts", F.unix_micros("ts").alias("ts_us")
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _sessionize,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

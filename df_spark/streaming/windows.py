@@ -317,6 +317,48 @@ def interval_join_streams(
     )
 
 
+def interval_join_streams_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: like
+    :func:`interval_join_streams`, but clicks with NO purchase inside
+    the horizon surface as null-augmented rows — the "unconverted
+    clicks" side of the attribution ledger.
+
+    Unlike the inner join (matches emit on arrival), the OUTER rows
+    are emitted only when the engine can PROVE no match is coming:
+    a buffered click's state expires once the watermark passes
+    click_ts + horizon, and the null row is emitted by the no-data
+    batch that advances the final watermark — which is why
+    ``no_data_batch=False`` must never be used with outer joins
+    (``run_stream_to_memory``'s knob doc). State bounds are the same
+    as the inner join: O(events inside watermark x horizon)."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id", "purchase_id", "click_ts", "purchase_ts", "purchase_value",
+    )
+
+
 def tumbling_distinct_users(
     events: DataFrame,
     window: str = "1 hour",

@@ -1,0 +1,174 @@
+"""Semantic tests for the round-10 operators (beyond the smoke run
+and the DuckDB oracle): each pins a property a silent bug would break
+without changing row counts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from df_spark.queries import load_registry
+from df_spark.sources.tables import load_sdf
+
+REG = load_registry()
+
+
+def test_boilerplate_segments_counts_and_bounds(spark, sf_dir):
+    out = {r.doc_id: r for r in REG["boilerplate_segments"].fn(spark, sf_dir).collect()}
+    docs = load_sdf(spark, sf_dir, "documents").collect()
+    import collections
+    seg_docs = collections.defaultdict(set)
+    per_doc = {}
+    for d in docs:
+        w = d.text.split(" ")
+        segs = [" ".join(w[i:i + 2]) for i in range(len(w) - 1)]
+        per_doc[d.doc_id] = (d.source, segs)
+        for s in segs:
+            seg_docs[(d.source, s)].add(d.doc_id)
+    for doc_id, (source, segs) in per_doc.items():
+        if not segs:
+            assert doc_id not in out
+            continue
+        r = out[doc_id]
+        assert r.n_segs == len(segs)
+        n_boiler = sum(1 for s in segs if len(seg_docs[(source, s)]) >= 3)
+        assert r.n_boiler_segs == n_boiler
+        assert r.boiler_permille == (1000 * n_boiler) // len(segs)
+
+
+def test_rtbf_cascade_conserves_counts(spark, sf_dir):
+    out = REG["rtbf_cascade"].fn(spark, sf_dir).collect()
+    cust = load_sdf(spark, sf_dir, "customer")
+    orders = load_sdf(spark, sf_dir, "orders")
+    li = load_sdf(spark, sf_dir, "lineitem")
+    forget = cust.filter(F.col("c_custkey") % 97 == 0)
+    assert sum(r.n_customers for r in out) == forget.count()
+    fo = orders.join(forget, orders.o_custkey == forget.c_custkey)
+    assert sum(r.n_orders for r in out) == fo.count()
+    assert sum(r.n_lineitems for r in out) == li.join(
+        fo.select("o_orderkey"), li.l_orderkey == fo.o_orderkey).count()
+    # segments with forgotten customers but zero orders report zeros,
+    # not missing rows
+    assert {r.c_mktsegment for r in out} == {
+        r.c_mktsegment for r in forget.select("c_mktsegment").distinct().collect()}
+
+
+def test_join_skew_report_global_stats(spark, sf_dir):
+    out = REG["join_skew_report"].fn(spark, sf_dir).collect()
+    assert len(out) == 10
+    ev = load_sdf(spark, sf_dir, "events")
+    counts = {r.user_id: r.cnt for r in
+              ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    total, n_keys, mx = sum(counts.values()), len(counts), max(counts.values())
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r.user_id, r.cnt) for r in out] == top
+    for r in out:
+        assert r.total_rows == total and r.n_keys == n_keys
+        assert r.skew_ratio_permille == (1000 * mx * n_keys) // total
+        assert r.share_permille == (1000 * r.cnt) // total
+
+
+def test_grouping_sets_rollup_consistency(spark, sf_dir):
+    rows = REG["grouping_sets_agg"].fn(spark, sf_dir).collect()
+    detail = [r for r in rows if r.gid == 0]
+    by_flag = [r for r in rows if r.gid == 1]
+    grand = [r for r in rows if r.gid == 3]
+    assert len(grand) == 1 and grand[0].l_returnflag is None
+    assert grand[0].n_items == sum(r.n_items for r in detail)
+    for fr in by_flag:
+        assert fr.l_linestatus is None
+        assert fr.n_items == sum(
+            r.n_items for r in detail if r.l_returnflag == fr.l_returnflag)
+        assert fr.revenue == pytest.approx(sum(
+            r.revenue for r in detail if r.l_returnflag == fr.l_returnflag),
+            abs=1e-6)
+
+
+def test_wav_energy_windows_roundtrip(spark, sf_dir):
+    out = REG["wav_energy_windows"].fn(spark, sf_dir).collect()
+    docs = {d.doc_id: d.text for d in
+            load_sdf(spark, sf_dir, "documents").collect()}
+    got = {}
+    for r in out:
+        assert r.rate_hz == 8000  # parsed from the WAV header
+        got.setdefault(r.media_id, {})[r.win_idx] = r.energy
+    for doc_id, text in docs.items():
+        b = text.encode("utf-8")
+        nw = len(b) // 100
+        if nw == 0:
+            assert doc_id not in got
+            continue
+        assert set(got[doc_id]) == set(range(nw))  # full windows only
+        for k in range(nw):
+            want = sum((x - 64) * (x - 64) for x in b[k * 100:(k + 1) * 100])
+            assert got[doc_id][k] == want
+
+
+def test_wav_encode_decode_is_a_real_container():
+    from df_spark.multimodal import _decode_wav, _encode_wav
+    payload = _encode_wav([0, 100, -100, 32000, -32000], rate=16000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    feats = _decode_wav(payload)
+    assert feats[0] == 1.0 and feats[1] == 16000.0 and feats[2] == 5.0
+
+
+def test_stream_left_outer_partitions_clicks(spark, sf_dir):
+    out = REG["stream_left_outer"].fn(spark, sf_dir).collect()
+    matched = {r.click_id for r in out if r.purchase_id is not None}
+    nulls = {r.click_id for r in out if r.purchase_id is None}
+    assert not (matched & nulls)  # a matched click never gets a null row
+    # matched set equals the batch inner interval join's click set
+    ev = load_sdf(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("cid"),
+        F.col("ts").alias("cts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"))
+    inner = c.join(p, (F.col("cu") == F.col("pu"))
+                   & (F.col("pts") >= F.col("cts"))
+                   & (F.col("pts") <= F.col("cts")
+                      + F.expr("INTERVAL 30 minutes")))
+    assert matched == {r.cid for r in inner.select("cid").distinct().collect()}
+    # every null row is genuinely unmatched in batch
+    assert not (nulls & matched)
+
+
+def test_stream_quota_alerts_thresholds(spark, sf_dir):
+    out = REG["stream_quota_alerts"].fn(spark, sf_dir).collect()
+    for r in out:
+        assert r.n_events >= 7
+    # no duplicate alert per (window, user): fires exactly once
+    keys = [(r.window_start, r.user_id) for r in out]
+    assert len(keys) == len(set(keys))
+
+
+def test_stream_timeout_sessions_vs_batch(spark, sf_dir):
+    """The custom EventTimeTimeout sessionizer must agree with the
+    batch gaps-and-islands computation under its emission contract:
+    all non-final sessions, plus timed-out finals."""
+    import collections
+
+    out = {(r.user_id, r.start_us, r.end_us, r.n_events)
+           for r in REG["stream_timeout_sessions"].fn(spark, sf_dir).collect()}
+    ev = load_sdf(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")).collect()
+    gap = 30 * 60 * 1_000_000
+    byu = collections.defaultdict(list)
+    for r in ev:
+        byu[r.user_id].append(r.us)
+    wm_ms = (max(r.us for r in ev) // 1000) - 2 * 3600 * 1000
+    want = set()
+    for u, ts in byu.items():
+        ts.sort()
+        start = last = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if t - last >= gap:
+                want.add((u, start, last + gap, n))
+                start = last = t
+                n = 1
+            else:
+                last, n = t, n + 1
+        if (last + gap) // 1000 <= wm_ms:  # timed-out final session
+            want.add((u, start, last + gap, n))
+    assert out == want

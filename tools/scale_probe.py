@@ -107,6 +107,18 @@ def main() -> None:
         ngram_repetition_stats(docs1),
         ngram_repetition_stats(docsN),
     )
+    # r10 boilerplate gate: (source, segment) agg + exchange-reused
+    # probe join + doc re-agg — the probe guards the join fan-out
+    # (replicas share their base doc's segments, so segment document
+    # frequencies GROW with copies; linearity depends on the map-side
+    # combine absorbing the repeated keys)
+    from df_spark.queries.text import boilerplate_segment_stats  # noqa: E402
+
+    probe(
+        "boilerplate_segments",
+        boilerplate_segment_stats(docs1),
+        boilerplate_segment_stats(docsN),
+    )
     # banded n-gram Jaccard (round 6): the band in the block key is what
     # keeps block sizes corpus-invariant — replicas are text-perturbed,
     # so they land in different band buckets and the pair join scales
