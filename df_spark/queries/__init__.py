@@ -156,7 +156,11 @@ def register(name: str, sql: str | None = None):
 # (boilerplate_segments, rtbf_cascade, join_skew_report,
 # grouping_sets_agg, wav_energy_windows, stream_left_outer,
 # stream_quota_alerts, plus the eighth add stream_timeout_sessions
-# in containment_join's slot — dedup keeps dedup_exact,
+# in containment_join's slot, dataset_manifest in events_debounce's
+# (events keeps events_regression/events_rolling; debounce is
+# r9-green), and stream_sliding_hourly in mime_sniff's (r9-green;
+# multimodal keeps wav_energy_windows + media_meta stamps) — dedup
+# keeps dedup_exact,
 # prefix_sim_join and the incoming boilerplate_segments) take the
 # slots of r9-green rows whose
 # families stay represented — winnow_fingerprints (dedup keeps
@@ -196,7 +200,7 @@ PRIORITY = [
     "doc_repetition", "ngram_repetition",
     "tree_depths",
     "window_distribution", "events_regression", "events_rolling",
-    "events_debounce", "join_skew_report",
+    "join_skew_report", "dataset_manifest",
     "llm_data_pipeline", "grouping_sets_agg",
     "sample_exact_k", "train_val_split", "shard_assign",
     "pack_sequences",
@@ -205,7 +209,7 @@ PRIORITY = [
     "dq_checks",
     "bucketed_join", "partition_backfill",
     "join_hint_shuffle_hash", "stream_left_outer",
-    "mime_sniff", "retention_sweep",
+    "stream_sliding_hourly", "retention_sweep",
     "stream_sessions", "stream_decontaminate",
     "stream_dedup", "stream_user_profiles", "stream_quota_alerts",
 ]

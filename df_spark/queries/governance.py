@@ -273,3 +273,76 @@ def rtbf_cascade(spark, sf_dir):
             .cast("double").alias("frozen_value"),
         )
     )
+
+
+# (table, pk expression cols, canonical content cols) — integer/string
+# columns ONLY: float/timestamp-to-string rendering differs across
+# engines, so the canonical row string sticks to types whose text form
+# is identical (ints render bare, strings verbatim).
+_MANIFEST_TABLES = [
+    ("region", ["r_regionkey"], ["r_regionkey", "r_name"]),
+    ("nation", ["n_nationkey"], ["n_nationkey", "n_name", "n_regionkey"]),
+    ("customer", ["c_custkey"], ["c_custkey", "c_name", "c_mktsegment"]),
+    ("supplier", ["s_suppkey"], ["s_suppkey", "s_name", "s_nationkey"]),
+    ("orders", ["o_orderkey"],
+     ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]),
+    ("lineitem", ["l_orderkey", "l_linenumber"],
+     ["l_orderkey", "l_linenumber", "l_partkey", "l_returnflag"]),
+]
+
+
+def _manifest_sql() -> str:
+    from ..functions.hashing import h32_sql
+    parts = []
+    for t, pk, canon in _MANIFEST_TABLES:
+        canon_expr = "concat_ws('|', " + ", ".join(
+            f"CAST({c} AS VARCHAR)" for c in canon) + ")"
+        pk_expr = " || '-' || ".join(f"CAST({c} AS VARCHAR)" for c in pk)
+        parts.append(f"""
+        SELECT '{t}' AS table_name,
+               COUNT(*)::BIGINT AS n_rows,
+               COUNT(DISTINCT {pk_expr})::BIGINT AS pk_distinct,
+               SUM({h32_sql(canon_expr)})::BIGINT AS content_sum
+        FROM {t}""")
+    return " UNION ALL ".join(parts)
+
+
+@register("dataset_manifest", sql=_manifest_sql())
+def dataset_manifest(spark, sf_dir):
+    """Dataset manifest / reproducibility card: for every input table,
+    the row count, primary-key distinct count (a PK violation shows as
+    pk_distinct < n_rows), and an ORDER-FREE content checksum — the
+    SUM of a cross-engine 32-bit row hash over a canonical row string
+    (md5-derived ``h32``, bit-identical in Spark and DuckDB; the sum
+    of ≤2^32 values over ≤millions of rows stays far inside BIGINT).
+    This is what a training run records next to its data snapshot so
+    "same data?" is a 6-row comparison, not a 100 TB diff — and the
+    same sum detects a corrupted/duplicated/dropped row after any
+    migration, independent of row order or partitioning.
+
+    Canonical strings use integer/string columns only: float and
+    timestamp text renderings are engine-specific, so a manifest meant
+    to be recomputed by heterogeneous engines pins its canon to types
+    with one text form (the real-world cross-system checksum rule).
+
+    Scale shape: one map-side-combined aggregate per table — each is a
+    single scan emitting ONE row; the union is free. At 100 TB this is
+    the cheapest full-scan audit that exists, and it parallelizes
+    per-table."""
+    from ..functions.hashing import h32
+    outs = []
+    for t, pk, canon in _MANIFEST_TABLES:
+        df = load_sdf(spark, sf_dir, t)
+        canon_col = F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in canon])
+        pk_col = F.concat_ws("-", *[F.col(c).cast("string") for c in pk])
+        outs.append(df.agg(
+            F.lit(t).alias("table_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct(pk_col).cast("long").alias("pk_distinct"),
+            F.sum(h32(canon_col)).cast("long").alias("content_sum"),
+        ))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

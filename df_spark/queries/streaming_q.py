@@ -500,3 +500,59 @@ def stream_timeout_sessions(spark, sf_dir):
         timeout_sessions_stream(stream), output_mode="append",
         state_partitions=2)
     return out.select("user_id", "start_us", "end_us", "n_events")
+
+
+@register(
+    "stream_sliding_hourly",
+    sql="""
+    WITH ex AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+               - u.k * INTERVAL '15 minutes' AS wb
+      FROM events, UNNEST(generate_series(0, 3)) AS u(k)
+    ),
+    agg AS (
+      SELECT wb, event_type, COUNT(*) AS n_events FROM ex GROUP BY 1, 2
+    )
+    SELECT strftime(wb, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, n_events
+    FROM agg
+    WHERE wb + INTERVAL '1 hour'
+          <= (SELECT date_trunc('milliseconds', max(CAST(ts AS TIMESTAMP)))
+                     - INTERVAL '2 hours' FROM events)
+    """,
+)
+def stream_sliding_hourly(spark, sf_dir):
+    """SLIDING event-time windows in the streaming engine (1-hour
+    window, 15-minute slide): each event lands in 4 overlapping
+    windows, so the stateful aggregate holds 4x the open-window keys
+    of the tumbling row — the monitoring shape (rates over a trailing
+    hour, refreshed every slide) that tumbling windows cannot express.
+    Append mode + 2h watermark: a window emits once, when it closes.
+
+    Oracle: each event expands to its 4 slide-aligned window starts
+    (``time_bucket(15min, ts) - k*15min``, k=0..3 — exactly the
+    engine's window assignment), aggregated with the same
+    watermark-closed cutoff as the tumbling row (15-minute-aligned
+    ends; ms floor belt-and-braces). The batch twin ``events_sliding``
+    keeps its own contract; this row's contract is the engine's
+    emission set.
+
+    State at 100 TB: (open windows x types) keys, watermark-evicted;
+    4x key inflation is the price of overlap and is bounded by the
+    window/slide ratio, not the stream."""
+    stream = SW.read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
+                 "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "event_type", "n_events",
+        )
+    )
+    _, out = SW.run_stream_to_memory(agg, output_mode="append",
+                                     state_partitions=2)
+    return out

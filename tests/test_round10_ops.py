@@ -172,3 +172,75 @@ def test_stream_timeout_sessions_vs_batch(spark, sf_dir):
         if (last + gap) // 1000 <= wm_ms:  # timed-out final session
             want.add((u, start, last + gap, n))
     assert out == want
+
+
+def test_dataset_manifest_detects_mutation(spark, tmp_path):
+    """The content checksum must be row-order-free but mutation-
+    sensitive: same bytes shuffled -> same sum; one changed value ->
+    different sum."""
+    import shutil
+
+    from df_spark.queries.governance import _MANIFEST_TABLES
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "mani"
+    d.mkdir()
+    for t, _, _ in _MANIFEST_TABLES:
+        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    base = {r.table_name: r for r in
+            REG["dataset_manifest"].fn(spark, str(d)).collect()}
+    for t in base.values():
+        if t.table_name == "lineitem":
+            # the synthetic generator does NOT enforce the TPC-H
+            # (orderkey, linenumber) PK — the manifest's job is to
+            # REPORT that, and the report must match a direct count
+            li = spark.read.parquet(f"{d}/lineitem.parquet")
+            direct = li.select("l_orderkey", "l_linenumber").distinct().count()
+            assert t.pk_distinct == direct < t.n_rows
+        else:
+            assert t.pk_distinct == t.n_rows  # dims have clean PKs
+    # materialize region's rows, then rewrite (a lazy self-overwrite
+    # would read its own half-deleted output)
+    reg = spark.read.parquet(f"{d}/region.parquet")
+    schema, rows = reg.schema, reg.collect()
+    # shuffled row order -> identical manifest row (order-free sum)
+    spark.createDataFrame(list(reversed(rows)), schema) \
+        .coalesce(1).write.mode("overwrite").parquet(f"{d}/region.parquet")
+    again = {r.table_name: r for r in
+             REG["dataset_manifest"].fn(spark, str(d)).collect()}
+    assert again["region"] == base["region"]
+    # mutate one value -> content_sum changes, n_rows does not
+    mut = [r.asDict() for r in rows]
+    mut[0]["r_name"] = mut[0]["r_name"] + "X"
+    spark.createDataFrame(mut, schema) \
+        .coalesce(1).write.mode("overwrite").parquet(f"{d}/region.parquet")
+    mutated = {r.table_name: r for r in
+               REG["dataset_manifest"].fn(spark, str(d)).collect()}
+    assert mutated["region"].n_rows == base["region"].n_rows
+    assert mutated["region"].content_sum != base["region"].content_sum
+
+
+def test_stream_sliding_each_event_in_four_windows(spark, sf_dir):
+    out = REG["stream_sliding_hourly"].fn(spark, sf_dir).collect()
+    ev = load_sdf(spark, sf_dir, "events")
+    # total count across emitted windows == 4x events inside the fully
+    # closed region (every event belongs to exactly 4 sliding windows;
+    # events near the end have some of their windows withheld, so
+    # compare on the region where all 4 windows closed)
+    import datetime
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    wm = mx.replace(microsecond=(mx.microsecond // 1000) * 1000) \
+        - datetime.timedelta(hours=2)
+    # an event's LAST window is [bucket(t), +1h); all 4 closed iff
+    # bucket15(t) + 1h <= wm
+    def bucket15(t):
+        return t.replace(minute=(t.minute // 15) * 15, second=0,
+                         microsecond=0)
+    all_closed = [r for r in ev.select("ts").collect()
+                  if bucket15(r.ts) + datetime.timedelta(hours=1) <= wm]
+    emitted_total = sum(r.n_events for r in out)
+    # every fully-closed event contributes exactly 4; partially-closed
+    # events contribute 1-3, so the total is bounded by these
+    lo = 4 * len(all_closed)
+    assert emitted_total >= lo
+    assert emitted_total <= lo + 3 * (ev.count() - len(all_closed))
