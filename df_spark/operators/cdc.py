@@ -74,3 +74,54 @@ def latest_per_key(df: DataFrame, keys: Sequence[str], ts_col: str) -> DataFrame
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def merge_apply(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Full MERGE INTO semantics over an op-tagged changeset in ONE
+    full-outer join on the key:
+
+    - matched  + op='D' → row deleted
+    - matched  + op='U' → row replaced by the change row's values
+    - unmatched + op='I' → change row inserted
+    - unmatched target rows pass through; a change row that fires no
+      clause ('U'/'D' with no match, 'I' with a match, unknown ops)
+      is a no-op — the target row, if any, survives untouched,
+      mirroring SQL MERGE's when-clause gating.
+
+    ``changes`` must carry all of ``target``'s columns plus ``op_col``.
+    One shuffle per side on ``keys`` (AQE broadcasts a small batch);
+    this is the Delta/Iceberg MERGE plan shape minus the file rewrite,
+    which a lakehouse sink would do in ``foreachBatch``."""
+    keys = list(keys)
+    cols = target.columns
+    op = F.col(f"s.{op_col}")
+    # key columns are coalesced by the USING join; presence of each side
+    # is detected via a pre-join constant flag (data columns may hold
+    # genuine NULLs, so they can't serve as presence markers)
+    t = target.withColumn("__t", F.lit(True)).alias("t")
+    s = changes.withColumn("__s", F.lit(True)).alias("s")
+    j = t.join(s, keys, "full_outer")
+    matched = F.col("t.__t").isNotNull() & F.col("s.__s").isNotNull()
+    # target survives when untouched OR when the matching change row
+    # fires no matched-clause (anything but U/D)
+    keep_target = F.col("t.__t").isNotNull() & (
+        F.col("s.__s").isNull() | ~op.isin("U", "D")
+    )
+    take_update = matched & (op == "U")
+    take_insert = F.col("t.__t").isNull() & (op == "I")
+    data_cols = [c for c in cols if c not in keys]
+    out = j.filter(keep_target | take_update | take_insert).select(
+        *keys,
+        *[
+            F.when(keep_target, F.col(f"t.{c}"))
+            .otherwise(F.col(f"s.{c}"))
+            .alias(c)
+            for c in data_cols
+        ],
+    )
+    return out.select(*cols)

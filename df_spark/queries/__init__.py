@@ -190,10 +190,9 @@ PRIORITY = [
     "filter_predicates", "select_arith", "orderby_limit", "group_collect",
     "join_inner",
     "union_distinct", "csv_roundtrip", "inmem_source_join",
-    "orc_roundtrip", "parquet_partitioned_sink",
-    "parquet_schema_evolution", "jsonl_corrupt_quarantine",
     "dedup_exact",
-    "prefix_sim_join",
+    "prefix_sim_join", "chunk_dedup", "minhash_est_audit",
+    "char_diversity", "hard_negatives", "merge_upsert",
     "boilerplate_segments", "stream_timeout_sessions",
     "levenshtein_pairs",
     "embed_quantize", "wav_energy_windows",
@@ -210,8 +209,12 @@ PRIORITY = [
     "bucketed_join", "partition_backfill",
     "join_hint_shuffle_hash", "stream_left_outer",
     "stream_sliding_hourly", "retention_sweep",
-    "stream_sessions", "stream_decontaminate",
-    "stream_dedup", "stream_user_profiles", "stream_quota_alerts",
+    "stream_decontaminate", "stream_topk_trending",
+    "stream_user_profiles", "stream_quota_alerts",
+    # rotated out r10 (multi-round green, families still represented):
+    # orc_roundtrip, parquet_partitioned_sink, parquet_schema_evolution,
+    # jsonl_corrupt_quarantine, stream_sessions, stream_dedup — six
+    # first-round r10 operators take their window slots.
 ]
 
 

@@ -159,3 +159,83 @@ def mv_incremental(spark, sf_dir):
         )
     )
     return merged
+
+
+@register(
+    "merge_upsert",
+    sql="""
+    WITH chg AS (
+      SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+             o_totalprice,
+             o_orderdate, '0-MERGED' AS o_orderpriority, 'U' AS op
+      FROM orders WHERE o_orderkey % 13 != 0 AND o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority, 'D' AS op
+      FROM orders WHERE o_orderkey % 13 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, 'N' AS o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority, 'I' AS op
+      FROM orders WHERE o_orderkey % 17 = 0
+    ),
+    merged AS (
+      SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice,
+             t.o_orderdate, t.o_orderpriority
+      FROM orders t LEFT JOIN chg s ON t.o_orderkey = s.o_orderkey
+      WHERE s.op IS NULL
+      UNION ALL
+      SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice,
+             s.o_orderdate, s.o_orderpriority
+      FROM chg s JOIN orders t ON t.o_orderkey = s.o_orderkey
+      WHERE s.op = 'U'
+      UNION ALL
+      SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice,
+             s.o_orderdate, s.o_orderpriority
+      FROM chg s LEFT JOIN orders t ON t.o_orderkey = s.o_orderkey
+      WHERE s.op = 'I' AND t.o_orderkey IS NULL
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+           o_orderpriority
+    FROM merged
+    """,
+)
+def merge_upsert(spark, sf_dir):
+    """MERGE INTO (upsert + delete + insert in one statement) against
+    the orders snapshot, via ``operators.cdc.merge_apply`` — the
+    lakehouse writeback primitive expressed as ONE full-outer join on
+    the key (stock Spark, no Delta/Iceberg jars). The changeset is
+    derived deterministically from orders itself: keys ≡0 (mod 13)
+    are deletes, remaining keys ≡0 (mod 7) are updates (status 'X',
+    price +10%), and keys ≡0 (mod 17) re-keyed +1e8 are inserts. The
+    oracle recomputes the same MERGE as three clause-gated joins.
+
+    Scale shape: one shuffle per side hashed on o_orderkey (AQE
+    broadcasts a small change batch); the when-clause gating is a
+    row-local CASE after the join — no second pass, no window. At
+    100 TB this is exactly Delta's MERGE join plan; the file rewrite
+    a real table format adds happens in the sink, not the plan."""
+    from ..operators.cdc import merge_apply
+
+    orders = load_sdf(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    upd = (
+        orders.filter((k % 13 != 0) & (k % 7 == 0))
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("o_orderpriority", F.lit("0-MERGED"))
+        .withColumn("op", F.lit("U"))
+    )
+    dels = orders.filter(k % 13 == 0).withColumn("op", F.lit("D"))
+    ins = (
+        orders.filter(k % 17 == 0)
+        .withColumn("o_orderkey", k + 100000000)
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn("op", F.lit("I"))
+    )
+    changes = upd.unionByName(dels).unionByName(ins)
+    merged = merge_apply(orders, changes, keys=["o_orderkey"])
+    return merged.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        "o_orderpriority",
+    )

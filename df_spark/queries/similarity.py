@@ -484,3 +484,67 @@ def embed_quantize(spark, sf_dir):
         F.aggregate(terms, F.lit(0).cast("long"),
                     lambda a, v: a + v).alias("sse_pico"),
     )
+
+
+_HN_QUERIES = 32  # vec_id < 32 are the anchor vectors
+_HN_K = 5
+
+
+@register(
+    "hard_negatives",
+    sql=f"""
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT q.vec_id AS query_id, e.vec_id,
+             {S.cosine_sql('q.embedding', 'e.embedding')} AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {S.cosine_sql('q.embedding', 'e.embedding')} DESC,
+                        e.vec_id
+             ) AS rank
+      FROM embeddings q JOIN embeddings e ON e.label <> q.label
+      WHERE q.vec_id < {_HN_QUERIES}
+    ) WHERE rank <= {_HN_K}
+    """,
+)
+def hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the top-{_HN_K} most-similar vectors whose LABEL differs —
+    the near-misses a contrastive loss learns the most from (the
+    retrieval-training analogue of cosine_topk; same bit-identical
+    scoring contract, plus the label-mismatch predicate).
+
+    Scale shape: the anchor set is the small side by construction
+    (mining batches anchors), so it broadcasts and the corpus is never
+    shuffled — a map-side score + per-anchor top-k. The label
+    predicate rides INSIDE the broadcast join (no post-filter pass),
+    and at 100 TB the corpus side would first be pruned by the ANN
+    bucket join (ann_lsh_topk's plan) before exact scoring; the exact
+    variant here is the recall-1.0 oracle for that path. Determinism:
+    cosine via the fold-order-preserving Arrow batch UDF
+    (``operators/similarity.py:_cosine_batch_udf``), ties broken by
+    vec_id."""
+    from pyspark.sql import Window
+
+    emb = load_sdf(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _HN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("__qlabel"),
+        F.col("embedding").alias("__qvec"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("label") != F.col("__qlabel"))
+        .select(
+            "query_id",
+            "vec_id",
+            S.cosine_fast(F.col("__qvec"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HN_K)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )

@@ -584,3 +584,166 @@ def boilerplate_segment_stats(docs):
             ).alias("boiler_permille"),
         )
     )
+
+
+_DD_CHUNK = 120  # chars per non-overlapping dedup chunk
+
+
+@register(
+    "chunk_dedup",
+    sql=f"""
+    WITH ch AS (
+      SELECT doc_id,
+             CAST((start - 1) // {_DD_CHUNK} AS BIGINT) AS chunk_idx,
+             substr(text, CAST(start AS INT), {_DD_CHUNK}) AS chunk
+      FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, greatest(len(text), 1), {_DD_CHUNK}))
+                 AS start
+        FROM documents
+      )
+    ),
+    marked AS (
+      SELECT doc_id, chunk_idx, chunk,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx
+             ) AS occ
+      FROM ch
+    )
+    SELECT doc_id,
+           COUNT(*)::BIGINT AS n_chunks,
+           CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_chunks,
+           md5(string_agg(CASE WHEN occ = 1 THEN chunk ELSE '' END, ''
+                          ORDER BY chunk_idx)) AS retained_md5
+    FROM marked
+    GROUP BY doc_id
+    """,
+)
+def chunk_dedup(spark, sf_dir):
+    """Corpus-level exact CHUNK dedup with document reassembly — the
+    C4 / RefinedWeb "remove duplicated paragraph, keep the first
+    occurrence" pass, at fixed {_DD_CHUNK}-char chunk granularity
+    (the synthetic corpus has no paragraph breaks; on real data the
+    splitter is '\\n\\n' and the rest of the plan is unchanged). Every
+    chunk's keeper is the FIRST occurrence corpus-wide ordered by
+    (doc_id, chunk_idx); each document reports how many of its chunks
+    survived and the md5 of its retained text (kept chunks
+    re-concatenated in order), so the sink can write the cleaned
+    corpus without a second pass.
+
+    Scale shape: one map-side chunk explode, ONE shuffle on the chunk
+    fingerprint for the global first-occurrence window, one shuffle
+    back on doc_id for reassembly. The window key is md5(chunk) —
+    uniform by construction, no skew even when one boilerplate chunk
+    dominates the corpus (all its copies land in one partition, but
+    the per-key work is a row_number scan, not a join fan-out). At
+    100 TB this is the exact plan: fingerprint-partitioned
+    first-touch election is how paragraph dedup is run in production
+    (no candidate explosion — it's exact, not approximate)."""
+    docs = load_sdf(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(_DD_CHUNK)
+    )
+    ch = docs.select(
+        "doc_id", "text", F.explode(starts).alias("start")
+    ).select(
+        "doc_id",
+        F.expr(f"(start - 1) div {_DD_CHUNK}").alias("chunk_idx"),
+        F.substring(F.col("text"), F.col("start"), _DD_CHUNK).alias("chunk"),
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_idx")
+    marked = ch.withColumn("occ", F.row_number().over(w))
+    kept_chunk = F.when(F.col("occ") == 1, F.col("chunk")).otherwise(F.lit(""))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("occ") == 1, 1).otherwise(0))
+            .cast("long").alias("kept_chunks"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("chunk_idx", kept_chunk.alias("kc"))
+                            )
+                        ),
+                        lambda s: s["kc"],
+                    ),
+                    "",
+                )
+            ).alias("retained_md5"),
+        )
+    )
+
+
+@register(
+    "char_diversity",
+    sql="""
+    WITH ch AS (
+      SELECT doc_id, substr(text, CAST(i AS INT), 1) AS c
+      FROM documents,
+           LATERAL unnest(generate_series(1, greatest(len(text), 1))) AS t(i)
+      WHERE len(text) > 0
+    ),
+    cc AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(n) AS BIGINT) AS n_chars,
+             COUNT(*)::BIGINT AS distinct_chars,
+             CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+             CAST(MAX(n) AS BIGINT) AS max_n
+      FROM cc GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars, distinct_chars,
+           ((1000000 * sum_sq) // (n_chars * n_chars))::BIGINT
+             AS simpson_ppm,
+           ((1000 * max_n) // n_chars)::BIGINT AS top_char_permille
+    FROM agg
+    """,
+)
+def char_diversity(spark, sf_dir):
+    """Character-level Simpson diversity (collision probability) per
+    document — the integer-exact gibberish/mojibake gate: a doc whose
+    char distribution collapses onto a few symbols (binary spill,
+    repeated padding, wrong-charset decode) has simpson_ppm near
+    1e6/distinct_chars' floor and a dominant top_char share, while
+    natural text sits in a narrow band. Unlike a Shannon-entropy gate
+    this needs NO transcendental math, so the permille/ppm outputs
+    hash identically across engines (the r8/r9 HUGEINT lesson: the
+    1e6-scaled products are summed as BIGINT and the division result
+    is ::BIGINT-cast explicitly on the oracle side).
+
+    Scale shape: explode to (doc_id, char) — bounded fan-out of
+    len(text) rows — then ONE hash aggregate on (doc_id, char) whose
+    map-side combine collapses each partition's repeats (the charset
+    is small, so partial rows per doc ≈ charset size, not text
+    length), and a per-doc re-aggregate. Both keys carry doc_id —
+    uniform, no skew; no window, no join. At 100 TB: two scan-shaped
+    aggregate passes, same as ngram_repetition."""
+    docs = load_sdf(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    # Java split keeps TRAILING empty strings (limit -1) and "(?!^)"
+    # zero-width-matches at end-of-string, so one empty token trails
+    # every doc — dropped before counting.
+    ch = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), "(?!^)")).alias("c"),
+    ).filter(F.col("c") != "")
+    cc = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cc.groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_chars"),
+            F.count(F.lit(1)).cast("long").alias("distinct_chars"),
+            F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"),
+            F.max("n").cast("long").alias("max_n"),
+        )
+        .select(
+            "doc_id", "n_chars", "distinct_chars",
+            F.expr("(1000000 * sum_sq) div (n_chars * n_chars)")
+            .alias("simpson_ppm"),
+            F.expr("(1000 * max_n) div n_chars").alias("top_char_permille"),
+        )
+    )

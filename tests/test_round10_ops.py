@@ -244,3 +244,147 @@ def test_stream_sliding_each_event_in_four_windows(spark, sf_dir):
     lo = 4 * len(all_closed)
     assert emitted_total >= lo
     assert emitted_total <= lo + 3 * (ev.count() - len(all_closed))
+
+
+# ---- second batch of round-10 operators -------------------------------
+
+
+def test_chunk_dedup_first_occurrence_election(spark, sf_dir):
+    import hashlib
+
+    out = {r.doc_id: r for r in REG["chunk_dedup"].fn(spark, sf_dir).collect()}
+    docs = sorted(load_sdf(spark, sf_dir, "documents").collect(),
+                  key=lambda d: d.doc_id)
+    seen = set()
+    expected = {}
+    for d in docs:  # doc_id order == election order
+        text = d.text or ""
+        chunks = [text[i:i + 120] for i in range(0, max(len(text), 1), 120)]
+        kept = []
+        n_kept = 0
+        for c in chunks:
+            if c not in seen:
+                seen.add(c)
+                kept.append(c)
+                n_kept += 1
+            else:
+                kept.append("")
+        expected[d.doc_id] = (len(chunks), n_kept,
+                              hashlib.md5("".join(kept).encode()).hexdigest())
+    for doc_id, (n_chunks, n_kept, md5) in expected.items():
+        r = out[doc_id]
+        assert r.n_chunks == n_chunks
+        assert r.kept_chunks == n_kept
+        assert r.retained_md5 == md5
+    # corpus-level invariant: every distinct chunk is kept exactly once
+    total_kept = sum(r.kept_chunks for r in out.values())
+    assert total_kept == len(seen)
+
+
+def test_char_diversity_matches_counter(spark, sf_dir):
+    from collections import Counter
+
+    out = {r.doc_id: r for r in REG["char_diversity"].fn(spark, sf_dir).collect()}
+    for d in load_sdf(spark, sf_dir, "documents").collect():
+        if not d.text:
+            assert d.doc_id not in out
+            continue
+        c = Counter(d.text)
+        n = sum(c.values())
+        r = out[d.doc_id]
+        assert r.n_chars == n
+        assert r.distinct_chars == len(c)
+        assert r.simpson_ppm == (1000000 * sum(v * v for v in c.values())) // (n * n)
+        assert r.top_char_permille == (1000 * max(c.values())) // n
+
+
+def test_hard_negatives_labels_and_order(spark, sf_dir):
+    import numpy as np
+
+    out = REG["hard_negatives"].fn(spark, sf_dir).collect()
+    emb = {r.vec_id: (np.array(r.embedding, dtype="float64"), r.label)
+           for r in load_sdf(spark, sf_dir, "embeddings").collect()}
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        qv, qlabel = emb[qid]
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        for r in rows:
+            assert emb[r.vec_id][1] != qlabel  # negatives only
+        # rank-1 really is the max-cosine different-label vector
+        def cos(a, b):
+            return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        best = max(
+            ((vid, cos(qv, v)) for vid, (v, lb) in emb.items() if lb != qlabel),
+            key=lambda t: (t[1], -t[0]),
+        )
+        assert rows[0].vec_id == best[0]
+
+
+def test_merge_apply_clause_gating(spark):
+    from df_spark.operators.cdc import merge_apply
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    changes = spark.createDataFrame(
+        [
+            (2, "B", "U"),    # matched update
+            (3, None, "D"),   # matched delete
+            (4, "d", "I"),    # unmatched insert
+            (5, "x", "U"),    # U without match -> dropped
+            (1, "dup", "I"),  # I with match -> dropped
+            (6, "y", "Z"),    # unknown op -> dropped
+        ],
+        ["k", "v", "op"],
+    )
+    out = {r.k: r.v for r in merge_apply(target, changes, keys=["k"]).collect()}
+    assert out == {1: "a", 2: "B", 4: "d"}
+
+
+def test_merge_upsert_key_algebra(spark, sf_dir):
+    out = REG["merge_upsert"].fn(spark, sf_dir)
+    orders = load_sdf(spark, sf_dir, "orders")
+    n = orders.count()
+    n_del = orders.filter(F.col("o_orderkey") % 13 == 0).count()
+    n_ins = orders.filter(F.col("o_orderkey") % 17 == 0).count()
+    assert out.count() == n - n_del + n_ins
+    keys = [r.o_orderkey for r in out.select("o_orderkey").collect()]
+    assert len(keys) == len(set(keys))  # still a snapshot (unique keys)
+    # every update row carries the new tag; untouched rows never do
+    tagged = out.filter(F.col("o_orderpriority") == "0-MERGED")
+    k = F.col("o_orderkey")
+    assert tagged.filter((k % 13 == 0) | (k % 7 != 0)).count() == 0
+
+
+def test_minhash_est_audit_partitions_sample(spark, sf_dir):
+    from df_spark.operators import dedup as D
+
+    docs = load_sdf(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(D.minhash_signatures(docs))
+    n_sampled = pairs.filter(
+        (F.col("id_a") * 31 + F.col("id_b")) % 20 == 0).count()
+    out = REG["minhash_est_audit"].fn(spark, sf_dir).collect()
+    assert sum(r.n_pairs for r in out) == n_sampled
+    for r in out:
+        lo, hi = r.err_bucket * 50, r.err_bucket * 50 + 49
+        assert lo <= r.min_err_permille <= r.max_err_permille <= hi
+
+
+def test_stream_topk_trending_matches_batch(spark, sf_dir):
+    out = REG["stream_topk_trending"].fn(spark, sf_dir)
+    ev = load_sdf(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events")).select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "user_id", "n_events",
+    )
+    rk = W.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc())
+    batch = agg.withColumn("rank", F.row_number().over(rk)).filter(
+        F.col("rank") <= 3)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
