@@ -206,6 +206,12 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Max distinct static-side hashes for the in-expression InSet probe in
+# decontaminate_stream; past this the driver-collected literal set stops
+# being "bounded dim" sized and the broadcast join takes over.
+IN_SET_PROBE_MAX = 65536
+
+
 def decontaminate_stream(
     doc_stream: DataFrame,
     bench_docs: DataFrame,
@@ -233,11 +239,18 @@ def decontaminate_stream(
     # are pinned in memory for the life of the query). Session-memoized
     # under the same key as the batch contamination_scores, so the batch
     # row and this streaming twin share one build per suite run.
+    # distinct at width 2, not the session's 32: the result is a few
+    # hundred rows (one per distinct benchmark shingle hash), and the
+    # explicit hash repartition satisfies the aggregate's distribution
+    # requirement so no second exchange widens it back out — on a
+    # loaded driver host the per-pass rebuild's wall is task-scheduling
+    # latency × task count, not compute (this build is the first-touch
+    # cost the bench re-pays every memo-cleared pass).
     bench_hashes = DEDUP_MEMO.get_or_build(
         ("bench_hashes", frame_key(bench_docs), "doc_id", "text", k),
         lambda: (
             shingle_hashes(bench_docs, "doc_id", "text", k=k)
-            .select("h").distinct()
+            .select("h").repartition(2, "h").distinct()
             .localCheckpoint(eager=True)
         ),
     )
@@ -267,8 +280,22 @@ def decontaminate_stream(
         .select("doc_id", shingle.alias("__s"))
         .select("doc_id", h32(F.col("__s")).alias("h"))
     )
+    # Probe strategy, size-gated: a real eval suite's distinct shingle
+    # hashes are bounded (hundreds at sf0.1), so the membership probe
+    # compiles to an InSet hash lookup INSIDE the scan stage — zero
+    # exchange, no broadcast build per micro-batch, and the optimizer's
+    # inSetConversionThreshold turns the literal IN into an O(1) set
+    # probe. Past the gate (a genuinely huge static side) the original
+    # broadcast join takes over; `test_stream_decontaminate_regimes`
+    # pins both regimes to identical output.
+    n_bench = bench_hashes.count()
+    if n_bench <= IN_SET_PROBE_MAX:
+        probe_set = [r["h"] for r in bench_hashes.collect()]
+        matched = stream_hashes.filter(F.col("h").isin(probe_set))
+    else:
+        matched = stream_hashes.join(F.broadcast(bench_hashes), "h")
     return (
-        stream_hashes.join(F.broadcast(bench_hashes), "h")
+        matched
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)

@@ -389,3 +389,25 @@ def test_stream_sessions_emitted_set(spark, sf_dir):
     )
     want = {(r.user_id, r.s, r.e, r.n) for r in batch.collect()}
     assert got == want and want
+
+
+def test_stream_decontaminate_regimes(spark, sf_dir, monkeypatch):
+    """The InSet fast path and the broadcast-join fallback must emit
+    identical contamination scores — force the join regime by zeroing
+    the size gate and compare against the default (InSet) regime."""
+    docs = load_sdf(spark, sf_dir, "documents")
+    bench = docs.filter(F.expr("doc_id % 20 = 0"))
+
+    def run():
+        stream = SW.read_documents_stream(spark, sf_dir).filter(
+            F.expr("NOT (doc_id % 20 = 0)"))
+        _, out = SW.run_stream_to_memory(
+            SW.decontaminate_stream(stream, bench, min_shared=25),
+            output_mode="complete",
+        )
+        return {(r.doc_id, r.n_shared) for r in out.collect()}
+
+    fast = run()
+    monkeypatch.setattr(SW, "IN_SET_PROBE_MAX", 0)
+    joined = run()
+    assert fast == joined and fast
