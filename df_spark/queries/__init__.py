@@ -190,7 +190,7 @@ PRIORITY = [
     "filter_predicates", "select_arith", "orderby_limit", "group_collect",
     "join_inner",
     "union_distinct", "csv_roundtrip", "inmem_source_join",
-    "dedup_exact",
+    "jsonl_gzip_roundtrip", "vocab_oov_rate",
     "prefix_sim_join", "chunk_dedup", "minhash_est_audit",
     "char_diversity", "hard_negatives", "merge_upsert",
     "boilerplate_segments", "stream_timeout_sessions",
@@ -202,7 +202,6 @@ PRIORITY = [
     "join_skew_report", "dataset_manifest",
     "llm_data_pipeline", "grouping_sets_agg",
     "sample_exact_k", "train_val_split", "shard_assign",
-    "pack_sequences",
     "rtbf_cascade",
     "price_histogram", "quality_deciles", "token_len_histogram",
     "dq_checks",
@@ -213,8 +212,9 @@ PRIORITY = [
     "stream_user_profiles", "stream_quota_alerts",
     # rotated out r10 (multi-round green, families still represented):
     # orc_roundtrip, parquet_partitioned_sink, parquet_schema_evolution,
-    # jsonl_corrupt_quarantine, stream_sessions, stream_dedup — six
-    # first-round r10 operators take their window slots.
+    # jsonl_corrupt_quarantine, stream_sessions, stream_dedup,
+    # dedup_exact, pack_sequences — eight first-round r10 operators
+    # take their window slots.
 ]
 
 

@@ -673,3 +673,59 @@ def jsonl_corrupt_quarantine(spark, sf_dir):
                      F.col("o_totalprice").cast("decimal(18,2)")))
         .cast("double").alias("valid_total"),
     )
+
+
+_GZ_FILES = 8  # gzip members written (== readback parallelism)
+
+
+@register(
+    "jsonl_gzip_roundtrip",
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def jsonl_gzip_roundtrip(spark, sf_dir):
+    """Gzip-compressed JSON-lines round-trip — the OTHER way LLM
+    corpora actually arrive (Common Crawl derivatives ship .jsonl.gz).
+    Gzip is NOT splittable, so read parallelism equals the FILE count;
+    the export therefore repartitions to {_GZ_FILES} members before
+    writing, which is the production mitigation (many medium .gz files,
+    never one giant one — at 100 TB the writer targets ~256 MB members
+    so every executor core gets whole files). The oracle aggregates the
+    original parquet, so any compress→decompress→parse defect is a
+    hash mismatch.
+
+    Timestamps are excluded for the same reason as jsonl_roundtrip
+    (ndjson has no timestamp type); doubles round-trip exactly through
+    Spark's JSON writer (shortest-repr print, exact re-parse)."""
+    out = _scratch("df_spark_jsonl_gz_roundtrip", sf_dir)
+    src = Df(
+        load_sdf(spark, sf_dir, "events").select(
+            "event_id", "event_type", "user_id", "value"
+        ).repartition(_GZ_FILES)
+    )
+    src.write_jsonl(out, compression="gzip")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = Df.from_jsonl(spark, out, schema)
+    return (
+        back.to_spark()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double").alias("total_value"),
+        )
+    )

@@ -308,3 +308,68 @@ def doc_rarity(spark, sf_dir):
             ).alias("n_common"),
         )
     )
+
+
+_VOCAB_N = 50
+
+
+@register(
+    "vocab_oov_rate",
+    sql=f"""
+    WITH tok AS ({_TOKENS_SQL}),
+    vc AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS n FROM tok WHERE token <> ''
+        GROUP BY token ORDER BY n DESC, token LIMIT {_VOCAB_N}
+      )
+    ),
+    per AS (
+      SELECT t.doc_id,
+             COUNT(*)::BIGINT AS n_tokens,
+             CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov
+      FROM tok t LEFT JOIN vc v USING (token)
+      WHERE t.token <> ''
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, n_oov,
+           ((1000 * n_oov) // n_tokens)::BIGINT AS oov_permille
+    FROM per
+    """,
+)
+def vocab_oov_rate(spark, sf_dir):
+    """Tokenizer-vocabulary coverage gate: fix the vocabulary to the
+    corpus' top-{_VOCAB_N} tokens (count desc, token asc — fully
+    deterministic under ties) and report each document's out-of-vocab
+    token share in integer permille. This is the diagnostic run before
+    committing to a tokenizer: docs with high OOV rates either predate
+    the vocab's domain or are noise, and the same pass sizes how much
+    of the corpus a candidate vocab actually covers.
+
+    Scale shape: ONE token hash-aggregate builds the frequency table
+    (map-side combine absorbs within-partition repeats), the top-N is
+    a bounded take, and the vocab — bounded by construction — comes
+    back as an InSet literal so the per-doc pass is scan-shaped with
+    zero join (the stream_decontaminate probe pattern). The per-doc
+    aggregate keys on doc_id: uniform, no skew. The oracle spells the
+    same membership as a LEFT JOIN against the top-N CTE."""
+    tok = _tokens_sdf(spark, sf_dir)
+    vocab_rows = (
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(_VOCAB_N)
+        .collect()
+    )
+    vocab = [r["token"] for r in vocab_rows]  # bounded: _VOCAB_N rows
+    oov = F.when(F.col("token").isin(vocab), 0).otherwise(1)
+    return (
+        tok.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(oov).cast("long").alias("n_oov"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_oov",
+            F.expr("(1000 * n_oov) div n_tokens").alias("oov_permille"),
+        )
+    )

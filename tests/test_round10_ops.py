@@ -388,3 +388,41 @@ def test_stream_topk_trending_matches_batch(spark, sf_dir):
     batch = agg.withColumn("rank", F.row_number().over(rk)).filter(
         F.col("rank") <= 3)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_vocab_oov_rate_against_counter(spark, sf_dir):
+    from collections import Counter
+
+    out = {r.doc_id: r for r in REG["vocab_oov_rate"].fn(spark, sf_dir).collect()}
+    from df_spark.functions.text import normalized
+    docs = load_sdf(spark, sf_dir, "documents").select(
+        "doc_id", normalized(F.col("text")).alias("t")).collect()
+    freq = Counter()
+    per_doc = {}
+    for d in docs:
+        toks = [t for t in d.t.split(" ") if t]
+        per_doc[d.doc_id] = toks
+        freq.update(toks)
+    vocab = {t for t, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:50]}
+    for doc_id, toks in per_doc.items():
+        if not toks:
+            assert doc_id not in out
+            continue
+        r = out[doc_id]
+        n_oov = sum(1 for t in toks if t not in vocab)
+        assert r.n_tokens == len(toks)
+        assert r.n_oov == n_oov
+        assert r.oov_permille == (1000 * n_oov) // len(toks)
+
+
+def test_jsonl_gzip_files_and_counts(spark, sf_dir):
+    import glob
+    out = REG["jsonl_gzip_roundtrip"].fn(spark, sf_dir)
+    total = sum(r.n_events for r in out.collect())
+    ev = load_sdf(spark, sf_dir, "events")
+    assert total == ev.count()
+    # the sink really wrote gzip members (non-splittable -> file count
+    # IS the read parallelism; the repartition(8) pins it)
+    from df_spark.queries.sources_q import _scratch
+    files = glob.glob(_scratch("df_spark_jsonl_gz_roundtrip", sf_dir) + "/*.json.gz")
+    assert len(files) == 8
