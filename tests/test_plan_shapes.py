@@ -313,3 +313,39 @@ def test_ngram_repetition_no_window_no_udf(spark):
     assert "Window" not in plan
     assert "EvalPython" not in plan
     assert count_in(plan, "HashAggregate") >= 4  # two partial+final pairs
+
+
+def test_hard_negatives_broadcasts_anchors_no_corpus_shuffle(spark):
+    # the anchor batch is the broadcast side; the corpus is scanned
+    # map-side, scored, and only the per-anchor top-k window shuffles
+    plan = plan_of(spark, "hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunk_dedup_two_keyed_exchanges(spark):
+    # one shuffle on the chunk fingerprint (first-occurrence window),
+    # one back on doc_id (reassembly aggregate) — nothing else
+    plan = plan_of(spark, "chunk_dedup")
+    assert count_in(plan, "Exchange") == 2
+    assert "Window" in plan
+
+
+def test_char_diversity_two_hash_aggregates(spark):
+    # (doc, char) hash agg + per-doc re-agg; no window, no join
+    plan = plan_of(spark, "char_diversity")
+    assert "Window" not in plan
+    assert count_in(plan, "Join") == 0
+
+
+def test_vocab_oov_is_scan_shaped_inset(spark):
+    # the vocab rides as an InSet literal: the per-doc pass has NO join
+    plan = plan_of(spark, "vocab_oov_rate")
+    assert count_in(plan, "Join") == 0
+
+
+def test_merge_upsert_single_join_level(spark):
+    # MERGE = ONE full-outer join on the key; clause gating is a
+    # row-local filter/projection, never a second pass over the target
+    plan = plan_of(spark, "merge_upsert")
+    assert plan.count("FullOuter") == 1
