@@ -56,7 +56,16 @@ from ..functions.text import (
 # llm_data_pipeline, minhash_near_dups, minhash_signatures,
 # minhash_lsh_pairs) — within a session the first caller computes, the
 # rest hit materialized storage.
-DEDUP_MEMO = FrameMemo(capacity=8)
+# Capacity 16 (was 8 through r9): the r10 registry's per-pass memo
+# traffic (shared build + sets + cand + bench_hashes + prefix/
+# containment xxsets/xxarrays + rarity + fuzzy blocks + the estimator
+# audit) exceeded 8 live keys, so the prefix family's xxsets/xxarrays —
+# built once per pass by containment_join — were LRU-evicted before
+# prefix_sim_join ran, re-paying a 2.4 s build (measured: bench prefix
+# wall 2.07 → 4.46 s, CPU 8.9 → 28). Entries are localCheckpoint'd
+# narrow intermediates; ContextCleaner frees evicted ones, so the cost
+# of a larger window is bounded storage references, not leaks.
+DEDUP_MEMO = FrameMemo(capacity=16)
 
 # hashed shingle SETS are stored as 32-bit ints, shifted from the h32
 # domain [0, 2^32) by -2^31 (injective → Jaccard-invariant); profiles
