@@ -197,8 +197,8 @@ PRIORITY = [
     "levenshtein_pairs",
     "embed_quantize", "wav_energy_windows",
     "doc_repetition", "ngram_repetition",
-    "tree_depths",
-    "window_distribution", "events_regression", "events_rolling",
+    "mad_outliers", "mix_temperature",
+    "events_regression", "events_rolling",
     "join_skew_report", "dataset_manifest",
     "llm_data_pipeline", "grouping_sets_agg",
     "sample_exact_k", "train_val_split", "shard_assign",
@@ -213,8 +213,8 @@ PRIORITY = [
     # rotated out r10 (multi-round green, families still represented):
     # orc_roundtrip, parquet_partitioned_sink, parquet_schema_evolution,
     # jsonl_corrupt_quarantine, stream_sessions, stream_dedup,
-    # dedup_exact, pack_sequences — eight first-round r10 operators
-    # take their window slots.
+    # dedup_exact, pack_sequences, tree_depths, window_distribution —
+    # ten first-round r10 operators take their window slots.
 ]
 
 

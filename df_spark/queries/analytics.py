@@ -783,3 +783,93 @@ def grouping_sets_agg(spark, sf_dir):
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                 (l_returnflag), ())
     """)
+
+
+@register(
+    "mad_outliers",
+    sql="""
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100, 0) AS BIGINT) AS c
+      FROM events
+    ),
+    r1 AS (
+      SELECT event_type, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY c, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    med AS (SELECT event_type, c AS med_c FROM r1 WHERE rn = (n + 1) // 2),
+    d AS (
+      SELECT v.event_type, v.event_id, abs(v.c - med.med_c) AS dev
+      FROM v JOIN med USING (event_type)
+    ),
+    r2 AS (
+      SELECT event_type, dev,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY dev, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM d
+    ),
+    mad AS (SELECT event_type, dev AS mad_c FROM r2 WHERE rn = (n + 1) // 2)
+    SELECT d.event_type,
+           med.med_c AS median_cents,
+           mad.mad_c AS mad_cents,
+           COUNT(*)::BIGINT AS n_events,
+           CAST(SUM(CASE WHEN d.dev > 3 * mad.mad_c THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN med USING (event_type) JOIN mad USING (event_type)
+    GROUP BY 1, 2, 3
+    """,
+)
+def mad_outliers(spark, sf_dir):
+    """Robust outlier gate via median/MAD (median absolute deviation)
+    in integer CENTS — the quality filter that survives the heavy
+    tails a mean/stddev z-score gate chokes on (one whale purchase
+    inflates sigma and hides every other outlier; the median and MAD
+    barely move). Both statistics are EXACT rank-based lower medians
+    under a total order tie-broken by event_id (the
+    grouped_median_filter recipe), and values live in cents, so the
+    |x − median| > 3·MAD comparison is pure integer arithmetic the
+    two engines cannot tie-split.
+
+    Scale shape: two window passes partitioned by event_type (bounded
+    key count; for a HOT type at 100 TB the same thresholds come from
+    a two-pass count+offset rank read, identical join shape), each
+    median relation is tiny and broadcasts back onto the scan, and
+    the final classify is one hash aggregate."""
+    from pyspark.sql import Window as W
+
+    ev = load_sdf(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+
+    def lower_median(df, col, out):
+        w = W.partitionBy("event_type").orderBy(col, "event_id")
+        wc = W.partitionBy("event_type")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(wc))
+            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select("event_type", F.col(col).alias(out))
+        )
+
+    med = lower_median(v, "c", "median_cents")
+    d = v.join(F.broadcast(med), "event_type").select(
+        "event_type", "event_id",
+        F.abs(F.col("c") - F.col("median_cents")).alias("dev"),
+    )
+    mad = lower_median(d, "dev", "mad_cents")
+    return (
+        d.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "median_cents", "mad_cents")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(F.col("dev") > 3 * F.col("mad_cents"), 1)
+                  .otherwise(0)).cast("long").alias("n_outliers"),
+        )
+    )

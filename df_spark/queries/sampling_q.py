@@ -255,3 +255,85 @@ def mix_rebalance(spark, sf_dir):
         ).alias("sample_rate"),
         F.floor(F.col("share") * F.col("nstar")).cast("long").alias("planned_tokens"),
     )
+
+
+_TEMP_SCALE = 1_000_000  # fixed-point scale for sqrt weights
+
+
+@register(
+    "mix_temperature",
+    sql=f"""
+    WITH tok AS (
+      SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS toks
+      FROM documents GROUP BY lang
+    ),
+    w AS (
+      SELECT lang, toks,
+             CAST(floor(sqrt(CAST(toks AS DOUBLE)) * {_TEMP_SCALE})
+                  AS BIGINT) AS w_fx
+      FROM tok
+    ),
+    tot AS (
+      SELECT CAST(SUM(w_fx) AS BIGINT) AS w_tot,
+             CAST(SUM(toks) AS BIGINT) AS toks_tot
+      FROM w
+    )
+    SELECT lang, toks AS available_tokens,
+           w_fx AS weight_fx,
+           ((1000 * w_fx) // w_tot)::BIGINT AS share_permille,
+           (((toks_tot // 2) * w_fx) // w_tot)::BIGINT AS quota_tokens,
+           round(CAST((((toks_tot // 2) * w_fx) // w_tot) AS DOUBLE)
+                 / CAST(toks AS DOUBLE), 6) AS sample_rate
+    FROM w CROSS JOIN tot
+    """,
+)
+def mix_temperature(spark, sf_dir):
+    """Temperature-scaled corpus mixing (α = 0.5): per-language quotas
+    proportional to available_tokens^α — the multilingual sampling
+    standard (XLM-R §3.1 up-samples low-resource languages exactly
+    this way) — against a budget of half the corpus. Flattening the
+    size distribution is what keeps a 100-language corpus from being
+    90% English.
+
+    Determinism: the α-power runs ONCE per language on an exact
+    BIGINT aggregate (sqrt is correctly-rounded IEEE, floor is exact),
+    then is fixed-pointed to an integer weight — so the cross-language
+    SUM, the permille shares, and the quotas are pure integer
+    arithmetic with no float-summation order anywhere. The only
+    emitted double (sample_rate) is a single per-row division of two
+    exact integers, rounded once.
+
+    Scale shape: one hash aggregate over the corpus (map-side
+    combine), a 1-row total broadcast, and per-language row math —
+    the corpus is scanned once regardless of scale; the actual
+    sampling pass then rides sample_weighted/source_mix with these
+    rates. Fixed-point headroom: budget × weight_fx must fit int64
+    (ample at any benchmark SF; for a 1e14-token corpus drop
+    _TEMP_SCALE to 1e3 or compute quotas per-million-tokens — both
+    engines would raise on overflow rather than wrap, so the bound is
+    checked, not assumed)."""
+    docs = load_sdf(spark, sf_dir, "documents")
+    tok = docs.groupBy("lang").agg(F.sum("n_chars").cast("long").alias("toks"))
+    w = tok.select(
+        "lang", "toks",
+        F.floor(F.sqrt(F.col("toks").cast("double")) * _TEMP_SCALE)
+        .cast("long").alias("w_fx"),
+    )
+    tot = w.groupBy().agg(
+        F.sum("w_fx").cast("long").alias("w_tot"),
+        F.sum("toks").cast("long").alias("toks_tot"),
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.col("toks").alias("available_tokens"),
+            F.col("w_fx").alias("weight_fx"),
+            F.expr("(1000 * w_fx) div w_tot").alias("share_permille"),
+            F.expr("((toks_tot div 2) * w_fx) div w_tot").alias("quota_tokens"),
+            F.round(
+                F.expr("((toks_tot div 2) * w_fx) div w_tot").cast("double")
+                / F.col("toks").cast("double"), 6
+            ).alias("sample_rate"),
+        )
+    )

@@ -426,3 +426,46 @@ def test_jsonl_gzip_files_and_counts(spark, sf_dir):
     from df_spark.queries.sources_q import _scratch
     files = glob.glob(_scratch("df_spark_jsonl_gz_roundtrip", sf_dir) + "/*.json.gz")
     assert len(files) == 8
+
+
+def test_mad_outliers_robust_twin(spark, sf_dir):
+    import statistics
+
+    out = {r.event_type: r for r in REG["mad_outliers"].fn(spark, sf_dir).collect()}
+    rows = load_sdf(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value").collect()
+    import collections
+    byt = collections.defaultdict(list)
+    for r in rows:
+        byt[r.event_type].append((round(r.value * 100), r.event_id))
+    for t, vals in byt.items():
+        ordered = sorted(vals)  # (cents, id) total order
+        med = ordered[(len(ordered) + 1) // 2 - 1][0]
+        devs = sorted((abs(c - med), i) for c, i in vals)
+        mad = devs[(len(devs) + 1) // 2 - 1][0]
+        r = out[t]
+        assert r.median_cents == med and r.mad_cents == mad
+        assert r.n_outliers == sum(1 for c, _ in vals if abs(c - med) > 3 * mad)
+        assert r.n_events == len(vals)
+
+
+def test_mix_temperature_flattens_shares(spark, sf_dir):
+    out = {r.lang: r for r in REG["mix_temperature"].fn(spark, sf_dir).collect()}
+    toks = {r.lang: r.toks for r in
+            load_sdf(spark, sf_dir, "documents").groupBy("lang")
+            .agg(F.sum("n_chars").alias("toks")).collect()}
+    total = sum(toks.values())
+    # alpha=0.5 must move every language's share toward uniform:
+    # under-represented langs gain share, over-represented lose
+    n_langs = len(toks)
+    for lang, n in toks.items():
+        raw_share = n / total
+        temp_share = out[lang].share_permille / 1000
+        if raw_share < 1 / n_langs:
+            assert temp_share >= raw_share - 1e-3
+        else:
+            assert temp_share <= raw_share + 1e-3
+    # quotas never exceed availability (no upsampling past the corpus)
+    for lang, r in out.items():
+        assert 0 <= r.quota_tokens
+        assert abs(r.sample_rate - round(r.quota_tokens / r.available_tokens, 6)) < 1e-9
