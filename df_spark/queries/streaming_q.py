@@ -94,12 +94,12 @@ def stream_decontaminate(spark, sf_dir):
     # contaminated doc (~5k at sf0.1) — per-store commit overhead beats
     # any parallelism 8 partitions would buy; the shingle/hash probe
     # work is spread by the stateless repartition inside
-    # decontaminate_stream, not by the state partitioning. Complete
-    # mode runs no no-data batch (no watermark), so that knob is moot
-    # here.
+    # decontaminate_stream, not by the state partitioning. The probe
+    # regime (InSet vs broadcast join) is decided inside
+    # decontaminate_stream, which returns the matching output mode.
+    decon, mode = SW.decontaminate_stream(stream, bench, min_shared=25)
     _, out = SW.run_stream_to_memory(
-        SW.decontaminate_stream(stream, bench, min_shared=25),
-        output_mode="complete", state_partitions=2,
+        decon, output_mode=mode, state_partitions=2,
     )
     return out
 

@@ -217,16 +217,32 @@ def decontaminate_stream(
     bench_docs: DataFrame,
     min_shared: int = 1,
     k: int = 3,
-) -> DataFrame:
+) -> tuple[DataFrame, str]:
     """Streaming twin of ``operators.dedup.contamination_scores``: per
     micro-batch, score each incoming doc's distinct k-shingle-hash
     overlap with a STATIC benchmark corpus and emit the contaminated
-    ids. The benchmark hash set is a bounded static frame, so this is a
-    stream-static broadcast join — stateless, no watermark needed, and
-    each micro-batch sees the same plan the batch operator uses. At
-    production scale the static side refreshes by restarting the query
-    (eval suites change rarely); per-doc counts stay exact because the
-    aggregate is keyed on the stream side only."""
+    ids. Returns ``(stream_df, output_mode)`` — the mode depends on
+    the probe regime chosen at plan time:
+
+    - bounded benchmark (the real eval-suite case): the hash set comes
+      back as an InSet literal applied to the exploded shingle-hash
+      stream INSIDE the codegen'd scan stage — no broadcast build per
+      micro-batch — followed by the complete-mode per-doc count.
+      (Measured dead end, kept as a record: computing the count as a
+      map-side array expression — filter the doc's hash ARRAY against
+      the set, take its size — would make the query stateless, but
+      every higher-order function is interpreted, and the per-element
+      md5+conv inside the lambda ran 15x slower than the codegen'd
+      explode path at sf0.1. The explode+InSet+partial-agg plan IS the
+      pre-aggregated probe: the count's map-side partial runs in the
+      same stage as the probe, and the stateful store holds one
+      counter per contaminated doc.)
+    - oversized benchmark: stream-static broadcast join + stream-side
+      aggregate, ``complete`` mode (the r9 shape). Per-doc counts stay
+      exact because the aggregate keys on the stream side only.
+
+    At production scale the static side refreshes by restarting the
+    query (eval suites change rarely)."""
     from ..functions.hashing import h32
     from ..functions.text import normalized
     from ..operators.dedup import DEDUP_MEMO, shingle_hashes
@@ -258,39 +274,40 @@ def decontaminate_stream(
     # only its repartition barrier is stream-unsafe, so the shingle
     # array is built inline here (micro-batches are already narrow).
     # Order matters for twin-exactness: dedup the shingle STRINGS and
-    # hash after the explode, exactly like batch shingle_hashes — a
+    # hash per string, exactly like batch shingle_hashes — a
     # distinct-over-hashes variant would count intra-doc h32 collisions
     # once where the batch side counts them per colliding string.
     idx = F.sequence(F.lit(1), F.length("__t") - (k - 1))
-    shingle = F.explode(
-        F.array_distinct(
-            F.transform(idx, lambda i: F.substring(F.col("__t"), i, k))
-        )
+    shingles = F.array_distinct(
+        F.transform(idx, lambda i: F.substring(F.col("__t"), i, k))
     )
-    stream_hashes = (
+    # a file-source micro-batch arrives as ONE input partition per
+    # file; the shingle work would run on a single core without this
+    # stateless spread (measured at sf0.1: addBatch 11.8 s -> ~3 s).
+    # Kafka sources arrive pre-partitioned and don't need it, but the
+    # narrow (id, text) shuffle is cheap insurance either way.
+    narrowed = (
         doc_stream.select(F.col("doc_id"), normalized(F.col("text")).alias("__t"))
         .filter(F.length("__t") >= k)
-        # a file-source micro-batch arrives as ONE input partition per
-        # file; the shingle transform would run on a single core
-        # without this stateless spread (measured at sf0.1: addBatch
-        # 11.8 s -> ~3 s). Kafka sources arrive pre-partitioned and
-        # don't need it, but the narrow (id, text) shuffle is cheap
-        # insurance either way.
         .repartition(16)
-        .select("doc_id", shingle.alias("__s"))
-        .select("doc_id", h32(F.col("__s")).alias("h"))
     )
     # Probe strategy, size-gated: a real eval suite's distinct shingle
     # hashes are bounded (hundreds at sf0.1), so the membership probe
-    # compiles to an InSet hash lookup INSIDE the scan stage — zero
-    # exchange, no broadcast build per micro-batch, and the optimizer's
-    # inSetConversionThreshold turns the literal IN into an O(1) set
-    # probe. Past the gate (a genuinely huge static side) the original
+    # compiles to an InSet lookup INSIDE the codegen'd scan stage —
+    # zero exchange, no broadcast build per micro-batch — and the
+    # per-doc count's map-side partial aggregate runs in the same
+    # stage (the "pre-aggregate before the probe shuffle" shape). ONE
+    # bounded collect (limit cap+1) both fetches the set and decides
+    # the regime — the previous count()+collect() pair paid two jobs
+    # per run. Past the gate (a genuinely huge static side) the
     # broadcast join takes over; `test_stream_decontaminate_regimes`
     # pins both regimes to identical output.
-    n_bench = bench_hashes.count()
-    if n_bench <= IN_SET_PROBE_MAX:
-        probe_set = [r["h"] for r in bench_hashes.collect()]
+    probe_rows = bench_hashes.limit(IN_SET_PROBE_MAX + 1).collect()
+    stream_hashes = narrowed.select(
+        "doc_id", F.explode(shingles).alias("__s")
+    ).select("doc_id", h32(F.col("__s")).alias("h"))
+    if len(probe_rows) <= IN_SET_PROBE_MAX:
+        probe_set = [r["h"] for r in probe_rows]
         matched = stream_hashes.filter(F.col("h").isin(probe_set))
     else:
         matched = stream_hashes.join(F.broadcast(bench_hashes), "h")
@@ -298,7 +315,8 @@ def decontaminate_stream(
         matched
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
+        .filter(F.col("n_shared") >= min_shared),
+        "complete",
     )
 
 

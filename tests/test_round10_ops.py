@@ -436,8 +436,15 @@ def test_mad_outliers_robust_twin(spark, sf_dir):
         "event_type", "event_id", "value").collect()
     import collections
     byt = collections.defaultdict(list)
+    # half-away-from-zero, matching both engines' round(x, 2) — Python
+    # round() is half-to-even and would disagree on exact .5 cents
+    # (e.g. 0.125*100 = 12.5 exactly representable)
+    import decimal
+    def cents(v):
+        return int(decimal.Decimal(str(v * 100)).quantize(
+            0, rounding=decimal.ROUND_HALF_UP))
     for r in rows:
-        byt[r.event_type].append((round(r.value * 100), r.event_id))
+        byt[r.event_type].append((cents(r.value), r.event_id))
     for t, vals in byt.items():
         ordered = sorted(vals)  # (cents, id) total order
         med = ordered[(len(ordered) + 1) // 2 - 1][0]

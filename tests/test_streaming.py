@@ -214,10 +214,8 @@ def test_streaming_decontaminate_matches_batch(spark, sf_dir):
     # the stream carries ALL docs; restrict to the training side so the
     # comparison matches the batch operator's contract
     stream = stream.filter(F.expr("NOT (doc_id % 20 = 0)"))
-    _, out = SW.run_stream_to_memory(
-        SW.decontaminate_stream(stream, bench, min_shared=25),
-        output_mode="complete",
-    )
+    decon, mode = SW.decontaminate_stream(stream, bench, min_shared=25)
+    _, out = SW.run_stream_to_memory(decon, output_mode=mode)
     got = {(r.doc_id, r.n_shared) for r in out.collect()}
     train = docs.filter(F.expr("NOT (doc_id % 20 = 0)"))
     want = {(r.doc_id, r.n_shared)
@@ -401,13 +399,12 @@ def test_stream_decontaminate_regimes(spark, sf_dir, monkeypatch):
     def run():
         stream = SW.read_documents_stream(spark, sf_dir).filter(
             F.expr("NOT (doc_id % 20 = 0)"))
-        _, out = SW.run_stream_to_memory(
-            SW.decontaminate_stream(stream, bench, min_shared=25),
-            output_mode="complete",
-        )
-        return {(r.doc_id, r.n_shared) for r in out.collect()}
+        decon, mode = SW.decontaminate_stream(stream, bench, min_shared=25)
+        _, out = SW.run_stream_to_memory(decon, output_mode=mode)
+        return mode, {(r.doc_id, r.n_shared) for r in out.collect()}
 
-    fast = run()
+    fast_mode, fast = run()
     monkeypatch.setattr(SW, "IN_SET_PROBE_MAX", 0)
-    joined = run()
+    join_mode, joined = run()
+    assert fast_mode == "complete" and join_mode == "complete"
     assert fast == joined and fast
