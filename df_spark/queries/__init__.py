@@ -185,36 +185,53 @@ def register(name: str, sql: str | None = None):
 # Round-6: doc_rarity, bm25_rank, cohort_retention, events_gapfill,
 # winnow_fingerprints, ohlc_bars, dup_span_stats in — all green in
 # CORRECTNESS_r06.json.)
+# Round-11 rotation (judge directive #2): the LAST 9 names that have
+# never had a driver hash row enter the window — array_hof, chunk_docs,
+# compact_files, q8_market_share, q10_returned_items,
+# q13_order_distribution, q15_top_supplier, q17_small_quantity,
+# q22_idle_customers — closing cumulative driver coverage at 100%.
+# The SIX r11 operators (bpe_learn_merges, bpe_tokenize, pq_quantize,
+# lm_quality_buckets, source_overlap_matrix, plus the upgraded
+# dup_span_stats whose schema gained kept_windows/retained_md5) get
+# first-round slots per standing policy. Every row whose CODE changed
+# this round keeps/gets a slot so the driver hash row proves the
+# change: the token family (token_freq, tfidf_top_terms, doc_rarity,
+# vocab_oov_rate, bm25_rank, bigram_lm_score — all now read the
+# TOKEN_MEMO checkpoint), stream_decontaminate (single-collect gate),
+# minhash_est_audit (stats-derived gate), merge_upsert (oracle
+# target-survival fix). Rotated out, all r10-green with families
+# still represented: jsonl_gzip_roundtrip, prefix_sim_join,
+# char_diversity, levenshtein_pairs, embed_quantize, doc_repetition,
+# ngram_repetition, events_regression, join_skew_report,
+# sample_exact_k, train_val_split, shard_assign, rtbf_cascade,
+# price_histogram, quality_deciles, token_len_histogram,
+# partition_backfill, join_hint_shuffle_hash, stream_sliding_hourly,
+# retention_sweep, stream_quota_alerts. triangle_counts re-enters
+# (driver-green r8) to monitor its r10 1.37x wall regression.
 PRIORITY = [
     "q1_pricing_summary",
     "filter_predicates", "select_arith", "orderby_limit", "group_collect",
     "join_inner",
     "union_distinct", "csv_roundtrip", "inmem_source_join",
-    "jsonl_gzip_roundtrip", "vocab_oov_rate",
-    "prefix_sim_join", "chunk_dedup", "minhash_est_audit",
-    "char_diversity", "hard_negatives", "merge_upsert",
-    "boilerplate_segments", "stream_timeout_sessions",
-    "levenshtein_pairs",
-    "embed_quantize", "wav_energy_windows",
-    "doc_repetition", "ngram_repetition",
-    "mad_outliers", "mix_temperature",
-    "events_regression", "events_rolling",
-    "join_skew_report", "dataset_manifest",
-    "llm_data_pipeline", "grouping_sets_agg",
-    "sample_exact_k", "train_val_split", "shard_assign",
-    "rtbf_cascade",
-    "price_histogram", "quality_deciles", "token_len_histogram",
-    "dq_checks",
-    "bucketed_join", "partition_backfill",
-    "join_hint_shuffle_hash", "stream_left_outer",
-    "stream_sliding_hourly", "retention_sweep",
-    "stream_decontaminate", "stream_topk_trending",
-    "stream_user_profiles", "stream_quota_alerts",
-    # rotated out r10 (multi-round green, families still represented):
-    # orc_roundtrip, parquet_partitioned_sink, parquet_schema_evolution,
-    # jsonl_corrupt_quarantine, stream_sessions, stream_dedup,
-    # dedup_exact, pack_sequences, tree_depths, window_distribution —
-    # ten first-round r10 operators take their window slots.
+    # never-driver-checked until now (directive #2):
+    "array_hof", "chunk_docs", "compact_files",
+    "q8_market_share", "q10_returned_items", "q13_order_distribution",
+    "q15_top_supplier", "q17_small_quantity", "q22_idle_customers",
+    # first-round r11 operators:
+    "bpe_learn_merges", "bpe_tokenize", "pq_quantize",
+    "lm_quality_buckets", "source_overlap_matrix", "dup_span_stats",
+    # r11 code changes needing fresh driver proof:
+    "vocab_oov_rate", "token_freq", "tfidf_top_terms", "doc_rarity",
+    "bm25_rank", "bigram_lm_score",
+    "stream_decontaminate", "minhash_est_audit", "merge_upsert",
+    # family representation / cost-monitoring rows (r10-green):
+    "mix_temperature", "dataset_manifest",
+    "stream_timeout_sessions", "stream_left_outer", "stream_topk_trending",
+    "stream_user_profiles",
+    "events_rolling", "wav_energy_windows", "bucketed_join",
+    "grouping_sets_agg", "triangle_counts", "hard_negatives",
+    "llm_data_pipeline", "boilerplate_segments", "mad_outliers",
+    "chunk_dedup", "dq_checks",
 ]
 
 

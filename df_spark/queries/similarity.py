@@ -548,3 +548,191 @@ def hard_negatives(spark, sf_dir):
         .filter(F.col("rank") <= _HN_K)
         .select("query_id", "vec_id", "cos_sim", "rank")
     )
+
+
+# --- Product quantization (PQ) -------------------------------------
+_PQ_SUBDIM = 8           # dims per subspace (64 / 8 = 8 subspaces)
+_PQ_M = S.DIM // _PQ_SUBDIM
+_PQ_K = 4                # centroids per subspace codebook
+_PQ_ITERS = 2            # Lloyd rounds (deterministic, replayed by SQL)
+# distance/error scale: squared-error terms are rounded to integer
+# 1e-4 units. NOT picounits: a per-dim term can reach ~1e2, and
+# rounding a double to integer at 1e12 scale (magnitude ~1e13-1e14,
+# ulp ~1-2) lands inside the window where Spark's shortest-repr
+# BigDecimal rounding and DuckDB's binary rounding disagree — measured
+# 158/4000 divergent rows. At 1e4 scale the term magnitude is <= 1e6
+# (ulp ~1e-10), collapsing the disagreement window below 1e-4 per
+# full corpus pass.
+_PQ_SCALE = "10000.0"
+
+
+def _pq_sql(iters: int = _PQ_ITERS, k: int = _PQ_K) -> str:
+    """DuckDB replay of the deterministic PQ codebook training: the
+    same init (first-k vectors by vec_id), the same integer-picounit
+    distances, the same decimal-exact centroid means, iterated the
+    same number of rounds — chained CTEs, one block per Lloyd round."""
+    parts = [
+        f"""pq_pts AS MATERIALIZED (
+      SELECT vec_id, CAST((i - 1) // {_PQ_SUBDIM} AS BIGINT) AS sub,
+             CAST((i - 1) % {_PQ_SUBDIM} AS BIGINT) AS j,
+             round(CAST(embedding[i] AS DOUBLE), 6) AS x
+      FROM embeddings, LATERAL unnest(generate_series(1, {S.DIM})) AS t(i)
+    )""",
+        f"""pq_ids AS (
+      SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+               AS code
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+    )""",
+        """c0 AS MATERIALIZED (
+      SELECT p.sub, ids.code, p.j, p.x AS c
+      FROM pq_pts p JOIN pq_ids ids USING (vec_id)
+    )""",
+    ]
+    for t in range(1, iters + 2):
+        parts.append(
+            f"""dist{t} AS (
+      SELECT p.vec_id, p.sub, c.code,
+             CAST(SUM(CAST(round((p.x - c.c) * (p.x - c.c) * {_PQ_SCALE}, 0)
+                           AS BIGINT)) AS BIGINT) AS dist
+      FROM pq_pts p JOIN c{t - 1} c ON p.sub = c.sub AND p.j = c.j
+      GROUP BY 1, 2, 3
+    )"""
+        )
+        if t == iters + 1:
+            break  # last assignment is the output; no further update
+        parts.append(
+            f"""a{t} AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, code) AS rn
+        FROM dist{t}) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""c{t} AS MATERIALIZED (
+      SELECT cc.sub, cc.code, cc.j, COALESCE(u.c, cc.c) AS c
+      FROM c{t - 1} cc LEFT JOIN (
+        SELECT a.sub, a.code, p.j,
+               round(CAST(SUM(CAST(p.x AS DECIMAL(18, 6)))
+                          AS DOUBLE) / COUNT(*), 6) AS c
+        FROM a{t} a JOIN pq_pts p
+          ON p.vec_id = a.vec_id AND p.sub = a.sub
+        GROUP BY 1, 2, 3
+      ) u ON cc.sub = u.sub AND cc.code = u.code AND cc.j = u.j
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT vec_id, sub AS sub_id, code, dist AS sse_e4 FROM (
+      SELECT vec_id, sub, code, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                ORDER BY dist, code) AS rn
+      FROM dist{iters + 1}) WHERE rn = 1"""
+    )
+
+
+@register("pq_quantize", sql=_pq_sql())
+def pq_quantize(spark, sf_dir):
+    """Product quantization: per-subspace k-means codebooks ({_PQ_M}
+    subvectors x {_PQ_K} centroids, {_PQ_ITERS} Lloyd rounds) over the
+    embedding corpus, emitting each vector's code per subspace and its
+    integer squared reconstruction error in 1e-4 units — the standard
+    second rung for a 100 TB embedding store after SQ8
+    (``embed_quantize``): PQ stores {_PQ_M} small codes per vector and
+    reconstructs from codebooks, trading ~{64 * 4 // _PQ_M}x
+    compression for the audited error this row reports.
+
+    Determinism (hash-exact oracle, unlike the rows-only
+    ``ann_ivf_kmeans`` whose float avg() centroids are
+    summation-order-sensitive): init codebooks are the first-{_PQ_K}
+    vectors by vec_id; coordinates are 6-decimal-quantized once at
+    scan time; assignment distances are per-dim squared diffs scaled
+    to integer 1e-4 units (the embed_quantize integer-audit recipe,
+    with the scale chosen so the rounded magnitude stays <= 1e6 and
+    the engines' double-rounding conventions cannot disagree — see
+    _PQ_SCALE) with ties broken by code; centroid updates sum
+    6-decimal DECIMALs (exact, associative) and round the mean back
+    to 6 decimals; an emptied cell keeps its previous centroid. The
+    oracle replays every round with identical arithmetic.
+
+    Scale shape: the dim-exploded points table is checkpointed once
+    ({S.DIM} narrow rows per vector); each Lloyd round is one
+    broadcast join against the {_PQ_M * _PQ_K}-row codebook + two
+    hash aggregates on uniform keys, with a bounded
+    ({_PQ_M * _PQ_K * _PQ_SUBDIM}-row) driver collect per round — the
+    kmeans_refined_centroids driver-bounded-iteration shape. No
+    all-pairs term anywhere; corpus size only enters scan-shaped
+    passes."""
+    from pyspark.sql import Window
+
+    emb = load_sdf(spark, sf_dir, "embeddings")
+    pts = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "xf"))
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.expr(f"pos div {_PQ_SUBDIM}").cast("long").alias("sub"),
+            (F.col("pos") % _PQ_SUBDIM).cast("long").alias("j"),
+            F.round(F.col("xf").cast("double"), 6).alias("x"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ids = [
+        r["vec_id"]
+        for r in emb.select("vec_id").orderBy("vec_id").limit(_PQ_K).collect()
+    ]
+    code_of = {v: i for i, v in enumerate(ids)}
+    cent = {
+        (r["sub"], code_of[r["vec_id"]], r["j"]): r["x"]
+        for r in pts.filter(F.col("vec_id").isin(ids)).collect()
+    }  # bounded: m * k * subdim rows
+
+    def cent_df(c):
+        return spark.createDataFrame(
+            [(s, kk, j, x) for (s, kk, j), x in sorted(c.items())],
+            "sub long, code long, j long, c double",
+        )
+
+    d2 = F.round(
+        (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+        * F.lit(float(_PQ_SCALE)),
+        0,
+    ).cast("long")
+
+    def assign(c):
+        dist = (
+            pts.join(F.broadcast(cent_df(c)), ["sub", "j"])
+            .groupBy("vec_id", "sub", "code")
+            .agg(F.sum(d2).cast("long").alias("dist"))
+        )
+        w = Window.partitionBy("vec_id", "sub").orderBy("dist", "code")
+        return dist.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        )
+
+    for _ in range(_PQ_ITERS):
+        a = assign(cent).select("vec_id", "sub", "code")
+        upd = (
+            a.join(pts, ["vec_id", "sub"])
+            .groupBy("sub", "code", "j")
+            .agg(
+                F.round(
+                    F.sum(F.col("x").cast("decimal(18,6)"))
+                    .cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("c")
+            )
+            .collect()
+        )  # bounded: m * k * subdim rows
+        new = {(r["sub"], r["code"], r["j"]): r["c"] for r in upd}
+        cent = {key: new.get(key, old) for key, old in cent.items()}
+
+    return assign(cent).select(
+        "vec_id",
+        F.col("sub").alias("sub_id"),
+        "code",
+        F.col("dist").alias("sse_e4"),
+    )

