@@ -349,3 +349,50 @@ def test_merge_upsert_single_join_level(spark):
     # row-local filter/projection, never a second pass over the target
     plan = plan_of(spark, "merge_upsert")
     assert plan.count("FullOuter") == 1
+
+
+def test_pq_quantize_broadcasts_codebook(spark):
+    # the final assignment joins the corpus-side dim explosion against
+    # the 32-row codebook: that side must broadcast, never shuffle the
+    # points; the only point shuffles are the two uniform-key
+    # aggregates (distance groupBy, per-doc window)
+    plan = plan_of(spark, "pq_quantize")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_overlap_single_hash_shuffle_and_broadcast_sizes(spark):
+    # the pair join keys on the shingle hash (uniform); the per-source
+    # size table is bounded and must broadcast back onto pair rows
+    plan = plan_of(spark, "source_overlap_matrix")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_tokenize_vocab_side_broadcasts(spark):
+    # per-type symbol counts are vocabulary-sized: the corpus token
+    # stream must not shuffle for the join (broadcast or AQE-broadcast)
+    plan = plan_of(spark, "bpe_tokenize")
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_dup_span_stats_windows_share_span_exchange(spark):
+    # election row_number, doc dense_rank, and the per-span max ride
+    # ONE hash(s) exchange; reassembly adds exactly one doc_id exchange
+    plan = plan_of(spark, "dup_span_stats")
+    assert "Window" in plan
+    # exchanges: barrier repartition + hash(s) + hash(doc_id) [+ AQE
+    # reuse nodes]; pin that no fourth data exchange appears
+    assert count_in(plan, "Exchange") <= 4
+
+
+def test_lm_quality_buckets_rides_memoized_scores(spark):
+    # warm plan reads the memoized scoring checkpoint (ExistingRDD) —
+    # the corpus is NOT re-scanned per consumer
+    from df_spark.queries.tokens import _bigram_scored
+
+    _bigram_scored(spark, SF_DIR)  # prime the memo
+    plan = plan_of(spark, "lm_quality_buckets")
+    assert "ExistingRDD" in plan
