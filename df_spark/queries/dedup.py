@@ -239,12 +239,18 @@ def dup_span_stats(spark, sf_dir):
     text itself — uniform by construction, a boilerplate span
     degenerates to a per-key scan, not a join fan-out. No driver-side
     anything."""
+    return dup_span_frame(load_sdf(spark, sf_dir, "documents"))
+
+
+def dup_span_frame(docs):
+    """Frame-level body of :func:`dup_span_stats` (also probed at 10x
+    by ``tools/scale_probe.py`` — the window-level election is the
+    heaviest text shuffle shape in the engine)."""
     from pyspark.sql import Window
 
     from ..functions.text import normalized
     from ..operators.partitioning import barrier_width
 
-    docs = load_sdf(spark, sf_dir, "documents")
     norm = docs.select(
         "doc_id", normalized(F.col("text")).alias("__t")
     ).filter(F.length("__t") >= _SPAN_K)

@@ -566,11 +566,13 @@ _PQ_ITERS = 2            # Lloyd rounds (deterministic, replayed by SQL)
 _PQ_SCALE = "10000.0"
 
 
-def _pq_sql(iters: int = _PQ_ITERS, k: int = _PQ_K) -> str:
-    """DuckDB replay of the deterministic PQ codebook training: the
-    same init (first-k vectors by vec_id), the same integer-picounit
-    distances, the same decimal-exact centroid means, iterated the
-    same number of rounds — chained CTEs, one block per Lloyd round."""
+def _pq_parts(iters: int = _PQ_ITERS, k: int = _PQ_K) -> list[str]:
+    """Shared WITH-clause chain replaying the deterministic PQ codebook
+    training in DuckDB: the same init (first-k vectors by vec_id), the
+    same integer-scaled distances, the same decimal-exact centroid
+    means, iterated the same number of rounds — one CTE block per
+    Lloyd round. The final distance table is dist{iters+1}; the final
+    codebook is c{iters}."""
     parts = [
         f"""pq_pts AS MATERIALIZED (
       SELECT vec_id, CAST((i - 1) // {_PQ_SUBDIM} AS BIGINT) AS sub,
@@ -622,9 +624,13 @@ def _pq_sql(iters: int = _PQ_ITERS, k: int = _PQ_K) -> str:
       ) u ON cc.sub = u.sub AND cc.code = u.code AND cc.j = u.j
     )"""
         )
+    return parts
+
+
+def _pq_sql(iters: int = _PQ_ITERS, k: int = _PQ_K) -> str:
     return (
         "WITH "
-        + ",\n    ".join(parts)
+        + ",\n    ".join(_pq_parts(iters, k))
         + f"""
     SELECT vec_id, sub AS sub_id, code, dist AS sse_e4 FROM (
       SELECT vec_id, sub, code, dist,
@@ -632,6 +638,121 @@ def _pq_sql(iters: int = _PQ_ITERS, k: int = _PQ_K) -> str:
                                 ORDER BY dist, code) AS rn
       FROM dist{iters + 1}) WHERE rn = 1"""
     )
+
+
+from pyspark.sql import Window as _W
+
+from ..plans.memo import FrameMemo, ScalarMemo, frame_key
+
+PQ_MEMO = FrameMemo(capacity=4)
+PQ_SCALARS = ScalarMemo()
+
+
+def _pq_pts(spark, sf_dir):
+    """Dim-exploded, 6-decimal-quantized points frame, memoized (the
+    training AND every consumer read the same checkpoint)."""
+    emb = load_sdf(spark, sf_dir, "embeddings")
+
+    def build():
+        return (
+            emb.select("vec_id", F.posexplode("embedding").alias("pos", "xf"))
+            .select(
+                F.col("vec_id").cast("long").alias("vec_id"),
+                F.expr(f"pos div {_PQ_SUBDIM}").cast("long").alias("sub"),
+                (F.col("pos") % _PQ_SUBDIM).cast("long").alias("j"),
+                F.round(F.col("xf").cast("double"), 6).alias("x"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return PQ_MEMO.get_or_build(("pq_pts", frame_key(emb)), build)
+
+
+def _pq_cent_df(spark, c):
+    return spark.createDataFrame(
+        [(s, kk, j, x) for (s, kk, j), x in sorted(c.items())],
+        "sub long, code long, j long, c double",
+    )
+
+
+def _pq_d2():
+    # built lazily: a module-level Column would require an active
+    # SparkContext at import time (registry import happens before any
+    # session exists in pytest collection)
+    return F.round(
+        (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+        * F.lit(float(_PQ_SCALE)),
+        0,
+    ).cast("long")
+
+
+def _pq_assign(spark, pts, cent):
+    dist = (
+        pts.join(F.broadcast(_pq_cent_df(spark, cent)), ["sub", "j"])
+        .groupBy("vec_id", "sub", "code")
+        .agg(F.sum(_pq_d2()).cast("long").alias("dist"))
+    )
+    w = _W.partitionBy("vec_id", "sub").orderBy("dist", "code")
+    return dist.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+
+
+def _pq_train(spark, sf_dir):
+    """Deterministic PQ codebook training (see pq_quantize docstring).
+    Returns the final centroid dict {(sub, code, j): coord}, memoized —
+    bounded at m*k*subdim scalars."""
+
+    def build():
+        emb = load_sdf(spark, sf_dir, "embeddings")
+        pts = _pq_pts(spark, sf_dir)
+        ids = [
+            r["vec_id"]
+            for r in emb.select("vec_id").orderBy("vec_id")
+            .limit(_PQ_K).collect()
+        ]
+        code_of = {v: i for i, v in enumerate(ids)}
+        cent = {
+            (r["sub"], code_of[r["vec_id"]], r["j"]): r["x"]
+            for r in pts.filter(F.col("vec_id").isin(ids)).collect()
+        }  # bounded: m * k * subdim rows
+        for _ in range(_PQ_ITERS):
+            a = _pq_assign(spark, pts, cent).select("vec_id", "sub", "code")
+            upd = (
+                a.join(pts, ["vec_id", "sub"])
+                .groupBy("sub", "code", "j")
+                .agg(
+                    F.round(
+                        F.sum(F.col("x").cast("decimal(18,6)"))
+                        .cast("double")
+                        / F.count(F.lit(1)),
+                        6,
+                    ).alias("c")
+                )
+                .collect()
+            )  # bounded: m * k * subdim rows
+            new = {(r["sub"], r["code"], r["j"]): r["c"] for r in upd}
+            cent = {key: new.get(key, old) for key, old in cent.items()}
+        return cent
+
+    return PQ_SCALARS.get_or_build(("pq_cent", sf_dir), build)
+
+
+def _pq_codes(spark, sf_dir):
+    """Final (vec_id, sub, code, dist) assignment frame, memoized —
+    the PQ-compressed corpus every consumer (audit, ADC search) reads."""
+    emb = load_sdf(spark, sf_dir, "embeddings")
+
+    def build():
+        cent = _pq_train(spark, sf_dir)
+        pts = _pq_pts(spark, sf_dir)
+        return (
+            _pq_assign(spark, pts, cent)
+            .select("vec_id", "sub", "code", "dist")
+            .localCheckpoint(eager=True)
+        )
+
+    return PQ_MEMO.get_or_build(("pq_codes", frame_key(emb)), build)
 
 
 @register("pq_quantize", sql=_pq_sql())
@@ -666,73 +787,104 @@ def pq_quantize(spark, sf_dir):
     kmeans_refined_centroids driver-bounded-iteration shape. No
     all-pairs term anywhere; corpus size only enters scan-shaped
     passes."""
-    from pyspark.sql import Window
-
-    emb = load_sdf(spark, sf_dir, "embeddings")
-    pts = (
-        emb.select("vec_id", F.posexplode("embedding").alias("pos", "xf"))
-        .select(
-            F.col("vec_id").cast("long").alias("vec_id"),
-            F.expr(f"pos div {_PQ_SUBDIM}").cast("long").alias("sub"),
-            (F.col("pos") % _PQ_SUBDIM).cast("long").alias("j"),
-            F.round(F.col("xf").cast("double"), 6).alias("x"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    ids = [
-        r["vec_id"]
-        for r in emb.select("vec_id").orderBy("vec_id").limit(_PQ_K).collect()
-    ]
-    code_of = {v: i for i, v in enumerate(ids)}
-    cent = {
-        (r["sub"], code_of[r["vec_id"]], r["j"]): r["x"]
-        for r in pts.filter(F.col("vec_id").isin(ids)).collect()
-    }  # bounded: m * k * subdim rows
-
-    def cent_df(c):
-        return spark.createDataFrame(
-            [(s, kk, j, x) for (s, kk, j), x in sorted(c.items())],
-            "sub long, code long, j long, c double",
-        )
-
-    d2 = F.round(
-        (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
-        * F.lit(float(_PQ_SCALE)),
-        0,
-    ).cast("long")
-
-    def assign(c):
-        dist = (
-            pts.join(F.broadcast(cent_df(c)), ["sub", "j"])
-            .groupBy("vec_id", "sub", "code")
-            .agg(F.sum(d2).cast("long").alias("dist"))
-        )
-        w = Window.partitionBy("vec_id", "sub").orderBy("dist", "code")
-        return dist.withColumn("rn", F.row_number().over(w)).filter(
-            F.col("rn") == 1
-        )
-
-    for _ in range(_PQ_ITERS):
-        a = assign(cent).select("vec_id", "sub", "code")
-        upd = (
-            a.join(pts, ["vec_id", "sub"])
-            .groupBy("sub", "code", "j")
-            .agg(
-                F.round(
-                    F.sum(F.col("x").cast("decimal(18,6)"))
-                    .cast("double")
-                    / F.count(F.lit(1)),
-                    6,
-                ).alias("c")
-            )
-            .collect()
-        )  # bounded: m * k * subdim rows
-        new = {(r["sub"], r["code"], r["j"]): r["c"] for r in upd}
-        cent = {key: new.get(key, old) for key, old in cent.items()}
-
-    return assign(cent).select(
+    out = _pq_codes(spark, sf_dir)
+    return out.select(
         "vec_id",
         F.col("sub").alias("sub_id"),
         "code",
         F.col("dist").alias("sse_e4"),
+    )
+
+
+_ADC_QUERIES = 5   # vec_id < 5 are the query vectors (cosine_topk's set)
+_ADC_K = 10
+
+
+def _pq_adc_sql(iters: int = _PQ_ITERS, k: int = _PQ_K) -> str:
+    parts = _pq_parts(iters, k)
+    parts.append(
+        f"""adc_codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, code) AS rn
+        FROM dist{iters + 1}) WHERE rn = 1
+    )"""
+    )
+    parts.append(
+        f"""adc_lut AS (
+      SELECT q.vec_id AS qid, c.sub, c.code,
+             CAST(SUM(CAST(round((q.x - c.c) * (q.x - c.c) * {_PQ_SCALE}, 0)
+                           AS BIGINT)) AS BIGINT) AS d
+      FROM (SELECT * FROM pq_pts WHERE vec_id < {_ADC_QUERIES}) q
+      JOIN c{iters} c ON q.sub = c.sub AND q.j = c.j
+      GROUP BY 1, 2, 3
+    )"""
+    )
+    parts.append(
+        f"""adc_scores AS (
+      SELECT l.qid, a.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
+      FROM adc_codes a JOIN adc_lut l ON a.sub = l.sub AND a.code = l.code
+      WHERE a.vec_id <> l.qid
+      GROUP BY 1, 2
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT qid, vec_id, adc_dist, rank FROM (
+      SELECT qid, vec_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY adc_dist, vec_id) AS rank
+      FROM adc_scores) WHERE rank <= {_ADC_K}"""
+    )
+
+
+@register("pq_adc_topk", sql=_pq_adc_sql())
+def pq_adc_topk(spark, sf_dir):
+    """ANN top-{_ADC_K} by PQ asymmetric distance computation (ADC,
+    Jegou et al. 2011): each query builds an {_PQ_M}x{_PQ_K} lookup
+    table of squared distances from its subvectors to every codebook
+    centroid, and a corpus vector's approximate distance is the SUM of
+    {_PQ_M} table lookups over its CODES — the raw embeddings of the
+    corpus are never touched at query time. This is THE serving path
+    for a 100 TB embedding store: the scan reads {_PQ_M} small codes
+    per vector (~{64 * 4 // _PQ_M}x less IO than exact scoring), and
+    the exact rung above it (cosine_topk / hard_negatives) re-scores
+    only the ADC top candidates.
+
+    Determinism: rides the memoized PQ training (same codebooks and
+    codes as pq_quantize, bit-identical to the oracle's replay); LUT
+    entries are the same integer-scaled squared diffs; scores are
+    BIGINT sums of {_PQ_M} bounded integers (order-free); ties break
+    by vec_id. Self-matches are excluded (a query is its own nearest
+    code sequence).
+
+    Scale shape: the LUT is queries x {_PQ_M * _PQ_K} rows — broadcast
+    by construction; the probe is ONE broadcast-hash join from the
+    code table ({_PQ_M} narrow rows per corpus vector) + a hash
+    aggregate on (query, vector) + a per-query top-k window. No
+    shuffle of anything corpus-sized except the uniform-key aggregate;
+    at 1000 executors the code table is the only scan."""
+    codes = _pq_codes(spark, sf_dir).select("vec_id", "sub", "code")
+    cent = _pq_train(spark, sf_dir)
+    pts = _pq_pts(spark, sf_dir)
+    lut = (
+        pts.filter(F.col("vec_id") < _ADC_QUERIES)
+        .join(F.broadcast(_pq_cent_df(spark, cent)), ["sub", "j"])
+        .groupBy(F.col("vec_id").alias("qid"), "sub", "code")
+        .agg(F.sum(_pq_d2()).cast("long").alias("d"))
+    )
+    scores = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d").cast("long").alias("adc_dist"))
+    )
+    w = _W.partitionBy("qid").orderBy("adc_dist", "vec_id")
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ADC_K)
+        .select("qid", "vec_id", "adc_dist", "rank")
     )

@@ -352,14 +352,23 @@ def test_merge_upsert_single_join_level(spark):
 
 
 def test_pq_quantize_broadcasts_codebook(spark):
-    # the final assignment joins the corpus-side dim explosion against
-    # the 32-row codebook: that side must broadcast, never shuffle the
+    # the assignment joins the corpus-side dim explosion against the
+    # 32-row codebook: that side must broadcast, never shuffle the
     # points; the only point shuffles are the two uniform-key
-    # aggregates (distance groupBy, per-doc window)
-    plan = plan_of(spark, "pq_quantize")
+    # aggregates (distance groupBy, per-doc window). The registered
+    # query's warm plan is the memoized codes checkpoint (ExistingRDD),
+    # so pin the UNDERLYING assignment plan via the helpers.
+    from df_spark.queries.similarity import _pq_assign, _pq_pts, _pq_train
+
+    cent = _pq_train(spark, SF_DIR)
+    a = _pq_assign(spark, _pq_pts(spark, SF_DIR), cent)
+    plan = a._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+    # and the registered row reads the memoized checkpoint when warm
+    warm = plan_of(spark, "pq_quantize")
+    assert "ExistingRDD" in warm
 
 
 def test_source_overlap_single_hash_shuffle_and_broadcast_sizes(spark):

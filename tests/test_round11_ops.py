@@ -213,3 +213,68 @@ def test_table_stats_memoized(spark, sf_dir):
     n2, s2 = table_stats(spark, sf_dir, "documents", "n_chars")
     assert (n1, s1) == (n2, s2) and n1 > 0 and s1 > 0
     assert TABLE_STATS.hits == 1 and TABLE_STATS.misses == 1
+
+
+def test_pq_adc_topk_structure(spark, sf_dir):
+    out = REG["pq_adc_topk"].fn(spark, sf_dir).collect()
+    byq = collections.defaultdict(list)
+    for r in out:
+        assert r.qid != r.vec_id  # self excluded
+        byq[r.qid].append(r)
+    assert set(byq) == set(range(5))
+    for qid, rows in byq.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, 11))
+        # distances non-decreasing with rank; ties must be vec_id-ordered
+        for a, b in zip(rows, rows[1:]):
+            assert (a.adc_dist, a.vec_id) < (b.adc_dist, b.vec_id)
+
+
+def test_pq_adc_consistent_with_codebook_reconstruction(spark, sf_dir):
+    """ADC distance of (query q, vector v) must equal the quantized
+    distance between q's subvectors and v's RECONSTRUCTION — recompute
+    one query's scores from the engine's own codebook + codes and the
+    raw parquet vectors (independent arithmetic path through numpy)."""
+    from df_spark.queries.similarity import (
+        _PQ_SCALE, _PQ_SUBDIM, _pq_codes, _pq_train,
+    )
+    import decimal
+
+    def r6(x):
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    def iround(x):
+        return int(
+            decimal.Decimal(repr(x)).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    cent = _pq_train(spark, sf_dir)
+    codes = {
+        (r.vec_id, r.sub): r.code
+        for r in _pq_codes(spark, sf_dir).collect()
+    }
+    emb = {
+        r.vec_id: list(r.embedding)
+        for r in load_sdf(spark, sf_dir, "embeddings").collect()
+    }
+    out = {
+        (r.qid, r.vec_id): r.adc_dist
+        for r in REG["pq_adc_topk"].fn(spark, sf_dir).collect()
+    }
+    scale = float(_PQ_SCALE)
+    for (qid, vid), got in list(out.items())[:50]:
+        q = emb[qid]
+        want = 0
+        for sub in range(len(q) // _PQ_SUBDIM):
+            code = codes[(vid, sub)]
+            for j in range(_PQ_SUBDIM):
+                x = r6(float(q[sub * _PQ_SUBDIM + j]))
+                c = cent[(sub, code, j)]
+                want += iround((x - c) * (x - c) * scale)
+        assert got == want, (qid, vid)

@@ -124,6 +124,19 @@ def main() -> None:
     # so they land in different band buckets and the pair join scales
     # with true near-dup volume, not block population squared (the r5
     # lang×len_bucket-only blocking measured ~quadratic here)
+    # r11 exact-substring election: ~20x explode -> ONE hash(span)
+    # exchange carrying three window passes -> doc_id reassembly agg.
+    # The election key is the span text (uniform); the probe guards
+    # that the window passes stay linear in the span stream (replicas
+    # are perturbed, so shared spans grow only via the common prefix
+    # of each base doc — sublinear duplicate mass)
+    from df_spark.queries.dedup import dup_span_frame  # noqa: E402
+
+    probe(
+        "dup_span_election",
+        dup_span_frame(docs1),
+        dup_span_frame(docsN),
+    )
     blocks = {"lang": F.col("lang"), "len_bucket": F.expr("n_chars div 100")}
     probe(
         "ngram_jaccard_banded",
