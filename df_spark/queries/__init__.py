@@ -217,10 +217,13 @@ PRIORITY = [
     "array_hof", "chunk_docs", "compact_files",
     "q8_market_share", "q10_returned_items", "q13_order_distribution",
     "q15_top_supplier", "q17_small_quantity", "q22_idle_customers",
-    # first-round r11 operators (pq_adc_topk takes dq_checks' slot —
-    # late-r11 add, same first-round policy; dq_checks is r10-green and
-    # governance keeps dataset_manifest in-window):
+    # first-round r11 operators (late-r11 adds pq_adc_topk and
+    # adc_recall_audit take the slots of dq_checks and
+    # boilerplate_segments — both r10-green; governance keeps
+    # dataset_manifest in-window, text keeps chunk_docs/bpe rows/
+    # lm_quality_buckets):
     "bpe_learn_merges", "bpe_tokenize", "pq_quantize", "pq_adc_topk",
+    "adc_recall_audit",
     "lm_quality_buckets", "source_overlap_matrix", "dup_span_stats",
     # r11 code changes needing fresh driver proof:
     "vocab_oov_rate", "token_freq", "tfidf_top_terms", "doc_rarity",
@@ -232,7 +235,7 @@ PRIORITY = [
     "stream_user_profiles",
     "events_rolling", "wav_energy_windows", "bucketed_join",
     "grouping_sets_agg", "triangle_counts", "hard_negatives",
-    "llm_data_pipeline", "boilerplate_segments", "mad_outliers",
+    "llm_data_pipeline", "mad_outliers",
     "chunk_dedup",
 ]
 

@@ -278,3 +278,12 @@ def test_pq_adc_consistent_with_codebook_reconstruction(spark, sf_dir):
                 c = cent[(sub, code, j)]
                 want += iround((x - c) * (x - c) * scale)
         assert got == want, (qid, vid)
+
+
+def test_adc_recall_audit_bounds(spark, sf_dir):
+    out = {r.qid: r for r in REG["adc_recall_audit"].fn(spark, sf_dir).collect()}
+    assert set(out) == set(range(5))
+    for r in out.values():
+        assert r.n_exact == 10
+        assert 0 <= r.n_overlap <= 10
+        assert r.recall_permille == (1000 * r.n_overlap) // 10
