@@ -687,14 +687,36 @@ def _pq_d2():
 
 
 def _pq_assign(spark, pts, cent):
-    dist = (
-        pts.join(F.broadcast(_pq_cent_df(spark, cent)), ["sub", "j"])
-        .groupBy("vec_id", "sub", "code")
-        .agg(F.sum(_pq_d2()).cast("long").alias("dist"))
+    """Argmin assignment in ONE exchange: the k per-code distances are
+    pivoted into columns of a single (vec_id, sub) aggregate (each
+    joined row carries exactly one code's per-dim term, so a
+    conditional sum per code reconstructs the k distances), and the
+    argmin + code tie-break is a row-local least()/CASE — no second
+    exchange, no window. The previous groupBy(vec,sub,code) + window
+    shape paid an extra exchange AND a sort per assignment, and
+    assignments run 3x per training (the driver-host wall multiplies
+    per-stage overhead, so stage count is the lever — r10 lesson)."""
+    joined = pts.join(F.broadcast(_pq_cent_df(spark, cent)), ["sub", "j"])
+    per = joined.groupBy("vec_id", "sub").agg(
+        *[
+            F.sum(F.when(F.col("code") == c, _pq_d2()))
+            .cast("long")
+            .alias(f"d{c}")
+            for c in range(_PQ_K)
+        ]
     )
-    w = _W.partitionBy("vec_id", "sub").orderBy("dist", "code")
-    return dist.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
+    dmin = F.least(*[F.col(f"d{c}") for c in range(_PQ_K)])
+    code = F.coalesce(
+        *[
+            F.when(F.col(f"d{c}") == dmin, F.lit(c))
+            for c in range(_PQ_K)
+        ]
+    )
+    return per.select(
+        "vec_id",
+        "sub",
+        code.cast("long").alias("code"),
+        dmin.alias("dist"),
     )
 
 
