@@ -737,7 +737,18 @@ def source_overlap_matrix(spark, sf_dir):
     broadcast back onto the pair rows. Output is sources·(sources-1)/2
     rows. All counts BIGINT; Jaccard as integer permille (floor)."""
     docs = load_sdf(spark, sf_dir, "documents")
-    sh = D.shingle_hashes(docs, id_col="source", text_col="text").distinct()
+    # materialize the DISTINCT (source, hash) table ONCE: it feeds four
+    # consumers (both self-join sides + both size lookups), and without
+    # the checkpoint each consumer re-runs the corpus shingle pass from
+    # parquet (measured: 4 scans / 4 generates in the executed plan).
+    # The table is bounded by sources x shingle vocabulary — cheap to
+    # pin, and at 100 TB this is the difference between one corpus
+    # pass and four.
+    sh = (
+        D.shingle_hashes(docs, id_col="source", text_col="text")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sz = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
     a = sh.select(F.col("source").alias("source_a"), "h")
     b = sh.select(F.col("source").alias("source_b"), "h")
