@@ -47,23 +47,20 @@ def frame_key(df: DataFrame) -> tuple:
     return (df.semanticHash(), tuple(df.columns))
 
 
-def release_checkpoint(df: DataFrame) -> None:
-    """Deterministically free a localCheckpoint'd frame's storage.
-    ONLY safe when no other live plan references the checkpoint RDD."""
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:  # noqa: BLE001 — best-effort: GC/ContextCleaner is the fallback
-        pass
-
-
 class FrameMemo:
     """Thread-safe LRU of materialized frames. The builder runs OUTSIDE
-    the lock (it executes Spark jobs); a lost duplicate-build race keeps
-    the first entry and releases the loser's storage."""
+    the lock (it executes Spark jobs); concurrent first callers on the
+    same key coordinate through a per-key in-flight marker, so the
+    expensive multi-job build runs exactly once — the waiters block on
+    the marker and read the winner's entry instead of racing a
+    duplicate build whose result would be discarded. If the build
+    raises, the marker is released and one waiter becomes the new
+    builder (retry semantics, no poisoned key)."""
 
     def __init__(self, capacity: int = 8) -> None:
         self.capacity = capacity
         self._entries: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+        self._inflight: dict[tuple, threading.Event] = {}
         self._lock = threading.Lock()
         self.hits = 0
         self.misses = 0
@@ -76,24 +73,30 @@ class FrameMemo:
     def get_or_build(self, key: tuple, build: Callable[[], DataFrame]) -> DataFrame:
         """``build`` must return an ALREADY-materialized frame (eager
         localCheckpoint) — the memo stores it as-is."""
-        with self._lock:
-            if key in self._entries:
-                self.hits += 1
-                self._entries.move_to_end(key)
-                return self._entries[key]
-        out = build()
-        with self._lock:
-            if key in self._entries:  # duplicate concurrent build
-                self.hits += 1
-                loser, out = out, self._entries[key]
-            else:
+        while True:
+            with self._lock:
+                if key in self._entries:
+                    self.hits += 1
+                    self._entries.move_to_end(key)
+                    return self._entries[key]
+                done = self._inflight.get(key)
+                if done is None:
+                    done = threading.Event()
+                    self._inflight[key] = done
+                    break
+            done.wait()  # first builder finished or failed; re-check
+        try:
+            out = build()
+            with self._lock:
                 self.misses += 1
                 self._entries[key] = out
-                loser = None
-            while len(self._entries) > self.capacity:
-                self._entries.popitem(last=False)  # drop ref; ContextCleaner frees
-        if loser is not None:
-            release_checkpoint(loser)
+                while len(self._entries) > self.capacity:
+                    # drop ref; ContextCleaner frees
+                    self._entries.popitem(last=False)
+        finally:
+            with self._lock:
+                self._inflight.pop(key, None)
+            done.set()
         return out
 
     def clear(self) -> None:
@@ -118,6 +121,7 @@ class ScalarMemo:
     def __init__(self, capacity: int = 64) -> None:
         self.capacity = capacity
         self._entries: "OrderedDict[tuple, object]" = OrderedDict()
+        self._inflight: dict[tuple, threading.Event] = {}
         self._lock = threading.Lock()
         self.hits = 0
         self.misses = 0
@@ -128,20 +132,33 @@ class ScalarMemo:
             return len(self._entries)
 
     def get_or_build(self, key: tuple, build: Callable[[], object]) -> object:
-        with self._lock:
-            if key in self._entries:
-                self.hits += 1
-                self._entries.move_to_end(key)
-                return self._entries[key]
-        out = build()
-        with self._lock:
-            if key in self._entries:
-                self.hits += 1
-                return self._entries[key]
-            self.misses += 1
-            self._entries[key] = out
-            while len(self._entries) > self.capacity:
-                self._entries.popitem(last=False)
+        # same per-key in-flight coordination as FrameMemo: scalar
+        # builds here are multi-job Spark work (PQ training runs
+        # assignment rounds + collects), so two concurrent first
+        # callers must not both execute it
+        while True:
+            with self._lock:
+                if key in self._entries:
+                    self.hits += 1
+                    self._entries.move_to_end(key)
+                    return self._entries[key]
+                done = self._inflight.get(key)
+                if done is None:
+                    done = threading.Event()
+                    self._inflight[key] = done
+                    break
+            done.wait()
+        try:
+            out = build()
+            with self._lock:
+                self.misses += 1
+                self._entries[key] = out
+                while len(self._entries) > self.capacity:
+                    self._entries.popitem(last=False)
+        finally:
+            with self._lock:
+                self._inflight.pop(key, None)
+            done.set()
         return out
 
     def clear(self) -> None:

@@ -725,8 +725,9 @@ def _pq_train(spark, sf_dir):
     Returns the final centroid dict {(sub, code, j): coord}, memoized —
     bounded at m*k*subdim scalars."""
 
+    emb = load_sdf(spark, sf_dir, "embeddings")
+
     def build():
-        emb = load_sdf(spark, sf_dir, "embeddings")
         pts = _pq_pts(spark, sf_dir)
         ids = [
             r["vec_id"]
@@ -757,7 +758,12 @@ def _pq_train(spark, sf_dir):
             cent = {key: new.get(key, old) for key, old in cent.items()}
         return cent
 
-    return PQ_SCALARS.get_or_build(("pq_cent", sf_dir), build)
+    # frame_key (semanticHash of the source read) rides in the key so
+    # the scalar memo invalidates exactly when PQ_MEMO's frames do —
+    # a path-string-only key would silently serve stale centroids to
+    # consumers whose frame memos rebuilt (same one immutability
+    # assumption, now shared by both memo kinds)
+    return PQ_SCALARS.get_or_build(("pq_cent", sf_dir, frame_key(emb)), build)
 
 
 def _pq_codes(spark, sf_dir):

@@ -446,7 +446,13 @@ def _bpe_learn(spark, sf_dir, k: int = _BPE_K):
             ).localCheckpoint(eager=True)
         return merges
 
-    return BPE_SCALARS.get_or_build(("bpe_merges", sf_dir, k), build)
+    # keyed like the TOKEN_MEMO frames (frame_key of the source read),
+    # not by path alone, so the bounded merge list invalidates together
+    # with the frames derived from it
+    docs = load_sdf(spark, sf_dir, "documents")
+    return BPE_SCALARS.get_or_build(
+        ("bpe_merges", sf_dir, frame_key(docs), k), build
+    )
 
 
 def _bpe_final_seqs(spark, sf_dir, k: int = _BPE_K):
@@ -572,14 +578,19 @@ def _bpe_with_parts(k: int) -> list[str]:
             f"m{i} AS (SELECT lhs, rhs, n FROM pc{i}"
             f" ORDER BY n DESC, lhs, rhs LIMIT 1)"
         )
+        # COALESCE guards the degenerate round: when pc{i} is empty the
+        # Python loop breaks, but the scalar subqueries here evaluate
+        # to NULL and replace(seq, NULL, NULL) would NULL-poison every
+        # word's seq. chr(1) never occurs in a seq, so an empty m{i}
+        # becomes a no-op replace — matching the loop's break exactly.
         parts.append(
             f"""seq{i} AS MATERIALIZED (
       SELECT token, freq,
              replace(seq,
-                     ' ' || (SELECT lhs FROM m{i}) || '  '
-                         || (SELECT rhs FROM m{i}) || ' ',
-                     ' ' || (SELECT lhs FROM m{i})
-                         || (SELECT rhs FROM m{i}) || ' ') AS seq
+                     COALESCE(' ' || (SELECT lhs FROM m{i}) || '  '
+                         || (SELECT rhs FROM m{i}) || ' ', chr(1)),
+                     COALESCE(' ' || (SELECT lhs FROM m{i})
+                         || (SELECT rhs FROM m{i}) || ' ', chr(1))) AS seq
       FROM seq{p})"""
         )
     return parts

@@ -79,7 +79,7 @@ def _ensure_ntz_conf(spark: SparkSession) -> None:
 # query in the suite — judge r10 flagged a per-run `per_doc.count()`
 # whose only purpose was sizing a broadcast gate as an avoidable extra
 # job on one of the most expensive queries.
-from ..plans.memo import ScalarMemo
+from ..plans.memo import ScalarMemo, frame_key
 
 TABLE_STATS = ScalarMemo()
 
@@ -102,8 +102,12 @@ def table_stats(
         ).collect()[0]
         return (row["n"], row["s"])
 
+    # frame_key of the source read rides in the key (same invalidation
+    # contract as the FrameMemos that consume these scalars)
     return TABLE_STATS.get_or_build(
-        ("table_stats", sf_dir, name, sum_col), build
+        ("table_stats", sf_dir, name, sum_col,
+         frame_key(load_sdf(spark, sf_dir, name))),
+        build,
     )
 
 
