@@ -70,10 +70,11 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
-def _decode_bmp(payload: bytes) -> list[float]:
-    """Pure-stdlib decode of an uncompressed 24-bit BMP (BITMAPINFO
-    header, BI_RGB): real dimensions + per-channel pixel means. Rows
-    are bottom-up and 4-byte padded per the format."""
+def _parse_bmp_header(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Shared header parse for the BMP decoders: returns
+    ``(data_offset, width, height_abs, row_bytes, raw_height)`` after
+    validating the uncompressed 24-bit BITMAPINFO contract (negative
+    raw height = rows stored top-down)."""
     import struct
 
     if len(payload) < 54 or payload[:2] != b"BM":
@@ -83,7 +84,7 @@ def _decode_bmp(payload: bytes) -> list[float]:
     if header_size < 40:
         raise NotImplementedError(f"unsupported BMP header size {header_size}")
     width, height = struct.unpack_from("<ii", payload, 18)
-    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    _planes, bpp = struct.unpack_from("<HH", payload, 26)
     compression = struct.unpack_from("<I", payload, 30)[0]
     if compression != 0 or bpp != 24:
         raise NotImplementedError(
@@ -95,6 +96,37 @@ def _decode_bmp(payload: bytes) -> list[float]:
             f"degenerate BMP dimensions {width}x{height}"
         )
     row_bytes = (width * 3 + 3) & ~3
+    return data_offset, width, height_abs, row_bytes, height
+
+
+def _decode_bmp_pixels(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Full pixel decode of an uncompressed 24-bit BMP: ``(width,
+    height, rows)`` with ``rows[y][x] = (r, g, b)`` in LOGICAL top-down
+    order — positive-height files store rows bottom-up and get flipped
+    here; on-disk byte order per pixel is BGR."""
+    data_offset, width, height_abs, row_bytes, raw_height = _parse_bmp_header(payload)
+    rows: list[list[tuple[int, int, int]]] = [None] * height_abs  # type: ignore[list-item]
+    for stored in range(height_abs):
+        base = data_offset + stored * row_bytes
+        raw = payload[base:base + width * 3]
+        if len(raw) < width * 3:
+            raise NotImplementedError("truncated BMP pixel data")
+        y = (height_abs - 1 - stored) if raw_height > 0 else stored
+        rows[y] = [
+            (raw[i + 2], raw[i + 1], raw[i])
+            for i in range(0, width * 3, 3)
+        ]
+    return width, height_abs, rows
+
+
+def _decode_bmp(payload: bytes) -> list[float]:
+    """Pure-stdlib decode of an uncompressed 24-bit BMP (BITMAPINFO
+    header, BI_RGB): real dimensions + per-channel pixel means. Rows
+    are bottom-up and 4-byte padded per the format."""
+    import struct
+
+    data_offset, width, height_abs, row_bytes, _raw = _parse_bmp_header(payload)
+    bpp = struct.unpack_from("<HH", payload, 26)[1]
     n_px = width * height_abs
     tot = [0, 0, 0]  # B, G, R
     for r in range(height_abs):
@@ -561,6 +593,154 @@ def wav_window_energy(df: DataFrame, window: int = 100) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=WAV_WINDOW_SCHEMA)
+
+
+_PHASH_GRID_W = 9   # dHash grid: 9 columns of cells -> 8 compares/row
+_PHASH_GRID_H = 8   # 8 cell rows -> 64 bits, banded as 4 x 16
+_BMP_W = 2 * _PHASH_GRID_W   # synthetic corpus image size: one exact
+_BMP_H = 2 * _PHASH_GRID_H   # 2x2 block mean per hash cell
+
+
+def _encode_bmp(width: int, height: int, rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Pure-stdlib uncompressed 24-bit BMP encode (the write half of
+    the ``_decode_bmp_pixels`` round trip): logical top-down RGB rows
+    in, bottom-up 4-byte-padded BGR scanlines out."""
+    import struct
+
+    row_bytes = (width * 3 + 3) & ~3
+    body = bytearray()
+    for stored in range(height):
+        y = height - 1 - stored  # positive height => bottom-up storage
+        line = bytearray()
+        for r, g, b in rows[y]:
+            line += bytes((b, g, r))
+        line += b"\x00" * (row_bytes - len(line))
+        body += line
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(body), 0, 0, 0, 0)
+    )
+    return bytes(header + body)
+
+
+def documents_as_bmp(docs: DataFrame, width: int = _BMP_W, height: int = _BMP_H) -> DataFrame:
+    """Adapter: synthesize a REAL uncompressed 24-bit BMP per document
+    whose pixel channels are the text's codepoints laid out row-major
+    (pixel p, channel c reads codepoint ``p*3 + c``, mod 256; indices
+    past the text are 0 — black padding) — deterministic, so a SQL
+    oracle can recompute every pixel from the text alone, the
+    ``documents_as_wav`` precedent for images. Zero-padding (NOT cyclic
+    wrap) is load-bearing: near-duplicate texts of slightly different
+    lengths must produce near-identical pixel grids, and a cyclic wrap
+    would re-phase every pixel past the shorter length (measured: the
+    corpus' suffix-edit near-dups landed at Hamming ~30 cyclic vs ~2
+    zero-padded). Runs in the same Arrow ``mapInPandas`` pass shape a
+    real image ingest would use."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, t in zip(pdf["doc_id"], pdf["text"]):
+                vals = [ord(ch) % 256 for ch in t]
+                n = len(vals)
+                if n == 0:
+                    continue  # no pixels derivable; mirrored by the
+                    # oracle's len(text) >= 1 filter
+                rows = [
+                    [
+                        tuple(
+                            vals[i] if (i := (y * width + x) * 3 + c) < n else 0
+                            for c in range(3)
+                        )
+                        for x in range(width)
+                    ]
+                    for y in range(height)
+                ]
+                ids.append(int(mid))
+                payloads.append(_encode_bmp(width, height, rows))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    return docs.select("doc_id", "text").mapInPandas(run, schema=schema)
+
+
+def perceptual_hash_bands(
+    width: int, height: int, rows: list[list[tuple[int, int, int]]],
+    grid_w: int = _PHASH_GRID_W, grid_h: int = _PHASH_GRID_H,
+) -> tuple[list[int], list[int]]:
+    """dHash + aHash over decoded RGB pixels, integer-exact: downscale
+    by uniform block SUMS (all blocks have equal pixel count, so
+    comparing sums == comparing means — no division, no float), then
+
+    - dHash bit(r, x) = cell[r][x] > cell[r][x+1]  (8 x 8 bits)
+    - aHash bit(r, x) = 64*cell[r][x] > sum of the 8x8 left subgrid
+
+    packed as 4 bands of 16 bits (rows 2b, 2b+1 -> band b; bit position
+    ``(r % 2) * 8 + x``) — the LSH unit for the Hamming-banded join.
+    Arbitrary-size inputs need a real resampler (PIL, not in this
+    container): non-integral block ratios raise, per the codec policy."""
+    if width % grid_w or height % grid_h:
+        raise NotImplementedError(
+            f"no stdlib resampler for {width}x{height} -> {grid_w}x{grid_h};"
+            " requires integral block ratios (or PIL)"
+        )
+    bw, bh = width // grid_w, height // grid_h
+    cell = [
+        [
+            sum(
+                (rows[y][x][0] + rows[y][x][1] + rows[y][x][2]) // 3
+                for y in range(gy * bh, (gy + 1) * bh)
+                for x in range(gx * bw, (gx + 1) * bw)
+            )
+            for gx in range(grid_w)
+        ]
+        for gy in range(grid_h)
+    ]
+    tot = sum(cell[r][x] for r in range(8) for x in range(8))
+    dband, aband = [0, 0, 0, 0], [0, 0, 0, 0]
+    for r in range(8):
+        for x in range(8):
+            pos = (r % 2) * 8 + x
+            if cell[r][x] > cell[r][x + 1]:
+                dband[r // 2] |= 1 << pos
+            if 64 * cell[r][x] > tot:
+                aband[r // 2] |= 1 << pos
+    return dband, aband
+
+
+PHASH_SCHEMA = (
+    "media_id long, d0 long, d1 long, d2 long, d3 long, "
+    "a0 long, a1 long, a2 long, a3 long"
+)
+
+
+def bmp_perceptual_hashes(df: DataFrame) -> DataFrame:
+    """(media_id, payload) -> per-image dHash/aHash band columns via
+    ``mapInPandas`` over the REAL BMP decode: blobs in, 9 small ints
+    out, no shuffle, no blob ever crossing an exchange. Catalyst fuses
+    this with an upstream encode/ingest pass into one Python-runner
+    stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list[int]] = {
+                k: [] for k in PHASH_SCHEMA.replace(" long", "").split(", ")
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, rows = _decode_bmp_pixels(payload)
+                dband, aband = perceptual_hash_bands(w, h, rows)
+                out["media_id"].append(int(mid))
+                for i in range(4):
+                    out[f"d{i}"].append(dband[i])
+                    out[f"a{i}"].append(aband[i])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=PHASH_SCHEMA)
 
 
 def documents_as_wav(docs: DataFrame, rate: int = 8000) -> DataFrame:

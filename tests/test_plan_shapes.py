@@ -405,3 +405,14 @@ def test_lm_quality_buckets_rides_memoized_scores(spark):
     _bigram_scored(spark, SF_DIR)  # prime the memo
     plan = plan_of(spark, "lm_quality_buckets")
     assert "ExistingRDD" in plan
+
+
+def test_media_near_dup_banded_join_no_cartesian(spark):
+    # candidates come from the (band_idx, bucket) equi-join — never
+    # all-pairs; the hash frame is a checkpoint (ExistingRDD), so the
+    # decode/hash Python stage ran exactly once and blobs never enter
+    # the join
+    plan = plan_of(spark, "media_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan
+    assert "MapInPandas" not in plan

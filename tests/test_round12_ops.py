@@ -1,0 +1,145 @@
+"""Semantic tests for the round-12 operators (beyond the smoke run and
+the DuckDB oracle): each pins a property a silent bug would break
+without changing row counts."""
+
+from __future__ import annotations
+
+import collections
+
+from df_spark.queries import load_registry
+from df_spark.sources.tables import load_sdf
+
+REG = load_registry()
+
+
+# --------------------------------------------------------------------
+# media_near_dup: perceptual-hash image dedup
+# --------------------------------------------------------------------
+
+def _phash_twin(text: str, W: int = 18, H: int = 16):
+    """Independent dHash/aHash twin straight from the text — never
+    builds a BMP, so agreement with the engine proves the whole
+    encode -> container -> decode -> hash chain preserved every pixel
+    (orientation, BGR order, scanline padding)."""
+    vals = [ord(ch) % 256 for ch in text]
+    n = len(vals)
+
+    def px(x, y, c):
+        i = (y * W + x) * 3 + c
+        return vals[i] if i < n else 0
+
+    def gray(x, y):
+        return (px(x, y, 0) + px(x, y, 1) + px(x, y, 2)) // 3
+
+    cell = [
+        [
+            gray(2 * gx, 2 * gy) + gray(2 * gx + 1, 2 * gy)
+            + gray(2 * gx, 2 * gy + 1) + gray(2 * gx + 1, 2 * gy + 1)
+            for gx in range(9)
+        ]
+        for gy in range(8)
+    ]
+    tot = sum(cell[r][x] for r in range(8) for x in range(8))
+    dband, aband = [0] * 4, [0] * 4
+    for r in range(8):
+        for x in range(8):
+            pos = (r % 2) * 8 + x
+            if cell[r][x] > cell[r][x + 1]:
+                dband[r // 2] |= 1 << pos
+            if 64 * cell[r][x] > tot:
+                aband[r // 2] |= 1 << pos
+    return dband, aband
+
+
+def test_media_phash_matches_text_twin(spark, sf_dir):
+    from df_spark.multimodal import bmp_perceptual_hashes, documents_as_bmp
+
+    docs = load_sdf(spark, sf_dir, "documents")
+    got = {
+        r.media_id: r
+        for r in bmp_perceptual_hashes(documents_as_bmp(docs)).collect()
+    }
+    checked = 0
+    for d in docs.collect():
+        if len(d.text) == 0:
+            assert d.doc_id not in got
+            continue
+        dband, aband = _phash_twin(d.text)
+        r = got[d.doc_id]
+        assert [r.d0, r.d1, r.d2, r.d3] == dband, d.doc_id
+        assert [r.a0, r.a1, r.a2, r.a3] == aband, d.doc_id
+        checked += 1
+    assert checked == len(got)
+
+
+def test_media_near_dup_pair_semantics(spark, sf_dir):
+    """Brute-force twin of the banded join + Hamming verify over the
+    twin hashes: candidates = any shared NONZERO dHash band; emitted =
+    candidates with 64-bit dHash Hamming <= 10."""
+    docs = load_sdf(spark, sf_dir, "documents").collect()
+    hashes = {
+        d.doc_id: _phash_twin(d.text) for d in docs if len(d.text) > 0
+    }
+    ids = sorted(hashes)
+    want = {}
+    for i, a in enumerate(ids):
+        da, aa = hashes[a]
+        for b in ids[i + 1:]:
+            db, ab = hashes[b]
+            if not any(x == y and x != 0 for x, y in zip(da, db)):
+                continue
+            hd = sum(bin(x ^ y).count("1") for x, y in zip(da, db))
+            if hd <= 10:
+                ha = sum(bin(x ^ y).count("1") for x, y in zip(aa, ab))
+                want[(a, b)] = (hd, ha)
+    got = {
+        (r.id_a, r.id_b): (r.hamming_dhash, r.hamming_ahash)
+        for r in REG["media_near_dup"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(got) > 0  # the corpus' near-dups must actually surface
+
+
+def test_media_near_dup_finds_suffix_edit_neardups(spark, sf_dir):
+    """The corpus' known near-dup structure (suffix edits) must land at
+    SMALL Hamming distances — the zero-padding contract (a cyclic wrap
+    re-phases every pixel past the shorter length and loses them)."""
+    import re
+
+    docs = load_sdf(spark, sf_dir, "documents").collect()
+    norm = {d.doc_id: re.sub(r"\s+", " ", d.text.lower()).strip() for d in docs}
+    # exact-prefix near-dup pairs (one text = other + small suffix)
+    prefix_pairs = {
+        (a, b)
+        for a in norm for b in norm
+        if a < b and norm[a][:60] == norm[b][:60] and len(norm[a]) >= 60
+    }
+    got = {
+        (r.id_a, r.id_b): r.hamming_dhash
+        for r in REG["media_near_dup"].fn(spark, sf_dir).collect()
+    }
+    found = prefix_pairs & set(got)
+    assert len(found) >= len(prefix_pairs) * 3 // 4, (
+        len(found), len(prefix_pairs))
+    for p in found:
+        assert got[p] <= 10
+
+
+def test_decode_bmp_pixels_topdown_orientation():
+    """Negative-height BMPs store rows top-down: the decoder must not
+    flip them (the positive-height flip is covered by the engine twin
+    test above)."""
+    import struct
+
+    from df_spark.multimodal import _decode_bmp_pixels, _encode_bmp
+
+    rows = [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]]
+    up = _encode_bmp(2, 2, rows)
+    assert _decode_bmp_pixels(up) == (2, 2, rows)
+    # rewrite the header height to -2 WITHOUT reordering the body:
+    # stored row 0 now means logical row 0, so the decode flips
+    down = bytearray(up)
+    struct.pack_into("<i", down, 22, -2)
+    w, h, got = _decode_bmp_pixels(bytes(down))
+    assert (w, h) == (2, 2)
+    assert got == [rows[1], rows[0]]
