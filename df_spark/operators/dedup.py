@@ -1032,6 +1032,244 @@ def minhash_near_dups_sql(table: str = "documents", min_jaccard: float = 0.6,
 
 
 # ---------------------------------------------------------------------------
+# Incremental (crawl-vs-index) near-dedup
+# ---------------------------------------------------------------------------
+
+
+def incremental_band_dedup(
+    docs: DataFrame,
+    min_jaccard: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gens: int = 3,
+    min_est_matches: int = MIN_EST_MATCHES,
+    memo: bool = True,
+) -> DataFrame:
+    """Batch-incremental MinHash dedup: each crawl generation's docs
+    are probed against the EXISTING index's band table only — never
+    old-vs-old recompute — and only novel docs join the index for the
+    next generation. This is the maintenance regime a production
+    pipeline hits every crawl cycle (the full ``minhash_near_dups``
+    all-pairs pass is the bootstrap, this is the steady state).
+
+    Generations are a deterministic split (``id % gens``): gen 0 seeds
+    the index; gen g in 1..gens-1 arrives as batch g. A batch doc is a
+    DUP if it shares a band bucket with an index doc AND the pair
+    passes the family's standard two-stage verify (signature-estimate
+    screen >= ``min_est_matches``, then exact Jaccard >=
+    ``min_jaccard`` — the ``minhash_near_dups`` thresholds). Output:
+    one row per batch doc — (id, gen, is_novel 0/1, n_dup_partners =
+    verified index partners at processing time).
+
+    Plan shape / 100 TB story:
+
+    - signatures come from the memoized family build
+      (:func:`_shared_build`) — in production they are READ from the
+      persisted index table; nothing here recomputes old docs' text.
+    - the probe is a hash equi-join on (band_idx, bucket) between the
+      batch's bands and the index's bands — batch-sized x index-
+      bucket-matched, never all-pairs, never index x index.
+    - "append only novel docs" is expressed as an anti-join of the
+      previous batches' verified-dup ids (bounded by dup count per
+      batch); a real deployment appends novel rows to the band table
+      instead and needs no anti-join at all.
+    - the per-batch verify attaches payloads for CANDIDATES only
+      (batch-bounded), with the estimate screen cutting the
+      set-attaching join's input first.
+    """
+    combined = _shared_build(docs, id_col, text_col, memo=memo)
+    words = _build_words(combined)
+    prof = combined.select(id_col, *[f"m{i}" for i in range(NUM_HASHES)])
+    sigs = minhash_signatures(id_col=id_col, profile=prof)
+    # narrow (id, band_idx, bucket, gen) rows, checkpointed once: every
+    # generation's probe reads this frame twice (new side + old side)
+    buckets = (
+        sigs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.array(*[F.col(f"band{b}") for b in range(4)])
+            ).alias("band_idx", "bucket"),
+        )
+        .withColumn("gen", F.col(id_col) % gens)
+        .localCheckpoint(eager=True)
+    )
+
+    mins_arr = minhash_mins_array()
+
+    def sided(suffix: str) -> list:
+        return [
+            F.col("n_sh").alias(f"n{suffix}"),
+            *([F.col(w).alias(f"{w}{suffix}") for w in words] if words
+              else [F.col("sh").alias(f"sh{suffix}")]),
+        ]
+
+    side = combined.select(
+        F.col(id_col), mins_arr.alias("mins"), F.col("n_sh"),
+        *(words if words else ["sh"]),
+    )
+    a_side = side.select(
+        F.col(id_col).alias("id_a"), F.col("mins").alias("mins_a"), *sided("_a"))
+    b_side = side.select(
+        F.col(id_col).alias("id_b"), F.col("mins").alias("mins_b"), *sided("_b"))
+    est = minhash_est("mins_a", "mins_b")
+
+    def verify(cand: DataFrame) -> DataFrame:
+        pairs = (
+            cand.join(a_side, "id_a").join(b_side, "id_b")
+            .filter(est >= min_est_matches)
+        )
+        if words:
+            return jaccard_words_projection(
+                pairs, "id_a", "id_b", "_a", "_b", words, min_jaccard)
+        return jaccard_projection(
+            pairs, "id_a", "id_b", "sh_a", "sh_b", min_jaccard)
+
+    all_ids = docs.select(
+        F.col(id_col), (F.col(id_col) % gens).cast("long").alias("gen"))
+    outs: list[DataFrame] = []
+    removed: DataFrame | None = None  # dup ids never appended to the index
+    for g in range(1, gens):
+        new_b = buckets.filter(F.col("gen") == g).select(
+            F.col(id_col).alias("id_a"), "band_idx", "bucket")
+        old_b = buckets.filter(F.col("gen") < g)
+        if removed is not None:
+            old_b = old_b.join(removed, [id_col], "left_anti")
+        cand = (
+            new_b.join(
+                old_b.select(
+                    F.col(id_col).alias("id_b"), "band_idx", "bucket"),
+                ["band_idx", "bucket"],
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        # (id_a, n_dup_partners): consumed twice (output row + the next
+        # generation's index anti-join) — checkpoint the bounded frame
+        dups = (
+            verify(cand)
+            .groupBy("id_a")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_dup_partners"))
+            .localCheckpoint(eager=True)
+        )
+        outs.append(
+            all_ids.filter(F.col("gen") == g)
+            .join(dups.withColumnRenamed("id_a", id_col), [id_col], "left")
+            .select(
+                id_col,
+                F.col("gen"),
+                F.when(F.col("n_dup_partners").isNull(), F.lit(1))
+                .otherwise(F.lit(0)).cast("long").alias("is_novel"),
+                F.coalesce(F.col("n_dup_partners"), F.lit(0))
+                .cast("long").alias("n_dup_partners"),
+            )
+        )
+        newly = dups.select(F.col("id_a").alias(id_col))
+        removed = newly if removed is None else removed.unionByName(newly)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def incremental_dedup_sql(
+    table: str = "documents", min_jaccard: float = 0.6,
+    id_col: str = "doc_id", text_col: str = "text", gens: int = 3,
+    min_est_matches: int = MIN_EST_MATCHES,
+    bands: int = 4, rows_per_band: int = 4,
+) -> str:
+    """DuckDB replay of :func:`incremental_band_dedup`: the same mins/
+    bands/sets fragments as ``minhash_near_dups_sql``, then one
+    (candidate -> screen+verify -> dup) CTE block per generation, each
+    generation's old side excluding earlier generations' verified
+    dups — two chained snapshot generations by default."""
+    mins = ",\n        ".join(
+        f"MIN({minhash_perm_sql(h32_sql('s'), i)}) AS m{i}"
+        for i in range(NUM_HASHES)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT {id_col}, md5(concat_ws(','"
+        + "".join(
+            f", CAST(m{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band))
+        + f")) AS bucket, {b} AS band_idx FROM mins"
+        for b in range(bands)
+    )
+    est = " + ".join(
+        f"(CASE WHEN ma.m{i} = mb.m{i} THEN 1 ELSE 0 END)"
+        for i in range(NUM_HASHES)
+    )
+    shingle_hashed = (
+        f"list_distinct(list_transform({char_shingles_sql(text_col)},"
+        f" s -> CAST({h32_sql('s')} - 2147483648 AS INTEGER)))"
+    )
+    jac = (
+        "round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)"
+        " / (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE)"
+        " - len(list_intersect(sa.sh, sb.sh))), 6)"
+    )
+    parts = [
+        f"""sh AS (
+      SELECT {id_col}, unnest({char_shingles_sql(text_col)}) AS s
+      FROM {table}
+    )""",
+        f"""mins AS (
+      SELECT {id_col},
+        {mins}
+      FROM sh GROUP BY {id_col}
+    )""",
+        f"""buckets AS MATERIALIZED (
+      {band_rows}
+    )""",
+        f"""sets AS (
+      SELECT {id_col}, {shingle_hashed} AS sh FROM {table}
+    )""",
+    ]
+    outs = []
+    for g in range(1, gens):
+        old_conds = []
+        for og in range(g):
+            cond = f"o.{id_col} % {gens} = {og}"
+            if og >= 1:
+                cond = (f"({cond} AND o.{id_col} NOT IN"
+                        f" (SELECT new_id FROM dup{og}))")
+            old_conds.append(cond)
+        parts.append(
+            f"""cand{g} AS (
+      SELECT DISTINCT n.{id_col} AS new_id, o.{id_col} AS old_id
+      FROM buckets n JOIN buckets o
+        ON n.bucket = o.bucket AND n.band_idx = o.band_idx
+      WHERE n.{id_col} % {gens} = {g}
+        AND ({' OR '.join(old_conds)}))"""
+        )
+        parts.append(
+            f"""ver{g} AS (
+      SELECT new_id, old_id
+      FROM cand{g}
+      JOIN mins ma ON ma.{id_col} = cand{g}.new_id
+      JOIN mins mb ON mb.{id_col} = cand{g}.old_id
+      JOIN sets sa ON sa.{id_col} = cand{g}.new_id
+      JOIN sets sb ON sb.{id_col} = cand{g}.old_id
+      WHERE {est} >= {min_est_matches} AND {jac} >= {min_jaccard})"""
+        )
+        parts.append(
+            f"dup{g} AS MATERIALIZED (SELECT new_id,"
+            f" COUNT(*)::BIGINT AS n_dup FROM ver{g} GROUP BY 1)"
+        )
+        outs.append(
+            f"""SELECT d.{id_col}, CAST({g} AS BIGINT) AS gen,
+           CAST(CASE WHEN dup{g}.new_id IS NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS is_novel,
+           CAST(COALESCE(dup{g}.n_dup, 0) AS BIGINT) AS n_dup_partners
+    FROM {table} d LEFT JOIN dup{g} ON dup{g}.new_id = d.{id_col}
+    WHERE d.{id_col} % {gens} = {g}"""
+        )
+    return (
+        "WITH " + ",\n    ".join(parts) + "\n    "
+        + "\n    UNION ALL\n    ".join(outs)
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

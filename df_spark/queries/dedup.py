@@ -390,6 +390,22 @@ def containment_join(spark, sf_dir):
                                partition_cols=["source"])
 
 
+@register("dedup_incremental", sql=D.incremental_dedup_sql("documents", 0.6))
+def dedup_incremental(spark, sf_dir):
+    """Crawl-cycle index maintenance: two snapshot generations of
+    incoming docs probed against the persisted MinHash band index
+    (gen 0 seeds it), each batch's bands joined new-vs-INDEX only —
+    never old-vs-old recompute — verified dups dropped and only novel
+    docs appended before the next generation. Output: per incoming doc
+    (gen, is_novel, n verified index partners). The oracle replays both
+    generations as chained SQL CTE blocks. See
+    ``operators/dedup.py:incremental_band_dedup`` for the plan shape
+    and the 100 TB regime (signatures read from the persisted index,
+    batch-sized probe join, bounded anti-join)."""
+    docs = load_sdf(spark, sf_dir, "documents")
+    return D.incremental_band_dedup(docs, min_jaccard=0.6)
+
+
 @register(
     "ngram_novelty",
     sql=f"""

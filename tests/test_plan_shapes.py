@@ -416,3 +416,11 @@ def test_media_near_dup_banded_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "ExistingRDD" in plan
     assert "MapInPandas" not in plan
+
+
+def test_dedup_incremental_probes_index_no_cartesian(spark):
+    # each generation probes new-vs-index via the (band_idx, bucket)
+    # equi-join off the checkpointed band table; no all-pairs step
+    plan = plan_of(spark, "dedup_incremental")
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan

@@ -125,6 +125,47 @@ def test_media_near_dup_finds_suffix_edit_neardups(spark, sf_dir):
         assert got[p] <= 10
 
 
+# --------------------------------------------------------------------
+# dedup_incremental: crawl-vs-index band maintenance
+# --------------------------------------------------------------------
+
+def test_dedup_incremental_consistent_with_allpairs(spark, sf_dir):
+    """The incremental chaining must agree with the engine's all-pairs
+    verified near-dup set (identical banding/screen/threshold): a batch
+    doc's partners are exactly its verified neighbors INSIDE the index
+    as of its generation, and only novel docs enter the next
+    generation's index. Catches wrong gen filters, a missing anti-join
+    (dups leaking into the index), and partner-count drift."""
+    out = {
+        r.doc_id: r
+        for r in REG["dedup_incremental"].fn(spark, sf_dir).collect()
+    }
+    adj = collections.defaultdict(set)
+    for p in REG["minhash_near_dups"].fn(spark, sf_dir).collect():
+        adj[p.id_a].add(p.id_b)
+        adj[p.id_b].add(p.id_a)
+    ids = sorted(
+        d.doc_id
+        for d in load_sdf(spark, sf_dir, "documents").select("doc_id").collect()
+    )
+    assert set(out) == {i for i in ids if i % 3 in (1, 2)}
+    index = {i for i in ids if i % 3 == 0}
+    for g in (1, 2):
+        fresh = set()
+        for i in (i for i in ids if i % 3 == g):
+            partners = adj[i] & index
+            r = out[i]
+            assert r.gen == g
+            assert r.n_dup_partners == len(partners), i
+            assert r.is_novel == (0 if partners else 1), i
+            if not partners:
+                fresh.add(i)
+        index |= fresh
+    # the corpus' dup density must actually exercise both branches
+    assert any(r.is_novel == 0 for r in out.values())
+    assert any(r.is_novel == 1 for r in out.values())
+
+
 def test_decode_bmp_pixels_topdown_orientation():
     """Negative-height BMPs store rows top-down: the decoder must not
     flip them (the positive-height flip is covered by the engine twin
