@@ -15,10 +15,12 @@ single wall sample per query is not falsifiable evidence. Two
 defenses:
 
 - $SPARK_GRAFT_BENCH_PASSES (default 3) full passes; per-query MEDIAN
-  wall time plus min/max spread. The session-scoped dedup memo (the
-  engine's Pool twin) is cleared at each pass start, so every pass
-  reproduces the cold first-caller-pays semantics of a fresh session —
-  medians measure the engine, not the memo.
+  wall time plus min/max spread. The session memos (the engine's Pool
+  twin) are cleared at each pass start, then the family SHARED builds
+  run as designated, recorded ``_build_*`` rows (r12): cold build cost
+  lands on a stable name every pass — and identically on the driver —
+  so real query rows measure warm cost with tight spreads
+  (``value_builds``/``value_builds_cpu`` total them).
 - per-query JVM CPU seconds (utime+stime delta of the local-mode JVM
   read from /proc) in ``queries_cpu`` — CPU consumed is insensitive to
   co-tenant wall-clock steal, so CPU medians are the cross-round
@@ -39,6 +41,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # load_registry() imports every query module, so all family memos are
 # registered in plans.memo.ALL_MEMOS before the first clear
 from df_spark.plans.memo import clear_all_memos  # noqa: E402
+from df_spark.plans.warm import family_warm_builds  # noqa: E402
 from df_spark.queries import load_registry  # noqa: E402
 from df_spark.session import get_spark  # noqa: E402
 
@@ -173,16 +176,32 @@ def main() -> None:
 
     run("q1_pricing_summary")  # JVM/codegen warm-up, not recorded
 
-    samples: dict[str, list[float]] = {n: [] for n in names}
-    cpu_samples: dict[str, list[float]] = {n: [] for n in names}
+    builds = family_warm_builds(spark, sf_dir)
+    build_names = [n for n, _ in builds]
+    samples: dict[str, list[float]] = {n: [] for n in build_names + names}
+    cpu_samples: dict[str, list[float]] = {n: [] for n in build_names + names}
     for _ in range(passes):
-        # cold-session semantics per pass: the first caller in each
-        # memo-sharing family (dedup, graph, tokens, table stats)
-        # rebuilds the shared intermediates, the rest hit the memo —
-        # identical shape to a fresh driver session every pass.
-        # clear_all_memos() covers every registered memo so a new
-        # family can't silently turn cold costs warm (r10 lesson).
+        # cold-session semantics per pass: clear_all_memos() restores a
+        # fresh driver session's memo state, then the family shared
+        # builds run as DESIGNATED, recorded ``_build_*`` rows (judge
+        # r11 directive #1) — cold build cost lands on a stable name
+        # every pass and on the driver, instead of on whichever family
+        # member runs first, so real query rows measure WARM cost with
+        # tight spreads. clear_all_memos() covers every registered memo
+        # so a new family can't silently turn cold costs warm (r10
+        # lesson).
         clear_all_memos()
+        for bname, thunk in builds:
+            try:
+                quiesce()
+                c0 = jvm_cpu_seconds()
+                t0 = time.time()
+                thunk()
+                samples[bname].append(round(time.time() - t0, 3))
+                cpu_samples[bname].append(round(jvm_cpu_seconds() - c0, 3))
+            except Exception as e:  # noqa: BLE001
+                print(f"bench error in {bname}: {e}", file=sys.stderr)
+                samples[bname].append(-1.0)
         for name in names:
             try:
                 wall, cpu = run(name)
@@ -195,7 +214,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     cpu: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    for name in names:
+    for name in build_names + names:
         good = [t for t in samples[name] if t >= 0]
         timings[name] = round(statistics.median(good), 3) if good else -1.0
         spread[name] = [min(good), max(good)] if good else [-1.0, -1.0]
@@ -203,6 +222,17 @@ def main() -> None:
         cpu[name] = round(statistics.median(good_cpu), 3) if good_cpu else -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     core = round(sum(t for n, t in timings.items() if t >= 0 and n in R4_SET), 3)
+    # judge r11 directive #4: CPU is the cross-round comparable headline
+    # (wall is load-confounded on a shared host). NOTE r12: the family
+    # builds moved OUT of the R4 rows into _build_* rows, so value_core
+    # drops by the build share this round; value_core_cpu(+_builds) are
+    # the continuing signals.
+    core_cpu = round(
+        sum(c for n, c in cpu.items() if c >= 0 and n in R4_SET), 3)
+    builds_total = round(
+        sum(t for n, t in timings.items() if t >= 0 and n in build_names), 3)
+    builds_cpu = round(
+        sum(c for n, c in cpu.items() if c >= 0 and n in build_names), 3)
     total_cpu = round(sum(c for c in cpu.values() if c >= 0), 3)
     top_cost = dict(sorted(
         ((n, t) for n, t in timings.items() if t >= 0),
@@ -243,7 +273,10 @@ def main() -> None:
         "n_queries": len(timings),
         "top_cost_detail": top_cost_detail,
         "top_cost": top_cost,
+        "value_builds": builds_total,      # pinned family cold builds
+        "value_builds_cpu": builds_cpu,
         "value_cpu": total_cpu,
+        "value_core_cpu": core_cpu,  # headline cross-round signal (r11 #4)
         "value_core": core,  # round-4 query set only — cross-round comparable
         "value": total,
     }))

@@ -1,0 +1,74 @@
+"""Designated cold-build rows for the bench harness (judge r11
+directive #1: pin the shared builds' first toucher).
+
+Each entry forces ONE family's session-memoized shared build, so its
+cold cost lands on a stable, explicitly named ``_build_*`` bench row
+instead of whichever family member happens to run first — the r11
+board showed the same HEAD attributing an 18.4 s dedup cold build to
+``containment_join`` locally but a 36.8 s first touch to
+``minhash_est_audit`` on the driver, making per-row cross-round deltas
+unfalsifiable. With the builds pinned, every real query row measures
+its WARM cost (tight spreads, comparable across rounds) and the build
+rows carry the cold cost visibly.
+
+Single-consumer builds (BPE training, PageRank's edge list, the
+containment result memo) deliberately stay on their query's row: they
+ARE that operator's cost, not shared state.
+
+Drift guard: ``tests/test_warm_builds.py`` asserts that after these
+builds run, the member queries hit the memos (zero new misses) — a
+query changing its default args would silently un-pin its family and
+fail there.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import SparkSession
+
+
+def family_warm_builds(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[str, Callable[[], object]]]:
+    """(bench row name, build thunk) per family shared build, in
+    dependency order. Thunks materialize eagerly (the builds checkpoint
+    inside) — calling them IS the work."""
+    from ..operators import dedup as D
+    from ..queries import graph_q as GQ
+    from ..queries import similarity as SQ
+    from ..queries import tokens as TQ
+    from ..sources.tables import load_sdf
+
+    docs = load_sdf(spark, sf_dir, "documents")
+    return [
+        # the one-aggregate MinHash profile (sets/bitmap + 16 minima):
+        # shared by every minhash/SimHash-family row
+        ("_build_dedup_minhash", lambda: D._shared_build(docs)),
+        # banding candidates + the verified near-dup pair set: the pair
+        # set is shared by dedup_clusters / llm_data_pipeline /
+        # minhash_near_dups; the JVM candidate table ("cand") is shared
+        # by minhash_lsh_pairs / minhash_est_audit (the fused near-dup
+        # regime derives its candidates inside the numpy pass and never
+        # builds it, so force it explicitly)
+        ("_build_dedup_neardups",
+         lambda: (D.lsh_candidate_pairs(D.minhash_signatures(docs)),
+                  D.minhash_near_dups(docs, 0.6))),
+        # xxhash shingle sets + rarity-sorted arrays: shared by
+        # prefix_sim_join, containment_join (their verify stages stay
+        # on their own rows)
+        ("_build_dedup_rarity",
+         lambda: D._rarity_build(docs, "doc_id", "text", 7, ["source"])),
+        # token checkpoint + the bigram scoring frame (judge r11
+        # directive #5: lm_quality_buckets' ride must not bill
+        # bigram_lm_score)
+        ("_build_tokens",
+         lambda: (TQ._tokens_sdf(spark, sf_dir),
+                  TQ._bigram_scored(spark, sf_dir))),
+        # PQ: dim-exploded points, codebook training, final codes —
+        # shared by pq_quantize, pq_adc_topk, adc_recall_audit
+        ("_build_pq", lambda: SQ._pq_codes(spark, sf_dir)),
+        # distinct (order, part) incidence list: the co-purchase graph
+        # family's shared base
+        ("_build_graph", lambda: GQ._order_parts(spark, sf_dir)),
+    ]
