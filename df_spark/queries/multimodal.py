@@ -204,6 +204,153 @@ def media_near_dup(spark, sf_dir):
     )
 
 
+_AFP_WINDOW = 10   # samples per energy window (fingerprint resolution)
+_AFP_BAND = 16     # fingerprint bits per LSH band
+
+
+def _audio_fp_sql() -> str:
+    """DuckDB replay of the audio fingerprint near-dup from the text
+    alone (samples = codepoint - 64, the ``documents_as_wav``
+    contract): windowed energies -> delta-sign bits -> full 16-bit
+    bands -> band-bucket self-join -> per-common-band Hamming verify.
+    The engine side goes through a real RIFF/WAVE container; this never
+    does — a byte-order or framing bug is a value mismatch."""
+    energy = (
+        f"CAST(list_sum(list_transform(generate_series(1, {_AFP_WINDOW}),"
+        f" j -> CAST(ascii(substr(text, k * {_AFP_WINDOW} + j, 1)) - 64 AS BIGINT)"
+        f" * CAST(ascii(substr(text, k * {_AFP_WINDOW} + j, 1)) - 64 AS BIGINT)))"
+        f" AS BIGINT)"
+    )
+    shift = f"(1::BIGINT << CAST(win_idx % {_AFP_BAND} AS INT))"
+    return f"""
+    WITH t AS (
+      SELECT doc_id AS media_id, text,
+             (length(text) // {_AFP_WINDOW}) AS nw
+      FROM documents WHERE length(text) >= {_AFP_WINDOW}
+    ),
+    en AS (
+      SELECT media_id, u.k AS win_idx, {energy} AS energy
+      FROM t, UNNEST(generate_series(0, nw - 1)) AS u(k)
+    ),
+    bits AS (
+      SELECT media_id, win_idx,
+             lead(energy) OVER (PARTITION BY media_id ORDER BY win_idx)
+               AS nxt,
+             energy
+      FROM en
+    ),
+    bands AS MATERIALIZED (
+      SELECT media_id, CAST(win_idx // {_AFP_BAND} AS BIGINT) AS band_idx,
+             CAST(SUM(CASE WHEN nxt > energy THEN {shift} ELSE 0 END)
+                  AS BIGINT) AS value
+      FROM bits WHERE nxt IS NOT NULL
+      GROUP BY 1, 2 HAVING COUNT(*) = {_AFP_BAND}
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.value = b.value
+       AND a.media_id < b.media_id
+      WHERE a.value <> 0
+    )
+    SELECT id_a, id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common_bands,
+           CAST(SUM(bit_count(xor(ba.value, bb.value))) AS BIGINT) AS hamming
+    FROM cand
+    JOIN bands ba ON ba.media_id = cand.id_a
+    JOIN bands bb ON bb.media_id = cand.id_b AND bb.band_idx = ba.band_idx
+    GROUP BY 1, 2
+    HAVING SUM(bit_count(xor(ba.value, bb.value))) <= COUNT(*)
+    """
+
+
+@register("audio_fp_near_dup", sql=_audio_fp_sql())
+def audio_fp_near_dup(spark, sf_dir):
+    """Audio-corpus fingerprint near-dedup — the audio counterpart of
+    ``media_near_dup``, completing the dedup pillar across text, image,
+    and audio. Each document becomes a REAL 16-bit PCM WAV
+    (``documents_as_wav``); the decoded signal is reduced to
+    {_AFP_WINDOW}-sample window energies, and the fingerprint is the
+    classic delta-sign bit (Haitsma & Kalker 2002: bit k = energy rises
+    from window k to k+1 — robust to volume scaling, which squares
+    into both sides). Full {_AFP_BAND}-bit runs form LSH bands; clips
+    sharing any exact nonzero band are candidates (the zero band is the
+    silence/monotone degenerate bucket, dropped — same guard as
+    ``media_near_dup``); a pair is emitted if its common full bands
+    differ by at most 1 bit per band. Suffix-edit near-dups share every
+    common window's energy, so they land at Hamming 0.
+
+    Scale shape: encode+decode+energy is one fused mapInPandas stage
+    (blobs never cross an exchange); the bit/band derivation is one
+    window + one hash aggregate on the SAME media_id partitioning (a
+    single exchange); the band self-join is an equi-join on
+    (band_idx, value), never all-pairs; the verify re-joins only the
+    candidates against the checkpointed band table. At 100 TB the
+    fingerprint table is the persisted index — the incremental
+    crawl-vs-index regime of ``dedup_incremental`` applies verbatim."""
+    from pyspark.sql import Window as W
+
+    from ..multimodal import documents_as_wav, wav_window_energy
+
+    docs = load_sdf(spark, sf_dir, "documents")
+    en = wav_window_energy(documents_as_wav(docs), window=_AFP_WINDOW)
+    w = W.partitionBy("media_id").orderBy("win_idx")
+    bits = (
+        en.select(
+            "media_id", "win_idx", "energy",
+            F.lead("energy").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+    )
+    bands = (
+        bits.groupBy(
+            "media_id",
+            F.expr(f"win_idx div {_AFP_BAND}").alias("band_idx"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum(
+                F.when(
+                    F.col("nxt") > F.col("energy"),
+                    F.expr(f"shiftleft(1L, CAST(win_idx % {_AFP_BAND} AS INT))"),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("value"),
+        )
+        .filter(F.col("nb") == _AFP_BAND)
+        .select("media_id", F.col("band_idx").cast("long"), "value")
+        .localCheckpoint(eager=True)
+    )
+    cand = (
+        bands.filter(F.col("value") != 0)
+        .select(F.col("media_id").alias("id_a"), "band_idx", "value")
+        .join(
+            bands.filter(F.col("value") != 0).select(
+                F.col("media_id").alias("id_b"), "band_idx", "value"),
+            ["band_idx", "value"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ba = bands.select(
+        F.col("media_id").alias("id_a"), "band_idx",
+        F.col("value").alias("va"))
+    bb = bands.select(
+        F.col("media_id").alias("id_b"), "band_idx",
+        F.col("value").alias("vb"))
+    return (
+        cand.join(ba, "id_a")
+        .join(bb, ["id_b", "band_idx"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common_bands"),
+            F.sum(F.bit_count(F.col("va").bitwiseXOR(F.col("vb"))))
+            .cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= F.col("n_common_bands"))
+    )
+
+
 @register(
     "wav_energy_windows",
     sql="""

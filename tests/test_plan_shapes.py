@@ -424,3 +424,13 @@ def test_dedup_incremental_probes_index_no_cartesian(spark):
     plan = plan_of(spark, "dedup_incremental")
     assert "CartesianProduct" not in plan
     assert "ExistingRDD" in plan
+
+
+def test_audio_fp_near_dup_single_exchange_to_bands(spark):
+    # bit derivation (window) and band aggregate share the media_id
+    # partitioning; the candidate join is an equi-join off the
+    # checkpointed band table — no all-pairs step
+    plan = plan_of(spark, "audio_fp_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan
+    assert "MapInPandas" not in plan  # blobs never reach the join plan

@@ -126,6 +126,58 @@ def test_media_near_dup_finds_suffix_edit_neardups(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
+# audio_fp_near_dup: delta-sign audio fingerprint dedup
+# --------------------------------------------------------------------
+
+def _afp_twin(text: str, window: int = 10, band: int = 16):
+    """Independent fingerprint twin from the text (never touches WAV):
+    window energies -> delta-sign bits -> full bands."""
+    samples = [ord(ch) - 64 for ch in text]
+    nw = len(samples) // window
+    en = [
+        sum(s * s for s in samples[k * window:(k + 1) * window])
+        for k in range(nw)
+    ]
+    bands = {}
+    for k in range(nw - 1):
+        b, pos = k // band, k % band
+        bands.setdefault(b, [0, 0])
+        bands[b][1] += 1
+        if en[k + 1] > en[k]:
+            bands[b][0] |= 1 << pos
+    return {b: v for b, (v, cnt) in bands.items() if cnt == band}
+
+
+def test_audio_fp_near_dup_matches_text_twin(spark, sf_dir):
+    """Brute-force twin of the whole query: candidates = shared exact
+    nonzero band, emitted = common-band Hamming <= n_common_bands.
+    Agreement proves the WAV encode -> container -> decode -> energy ->
+    fingerprint chain bit-exact."""
+    docs = load_sdf(spark, sf_dir, "documents").collect()
+    fps = {d.doc_id: _afp_twin(d.text) for d in docs}
+    ids = sorted(i for i in fps if fps[i])
+    want = {}
+    for i, a in enumerate(ids):
+        fa = fps[a]
+        for b in ids[i + 1:]:
+            fb = fps[b]
+            common = set(fa) & set(fb)
+            if not any(fa[c] == fb[c] and fa[c] != 0 for c in common):
+                continue
+            ham = sum(bin(fa[c] ^ fb[c]).count("1") for c in common)
+            if ham <= len(common):
+                want[(a, b)] = (len(common), ham)
+    got = {
+        (r.id_a, r.id_b): (r.n_common_bands, r.hamming)
+        for r in REG["audio_fp_near_dup"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    # the corpus' suffix-edit near-dups land at Hamming 0
+    assert any(h == 0 for _, h in got.values())
+
+
+# --------------------------------------------------------------------
 # dedup_incremental: crawl-vs-index band maintenance
 # --------------------------------------------------------------------
 
