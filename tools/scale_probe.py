@@ -26,20 +26,27 @@ from df_spark.sources.tables import load_sdf  # noqa: E402
 
 
 def replicate(
-    df: DataFrame, id_col: str, copies: int, stride: int, perturb_text: bool = False
+    df: DataFrame, id_col: str, copies: int, stride: int,
+    perturb_text: bool = False, prefix: bool = False,
 ) -> DataFrame:
     """Union id-shifted copies. ``perturb_text`` appends the copy index
     to the text so replicas are NOT near-duplicates of each other —
     otherwise every doc gains (copies-1) planted near-dups and the
     pair-output of dedup ops grows quadratically BY CONSTRUCTION (the
     output really is that big), which measures the data, not the
-    algorithm."""
+    algorithm. ``prefix`` PREPENDS the perturbation instead: the
+    media/audio fingerprints hash the text's HEAD (fixed image size /
+    leading windows), so a suffix perturb would leave replicas
+    fingerprint-identical — planted near-dups by construction again."""
     out = None
     for i in range(copies):
         part = df.withColumn(id_col, F.col(id_col) + F.lit(i * stride))
         if perturb_text and i > 0:
+            pert = F.lit(f" variant{i} " * 8)
             part = part.withColumn(
-                "text", F.concat(F.col("text"), F.lit(f" variant{i} " * 8))
+                "text",
+                F.concat(pert, F.col("text")) if prefix
+                else F.concat(F.col("text"), pert),
             )
         out = part if out is None else out.unionByName(part)
     return out
@@ -98,6 +105,38 @@ def main() -> None:
         S.ann_multi_lsh_topk(embN, embN.filter(F.col("vec_id") < 5)),
     )
     probe("exact_dedup", D.exact_dedup_stats(docs1), D.exact_dedup_stats(docsN))
+    # r12 multimodal dedup: replicas are PREFIX-perturbed (the
+    # perceptual/audio fingerprints hash the text's head — a suffix
+    # perturb would plant fingerprint-identical near-dups and the pair
+    # output would grow quadratically by construction). Cost should be
+    # the fused decode+hash scan (linear) + the band equi-join.
+    docsP = replicate(
+        docs1, "doc_id", copies, 10_000_000, perturb_text=True, prefix=True)
+    from df_spark.multimodal import (  # noqa: E402
+        bmp_perceptual_hashes,
+        documents_as_bmp,
+        documents_as_wav,
+        wav_window_energy,
+    )
+
+    probe(
+        "media_phash",
+        bmp_perceptual_hashes(documents_as_bmp(docs1)),
+        bmp_perceptual_hashes(documents_as_bmp(docsP)),
+    )
+    probe(
+        "audio_energy",
+        wav_window_energy(documents_as_wav(docs1), window=10),
+        wav_window_energy(documents_as_wav(docsP), window=10),
+    )
+    # r12 incremental crawl-vs-index maintenance: suffix-perturbed
+    # replicas (minhash shingle domain); the probe guards the
+    # batch-vs-index band join's fan-out
+    probe(
+        "dedup_incremental",
+        D.incremental_band_dedup(docs1, 0.6, memo=False),
+        D.incremental_band_dedup(docsN, 0.6, memo=False),
+    )
     # r9 repetition signals: two explode->hash-agg passes keyed by
     # (doc_id, gram) — map-side combine should keep this linear
     from df_spark.queries.text import ngram_repetition_stats  # noqa: E402
