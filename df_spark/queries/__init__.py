@@ -208,11 +208,12 @@ def register(name: str, sql: str | None = None):
 # partition_backfill, join_hint_shuffle_hash, stream_sliding_hourly,
 # retention_sweep, stream_quota_alerts. triangle_counts re-enters
 # (driver-green r8) to monitor its r10 1.37x wall regression.
-# Round-12 rotation: the THREE r12 operators (media_near_dup,
-# dedup_incremental, audio_fp_near_dup — the late add takes
-# rollup_agg's slot; rollup/cube stay represented by cube_agg's r9 row
-# and grouping_sets_agg's r11 row) get first-round slots per standing
-# policy, and the
+# Round-12 rotation: the FOUR r12 operators (media_near_dup,
+# dedup_incremental, audio_fp_near_dup, video_frame_dedup — the late
+# adds take rollup_agg's and minhash_signatures' slots; rollup/cube
+# stay represented by cube_agg's r9 row and grouping_sets_agg's r11
+# row, and the minhash family keeps five r12-window rows) get
+# first-round slots per standing policy, and the
 # two rows-only-by-design queries (ann_ivf_kmeans, doc_compression)
 # finally get one driver window slot each — the driver's rows-only/err
 # check is the strongest check a sampler can run on them (judge r11
@@ -246,6 +247,7 @@ PRIORITY = [
     "union_distinct", "csv_roundtrip", "inmem_source_join",
     # first-round r12 operators:
     "media_near_dup", "dedup_incremental", "audio_fp_near_dup",
+    "video_frame_dedup",
     # rows-only census closers (driver runs the rows/err check):
     "ann_ivf_kmeans", "doc_compression",
     # r12 code/oracle changes needing fresh driver proof:
@@ -265,7 +267,6 @@ PRIORITY = [
     "ann_multi_lsh", "cosine_topk", "doc_fingerprint", "embed_norms",
     "events_sliding", "events_type_stats", "join_left_outer",
     "json_extract", "lang_quality_rollup", "media_meta",
-    "minhash_signatures",
 ]
 
 

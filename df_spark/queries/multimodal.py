@@ -204,6 +204,105 @@ def media_near_dup(spark, sf_dir):
     )
 
 
+_VFD_STRIDE = 64     # bytes per sampled frame
+_VFD_DF_CAP = 20     # hyper-common keyframe guard (inverted-index df cap)
+_VFD_MIN_PERMILLE = 800  # emit pairs with containment >= 80%
+
+
+@register(
+    "video_frame_dedup",
+    sql=f"""
+    WITH frames AS MATERIALIZED (
+      SELECT doc_id AS media_id, u.k AS frame_no,
+             md5(substr(text, CAST(u.k * {_VFD_STRIDE} + 1 AS INT),
+                 {_VFD_STRIDE})) AS fh
+      FROM documents,
+           UNNEST(generate_series(0, (length(text) - 1) // {_VFD_STRIDE}))
+             AS u(k)
+      WHERE length(text) >= 1
+    ),
+    sizes AS (SELECT media_id, COUNT(*) AS nf FROM frames GROUP BY 1),
+    df AS (
+      SELECT fh, COUNT(DISTINCT media_id) AS d FROM frames GROUP BY 1
+    ),
+    shared AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b,
+             COUNT(DISTINCT a.fh) AS n_shared
+      FROM frames a JOIN frames b ON a.fh = b.fh AND a.media_id < b.media_id
+      JOIN df ON df.fh = a.fh
+      WHERE df.d <= {_VFD_DF_CAP}
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+           CAST((1000 * n_shared) // LEAST(sa.nf, sb.nf) AS BIGINT)
+             AS containment_permille
+    FROM shared
+    JOIN sizes sa ON sa.media_id = id_a
+    JOIN sizes sb ON sb.media_id = id_b
+    WHERE 1000 * n_shared >= {_VFD_MIN_PERMILLE} * LEAST(sa.nf, sb.nf)
+    """,
+)
+def video_frame_dedup(spark, sf_dir):
+    """Video-style frame-sequence dedup — the third multimodal dedup
+    modality (image = ``media_near_dup``, audio = ``audio_fp_near_dup``):
+    sample fixed-stride frames from each binary payload
+    (``frame_sample``, the video keyframe-extraction plumbing), hash
+    each frame, and join media on shared frame hashes — two clips are
+    near-dups when the smaller one's frames are >= {_VFD_MIN_PERMILLE}
+    permille contained in the shared set (the standard keyframe-hash
+    containment used for video-corpus dedup; robust to one clip being
+    a prefix/extension of the other, exactly the corpus' suffix-edit
+    structure). Frames whose document frequency exceeds {_VFD_DF_CAP}
+    are dropped from the inverted index (hyper-common keyframes — black
+    frames, intros — are the join's quadratic hot keys; the standard
+    cap guard, mirrored in the oracle).
+
+    Everything is JVM-side codegen (substring + md5 + two hash
+    aggregates + one equi-self-join) — no UDF at all: frame slicing is
+    a binary substring, so the blobs are scanned once map-side and only
+    (media_id, 32-char hash) rows reach any exchange. The frame table
+    is checkpointed once (consumed by the size aggregate, the df guard,
+    and both join sides). At 100 TB the frame-hash table is the
+    persisted video index; the crawl-vs-index regime of
+    ``dedup_incremental`` applies to it verbatim."""
+    from ..multimodal import documents_as_media, frame_sample
+
+    docs = load_sdf(spark, sf_dir, "documents")
+    frames = (
+        frame_sample(documents_as_media(docs), every_n_bytes=_VFD_STRIDE)
+        .select("media_id", F.md5("frame_bytes").alias("fh"))
+        .localCheckpoint(eager=True)
+    )
+    sizes = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("nf"))
+    dfreq = frames.groupBy("fh").agg(
+        F.count_distinct("media_id").alias("d"))
+    rare = frames.join(
+        dfreq.filter(F.col("d") <= _VFD_DF_CAP).select("fh"), "fh")
+    shared = (
+        rare.select(F.col("media_id").alias("id_a"), "fh")
+        .join(rare.select(F.col("media_id").alias("id_b"), "fh"), "fh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count_distinct("fh").cast("long").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("media_id").alias("id_a"),
+                         F.col("nf").alias("na")), "id_a")
+        .join(
+            sizes.select(F.col("media_id").alias("id_b"),
+                         F.col("nf").alias("nb")), "id_b")
+        .filter(
+            1000 * F.col("n_shared")
+            >= _VFD_MIN_PERMILLE * F.least("na", "nb"))
+        .select(
+            "id_a", "id_b", "n_shared",
+            F.expr("(1000 * n_shared) div least(na, nb)")
+            .cast("long").alias("containment_permille"),
+        )
+    )
+
+
 _AFP_WINDOW = 10   # samples per energy window (fingerprint resolution)
 _AFP_BAND = 16     # fingerprint bits per LSH band
 

@@ -434,3 +434,13 @@ def test_audio_fp_near_dup_single_exchange_to_bands(spark):
     assert "CartesianProduct" not in plan
     assert "ExistingRDD" in plan
     assert "MapInPandas" not in plan  # blobs never reach the join plan
+
+
+def test_video_frame_dedup_no_udf_no_cartesian(spark):
+    # frame slice + hash are JVM-side (binary substring + md5): no
+    # Python stage anywhere; the pair join is an equi-join on the
+    # frame hash off the checkpointed frame table
+    plan = plan_of(spark, "video_frame_dedup")
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan
+    assert "ExistingRDD" in plan

@@ -178,6 +178,45 @@ def test_audio_fp_near_dup_matches_text_twin(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
+# video_frame_dedup: keyframe-hash containment
+# --------------------------------------------------------------------
+
+def test_video_frame_dedup_matches_python_twin(spark, sf_dir):
+    """Brute-force twin over the text: fixed-stride frame slices,
+    df-capped inverted index, distinct-shared-hash containment."""
+    docs = load_sdf(spark, sf_dir, "documents").collect()
+    frames = {}
+    for d in docs:
+        t = d.text
+        if len(t) == 0:
+            continue
+        frames[d.doc_id] = [t[k * 64:(k + 1) * 64]
+                            for k in range((len(t) - 1) // 64 + 1)]
+    dfreq = collections.Counter()
+    for fs in frames.values():
+        for fh in set(fs):
+            dfreq[fh] += 1
+    want = {}
+    ids = sorted(frames)
+    for i, a in enumerate(ids):
+        sa = {f for f in frames[a] if dfreq[f] <= 20}
+        for b in ids[i + 1:]:
+            sb = {f for f in frames[b] if dfreq[f] <= 20}
+            n = len(sa & sb)
+            m = min(len(frames[a]), len(frames[b]))
+            if n and 1000 * n >= 800 * m:
+                want[(a, b)] = (n, (1000 * n) // m)
+    got = {
+        (r.id_a, r.id_b): (r.n_shared, r.containment_permille)
+        for r in REG["video_frame_dedup"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    for n, perm in got.values():
+        assert 800 <= perm <= 1000
+
+
+# --------------------------------------------------------------------
 # dedup_incremental: crawl-vs-index band maintenance
 # --------------------------------------------------------------------
 

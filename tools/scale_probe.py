@@ -129,6 +129,29 @@ def main() -> None:
         wav_window_energy(documents_as_wav(docs1), window=10),
         wav_window_energy(documents_as_wav(docsP), window=10),
     )
+    # r12 video keyframe dedup: prefix perturbation shifts every frame
+    # boundary, so replicas share no frames with their base — the probe
+    # measures the frame hash scan + df-capped inverted self-join, not
+    # planted containment pairs
+    from df_spark.multimodal import documents_as_media, frame_sample  # noqa: E402
+
+    def vfd(docs_frame: DataFrame) -> DataFrame:
+        frames = (
+            frame_sample(documents_as_media(docs_frame), every_n_bytes=64)
+            .select("media_id", F.md5("frame_bytes").alias("fh"))
+        )
+        dfq = frames.groupBy("fh").agg(
+            F.count_distinct("media_id").alias("d"))
+        rare = frames.join(dfq.filter(F.col("d") <= 20).select("fh"), "fh")
+        return (
+            rare.select(F.col("media_id").alias("id_a"), "fh")
+            .join(rare.select(F.col("media_id").alias("id_b"), "fh"), "fh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count_distinct("fh").alias("n_shared"))
+        )
+
+    probe("video_frame_join", vfd(docs1), vfd(docsP))
     # r12 incremental crawl-vs-index maintenance: suffix-perturbed
     # replicas (minhash shingle domain); the probe guards the
     # batch-vs-index band join's fan-out
