@@ -516,7 +516,16 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
 
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat the documents table's text as binary payloads so
-    the multimodal path has real data to run on in this environment."""
+    the multimodal path has real data to run on in this environment.
+
+    ASCII corpus contract (shared by every adapter here and their SQL
+    oracles): the payload is the UTF-8 ENCODING of the text, while the
+    oracles index the text by CHARACTER (substr/ascii/length). The two
+    agree only when every character is single-byte — true for the
+    driver's synthetic corpus, asserted by
+    ``tests/test_round12_ops.py::test_corpus_is_ascii``. A multi-byte
+    corpus needs byte-indexed oracles (octet_length etc.), not a code
+    change here."""
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
@@ -748,7 +757,12 @@ def documents_as_wav(docs: DataFrame, rate: int = 8000) -> DataFrame:
     samples are the text's byte values shifted by -64 (deterministic,
     so a SQL oracle can recompute the windows from the text alone) —
     the stand-in for an audio corpus in this container. The encode
-    runs in the same Arrow pass shape the real ingest would use."""
+    runs in the same Arrow pass shape the real ingest would use.
+
+    ASCII corpus contract: samples come from ``t.encode('utf-8')``
+    (bytes) while the wav oracles recompute them via per-CHARACTER
+    ``ascii(substr(text, ...))`` — identical only on a single-byte
+    corpus; see ``documents_as_media`` for the shared assertion."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -38,11 +38,13 @@ _HAM_MAX = 10  # max dHash Hamming distance (of 64) for a near-dup pair
 def _media_near_dup_sql() -> str:
     """DuckDB replay of the BMP perceptual-hash pipeline WITHOUT ever
     touching BMP: pixels are recomputed from the text via the
-    documents_as_bmp mapping (codepoint at cyclic index, mod 256), then
-    the same integer block sums -> dHash/aHash bands -> band-bucket
-    self-join -> Hamming verify. A header/orientation/padding bug
-    anywhere in the engine's encode->decode round trip is a value
-    mismatch here."""
+    documents_as_bmp mapping (channel index p*3+c reads the codepoint
+    at that index mod 256 while it is inside the text, and 0 — black
+    padding — past the end; zero-padding, NOT cyclic wrap, per
+    documents_as_bmp's load-bearing contract), then the same integer
+    block sums -> dHash/aHash bands -> band-bucket self-join -> Hamming
+    verify. A header/orientation/padding bug anywhere in the engine's
+    encode->decode round trip is a value mismatch here."""
     from ..multimodal import _BMP_H, _BMP_W, _PHASH_GRID_H, _PHASH_GRID_W
 
     assert (_BMP_W, _BMP_H) == (2 * _PHASH_GRID_W, 2 * _PHASH_GRID_H)
@@ -268,8 +270,16 @@ def video_frame_dedup(spark, sf_dir):
     from ..multimodal import documents_as_media, frame_sample
 
     docs = load_sdf(spark, sf_dir, "documents")
+    # empty payloads are excluded BEFORE frame sampling: frame_sample's
+    # greatest(length, 1) would otherwise emit one md5(b"") frame for an
+    # empty doc (two empty docs would pair at containment 1000) while
+    # the oracle's len(text) >= 1 filter drops them — same contract,
+    # both sides (r12 ADVICE)
     frames = (
-        frame_sample(documents_as_media(docs), every_n_bytes=_VFD_STRIDE)
+        frame_sample(
+            documents_as_media(docs.filter(F.length("text") >= 1)),
+            every_n_bytes=_VFD_STRIDE,
+        )
         .select("media_id", F.md5("frame_bytes").alias("fh"))
         .localCheckpoint(eager=True)
     )

@@ -275,3 +275,23 @@ def test_decode_bmp_pixels_topdown_orientation():
     w, h, got = _decode_bmp_pixels(bytes(down))
     assert (w, h) == (2, 2)
     assert got == [rows[1], rows[0]]
+
+
+def test_corpus_is_ascii(spark, sf_dir):
+    """The media/wav adapters encode UTF-8 BYTES while their oracles
+    index the text by CHARACTER — identical only on a single-byte
+    corpus. This pins that shared assumption (documented on
+    ``documents_as_media``); if the driver corpus ever gains non-ASCII
+    text, the oracles must move to byte indexing, and this fails first
+    with a clear message instead of a value-hash mismatch."""
+    from pyspark.sql import functions as F
+
+    docs = load_sdf(spark, sf_dir, "documents")
+    n_multibyte = docs.filter(
+        F.octet_length("text") != F.length("text")
+    ).count()
+    assert n_multibyte == 0, (
+        f"{n_multibyte} documents contain multi-byte characters; the "
+        "character-indexed media oracles no longer match the UTF-8 "
+        "payload encode — switch the oracles to byte indexing"
+    )
