@@ -68,6 +68,9 @@ def family_warm_builds(
         # PQ: dim-exploded points, codebook training, final codes —
         # shared by pq_quantize, pq_adc_topk, adc_recall_audit
         ("_build_pq", lambda: SQ._pq_codes(spark, sf_dir)),
+        # incremental PQ: gen-0 codebook + new-generation assignment —
+        # shared by ann_incremental, ann_drift_audit (r13)
+        ("_build_pq_inc", lambda: SQ._pq_codes_inc(spark, sf_dir)),
         # distinct (order, part) incidence list: the co-purchase graph
         # family's shared base
         ("_build_graph", lambda: GQ._order_parts(spark, sf_dir)),

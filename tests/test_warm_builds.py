@@ -22,6 +22,7 @@ WARM_TAGS = {
     "xxsets", "xxarrays",                       # _build_dedup_rarity
     "tokens", "bigram_scored",                  # _build_tokens
     "pq_pts", "pq_cent", "pq_codes",            # _build_pq
+    "pq_cent_inc", "pq_codes_inc",              # _build_pq_inc
     "order_parts",                              # _build_graph
 }
 
@@ -31,6 +32,7 @@ MEMBER_QUERIES = [
     "prefix_sim_join", "containment_join",
     "bigram_lm_score", "lm_quality_buckets", "vocab_oov_rate",
     "pq_quantize", "pq_adc_topk", "adc_recall_audit",
+    "ann_incremental", "ann_drift_audit",
     "copurchase_pairs",
 ]
 
