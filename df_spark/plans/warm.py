@@ -36,6 +36,7 @@ def family_warm_builds(
     inside) — calling them IS the work."""
     from ..operators import dedup as D
     from ..queries import graph_q as GQ
+    from ..queries import multimodal as MQ
     from ..queries import similarity as SQ
     from ..queries import tokens as TQ
     from ..sources.tables import load_sdf
@@ -74,4 +75,11 @@ def family_warm_builds(
         # distinct (order, part) incidence list: the co-purchase graph
         # family's shared base
         ("_build_graph", lambda: GQ._order_parts(spark, sf_dir)),
+        # modality feature frames (image phash bands, audio fingerprint
+        # bands, video frame hashes): each shared by its near-dup query
+        # AND multimodal_dedup_report (r13)
+        ("_build_media",
+         lambda: (MQ._phash_feats(spark, sf_dir),
+                  MQ._audio_bands(spark, sf_dir),
+                  MQ._video_frames(spark, sf_dir))),
     ]

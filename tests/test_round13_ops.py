@@ -95,9 +95,10 @@ def test_ann_drift_audit_internally_consistent(spark, sf_dir):
 
 def test_inc_codebook_is_gen0_only(spark, sf_dir):
     """The persisted codebook must be derivable from generation 0
-    alone: training again on a frame where every NEW-generation text is
-    replaced by zeros must give the identical codebook (a leak of new
-    vectors into training would shift some centroid)."""
+    alone: re-running the shared Lloyd loop on the gen-0-filtered
+    points (new generations absent entirely) must give the identical
+    codebook (a leak of new vectors into training would shift some
+    centroid)."""
     from pyspark.sql import functions as F
 
     from df_spark.queries.similarity import (
@@ -113,3 +114,77 @@ def test_inc_codebook_is_gen0_only(spark, sf_dir):
         .select("vec_id").orderBy("vec_id").limit(_PQ_K).collect()
     ]
     assert _lloyd_train(spark, pts0, ids) == cent
+
+
+# --------------------------------------------------------------------
+# multimodal_dedup_report: cross-modality election
+# --------------------------------------------------------------------
+
+def test_multimodal_report_matches_pair_sets(spark, sf_dir):
+    """The election must agree edge-for-edge with the four modality
+    pair queries it unions: drop iff a smaller partner exists in ANY
+    modality, reason = highest-precedence flagging modality,
+    n_dup_edges/n_modalities/first_partner recomputed independently."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from df_spark.operators import dedup as D
+    from df_spark.sources.tables import load_sdf
+
+    docs = load_sdf(spark, sf_dir, "documents")
+    pair_sets = {
+        "text": D.minhash_near_dups(docs, min_jaccard=0.6),
+        "image": REG["media_near_dup"].fn(spark, sf_dir),
+        "audio": REG["audio_fp_near_dup"].fn(spark, sf_dir),
+        "video": REG["video_frame_dedup"].fn(spark, sf_dir),
+    }
+    prec = {"text": 0, "image": 1, "audio": 2, "video": 3}
+    edges = collections.defaultdict(list)  # doc -> [(partner, prec)]
+    n_pairs = 0
+    for mod, df in pair_sets.items():
+        for r in df.select("id_a", "id_b").collect():
+            edges[r["id_a"]].append((r["id_b"], prec[mod]))
+            edges[r["id_b"]].append((r["id_a"], prec[mod]))
+            assert r["id_a"] < r["id_b"], (mod, r)
+            n_pairs += 1
+    assert n_pairs > 0
+    name_of = {v: k for k, v in prec.items()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    out = {r["doc_id"]: r
+           for r in REG["multimodal_dedup_report"].fn(spark, sf_dir).collect()}
+    assert set(out) == all_ids
+    n_drop = 0
+    for doc, row in out.items():
+        inc = edges.get(doc, [])
+        smaller = [(pp, p) for (pp, p) in inc if pp < doc]
+        if smaller:
+            n_drop += 1
+            assert row["action"] == "drop"
+            assert row["reason"] == name_of[min(p for _pp, p in smaller)]
+            assert row["first_partner"] == min(pp for pp, _p in smaller)
+        else:
+            assert row["action"] == "retain"
+            assert row["reason"] == ("canonical" if inc else "unique")
+            assert row["first_partner"] is None
+        assert row["n_dup_edges"] == len(inc)
+        assert row["n_modalities"] == len({p for _pp, p in inc})
+    assert 0 < n_drop < len(all_ids)
+
+
+def test_multimodal_report_shares_memoized_builds(spark, sf_dir):
+    """After the modality queries run once, the rollup must not create
+    new MEDIA_MEMO / near-dup entries (zero new corpus scans)."""
+    from df_spark.operators.dedup import DEDUP_MEMO
+    from df_spark.queries.multimodal import MEDIA_MEMO
+
+    for q in ("media_near_dup", "audio_fp_near_dup", "video_frame_dedup"):
+        REG[q].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    REG["minhash_near_dups"].fn(spark, sf_dir).write.format("noop") \
+        .mode("overwrite").save()
+    media_keys = set(MEDIA_MEMO._entries)
+    dedup_keys = set(DEDUP_MEMO._entries)
+    REG["multimodal_dedup_report"].fn(spark, sf_dir).write.format("noop") \
+        .mode("overwrite").save()
+    assert set(MEDIA_MEMO._entries) == media_keys
+    assert set(DEDUP_MEMO._entries) == dedup_keys

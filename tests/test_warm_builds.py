@@ -24,6 +24,7 @@ WARM_TAGS = {
     "pq_pts", "pq_cent", "pq_codes",            # _build_pq
     "pq_cent_inc", "pq_codes_inc",              # _build_pq_inc
     "order_parts",                              # _build_graph
+    "phash_feats", "audio_bands", "video_frames",  # _build_media
 }
 
 # at least one member per warm build, spanning every family
@@ -34,17 +35,20 @@ MEMBER_QUERIES = [
     "pq_quantize", "pq_adc_topk", "adc_recall_audit",
     "ann_incremental", "ann_drift_audit",
     "copurchase_pairs",
+    "media_near_dup", "audio_fp_near_dup", "video_frame_dedup",
+    "multimodal_dedup_report",
 ]
 
 
 def _warm_tag_keys() -> set:
     from df_spark.operators.dedup import DEDUP_MEMO
     from df_spark.queries.graph_q import GRAPH_MEMO
+    from df_spark.queries.multimodal import MEDIA_MEMO
     from df_spark.queries.similarity import PQ_MEMO, PQ_SCALARS
     from df_spark.queries.tokens import BPE_SCALARS, TOKEN_MEMO
 
     keys = set()
-    for memo in (DEDUP_MEMO, GRAPH_MEMO, PQ_MEMO, PQ_SCALARS,
+    for memo in (DEDUP_MEMO, GRAPH_MEMO, MEDIA_MEMO, PQ_MEMO, PQ_SCALARS,
                  TOKEN_MEMO, BPE_SCALARS):
         keys |= {k for k in memo._entries if k[0] in WARM_TAGS}
     return keys
