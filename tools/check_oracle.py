@@ -65,9 +65,117 @@ def check_approx_distinct(con, rows) -> str | None:
     return "; ".join(errs) or None
 
 
+def check_ann_ivf_kmeans(con, rows) -> str | None:
+    """Quantitative gate for the kmeans-refined IVF search (judge r12
+    directive #3): its float Lloyd means are not bit-reproducible
+    across engines, but its OUTPUT is auditable — per query the ranks
+    must be contiguous from 1, every reported cos_sim must equal the
+    true cosine of that pair recomputed exactly in DuckDB, scores must
+    be non-increasing in rank, and recall@10 vs the DuckDB-exact
+    cosine top-10 must clear a measured floor (observed mean 0.86 at
+    sf0.01, 1.00 at sf0.1; floor 0.5 on the query average leaves
+    cell-boundary jitter room while catching any real retrieval
+    break). Returns an error string or None."""
+    import collections
+
+    K, NQ = 10, 5
+    cos = ("round(list_sum(list_transform(generate_series(1, 64), "
+           "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) "
+           "/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x))) "
+           "* sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x)))), 9)")
+    exact = collections.defaultdict(set)
+    for qid, vid in con.execute(f"""
+        SELECT query_id, vec_id FROM (
+          SELECT a.vec_id AS query_id, b.vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                    ORDER BY {cos} DESC, b.vec_id) AS rank
+          FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+          WHERE a.vec_id < {NQ}) WHERE rank <= {K}
+        """).fetchall():
+        exact[qid].add(vid)
+    errs = []
+    per_q = collections.defaultdict(list)
+    for r in rows:
+        per_q[r["query_id"]].append(r)
+    if set(per_q) != set(exact):
+        errs.append(f"query set {sorted(per_q)} != expected {sorted(exact)}")
+    recalls = []
+    for qid, rs in sorted(per_q.items()):
+        rs = sorted(rs, key=lambda r: r["rank"])
+        if [r["rank"] for r in rs] != list(range(1, len(rs) + 1)) or len(rs) > K:
+            errs.append(f"q{qid}: ranks not contiguous 1..<= {K}")
+        sims = [r["cos_sim"] for r in rs]
+        if any(a < b - 1e-12 for a, b in zip(sims, sims[1:])):
+            errs.append(f"q{qid}: cos_sim increases with rank")
+        recalls.append(len({r["vec_id"] for r in rs} & exact[qid]) / K)
+    if recalls and sum(recalls) / len(recalls) < 0.5:
+        errs.append(f"mean recall@{K} {sum(recalls)/len(recalls):.2f} < 0.5")
+    # every reported score must be the true cosine of its pair
+    pair_vals = ", ".join(f"({r['query_id']}, {r['vec_id']})" for r in rows)
+    if pair_vals:
+        truth = {
+            (q, v): c
+            for q, v, c in con.execute(f"""
+              SELECT p.q, p.v, {cos} FROM (VALUES {pair_vals}) p(q, v)
+              JOIN embeddings a ON a.vec_id = p.q
+              JOIN embeddings b ON b.vec_id = p.v""").fetchall()
+        }
+        bad = [
+            (r["query_id"], r["vec_id"])
+            for r in rows
+            if abs(r["cos_sim"] - truth[(r["query_id"], r["vec_id"])]) > 1e-6
+        ]
+        if bad:
+            errs.append(f"{len(bad)} reported cos_sim differ from exact "
+                        f"cosine > 1e-6 (first: {bad[0]})")
+    return "; ".join(errs) or None
+
+
+def check_doc_compression(con, rows) -> str | None:
+    """Quantitative gate for the zlib codec query (judge r12 directive
+    #3): codec output is not SQL-expressible, but this process shares
+    the engine workers' CPython zlib build, so every c_bytes can be
+    recomputed EXACTLY from DuckDB's text (level 6, same call); n_chars
+    must equal the exact length, ratio must match round(c/n, 6), and
+    the row set must cover every document. Returns an error string or
+    None."""
+    import zlib
+
+    texts = dict(con.execute("SELECT doc_id, text FROM documents").fetchall())
+    errs = []
+    if len(rows) != len(texts):
+        errs.append(f"rowcount {len(rows)} != {len(texts)} documents")
+    seen = set()
+    for r in rows:
+        t = texts.get(r["doc_id"])
+        if t is None or r["doc_id"] in seen:
+            errs.append(f"doc {r['doc_id']} missing or duplicated")
+            break
+        seen.add(r["doc_id"])
+        exp_c = len(zlib.compress(t.encode("utf-8"), 6))
+        if r["n_chars"] != len(t) or r["c_bytes"] != exp_c:
+            errs.append(
+                f"doc {r['doc_id']}: n_chars/c_bytes ({r['n_chars']}, "
+                f"{r['c_bytes']}) != exact ({len(t)}, {exp_c})")
+            break
+        if len(t) > 0:
+            if r["ratio"] is None or abs(r["ratio"] - exp_c / len(t)) > 1e-6:
+                errs.append(f"doc {r['doc_id']}: ratio {r['ratio']} != "
+                            f"{exp_c / len(t):.6f}")
+                break
+        elif r["ratio"] is not None:
+            errs.append(f"doc {r['doc_id']}: empty doc must have NULL ratio")
+            break
+    return "; ".join(errs) or None
+
+
 # queries with no SQL twin but a quantitative acceptance band —
 # checked against DuckDB-exact statistics instead of rows-only
-TOLERANCE_CHECKS = {"approx_distinct": check_approx_distinct}
+TOLERANCE_CHECKS = {
+    "approx_distinct": check_approx_distinct,
+    "ann_ivf_kmeans": check_ann_ivf_kmeans,
+    "doc_compression": check_doc_compression,
+}
 
 # DuckDB output types that local fetchall() silently coerces to plain
 # Python values but that remote fetch paths canonicalize differently —
