@@ -691,25 +691,52 @@ def perceptual_hash_bands(
 
     packed as 4 bands of 16 bits (rows 2b, 2b+1 -> band b; bit position
     ``(r % 2) * 8 + x``) — the LSH unit for the Hamming-banded join.
-    Arbitrary-size inputs need a real resampler (PIL, not in this
-    container): non-integral block ratios raise, per the codec policy."""
-    if width % grid_w or height % grid_h:
+
+    Arbitrary sizes resample through an integer area-weighted box
+    filter (r12 advice #7): scaling pixel x-coordinates by ``grid_w``
+    and y by ``grid_h`` makes every cell boundary integral, so each
+    pixel's overlap with a cell is an exact integer area and every
+    cell covers the SAME scaled area (width*height) — comparing
+    weighted sums is still exactly comparing means, no float, no
+    rounding. On integral ratios this reduces to the plain block sum
+    times the constant grid_w*grid_h, so the emitted BITS are
+    identical to the fast path's (all bit rules compare cells within
+    one image; a uniform positive scale cannot flip any comparison —
+    pinned by ``test_round13_ops.py``)."""
+    if width < grid_w or height < grid_h:
         raise NotImplementedError(
-            f"no stdlib resampler for {width}x{height} -> {grid_w}x{grid_h};"
-            " requires integral block ratios (or PIL)"
+            f"cannot hash {width}x{height}: smaller than the "
+            f"{grid_w}x{grid_h} hash grid (needs >= 1 px per cell)"
         )
-    bw, bh = width // grid_w, height // grid_h
-    cell = [
-        [
-            sum(
-                (rows[y][x][0] + rows[y][x][1] + rows[y][x][2]) // 3
-                for y in range(gy * bh, (gy + 1) * bh)
-                for x in range(gx * bw, (gx + 1) * bw)
-            )
-            for gx in range(grid_w)
+    if width % grid_w == 0 and height % grid_h == 0:
+        bw, bh = width // grid_w, height // grid_h
+        cell = [
+            [
+                sum(
+                    (rows[y][x][0] + rows[y][x][1] + rows[y][x][2]) // 3
+                    for y in range(gy * bh, (gy + 1) * bh)
+                    for x in range(gx * bw, (gx + 1) * bw)
+                )
+                for gx in range(grid_w)
+            ]
+            for gy in range(grid_h)
         ]
-        for gy in range(grid_h)
-    ]
+    else:
+        cell = [[0] * grid_w for _ in range(grid_h)]
+        for y in range(height):
+            gy0 = y * grid_h // height
+            gy1 = min(((y + 1) * grid_h - 1) // height, grid_h - 1)
+            for x in range(width):
+                g = (rows[y][x][0] + rows[y][x][1] + rows[y][x][2]) // 3
+                gx0 = x * grid_w // width
+                gx1 = min(((x + 1) * grid_w - 1) // width, grid_w - 1)
+                for gy in range(gy0, gy1 + 1):
+                    wy = (min((y + 1) * grid_h, (gy + 1) * height)
+                          - max(y * grid_h, gy * height))
+                    for gx in range(gx0, gx1 + 1):
+                        wx = (min((x + 1) * grid_w, (gx + 1) * width)
+                              - max(x * grid_w, gx * width))
+                        cell[gy][gx] += g * wx * wy
     tot = sum(cell[r][x] for r in range(8) for x in range(8))
     dband, aband = [0, 0, 0, 0], [0, 0, 0, 0]
     for r in range(8):

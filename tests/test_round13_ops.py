@@ -188,3 +188,75 @@ def test_multimodal_report_shares_memoized_builds(spark, sf_dir):
         .mode("overwrite").save()
     assert set(MEDIA_MEMO._entries) == media_keys
     assert set(DEDUP_MEMO._entries) == dedup_keys
+
+
+# --------------------------------------------------------------------
+# perceptual_hash_bands: integer box-filter resampler (arbitrary sizes)
+# --------------------------------------------------------------------
+
+def _rand_rows(w, h, seed):
+    """Deterministic pseudo-random RGB grid (no random module: keeps
+    the fixture reproducible in the test log)."""
+    return [
+        [((x * 31 + y * 17 + seed) % 256,
+          (x * 7 + y * 13 + 2 * seed) % 256,
+          (x * 3 + y * 29 + 3 * seed) % 256) for x in range(w)]
+        for y in range(h)
+    ]
+
+
+def test_phash_fast_path_scale_invariant():
+    """Exact pixel-doubling (an area-preserving transform) must leave
+    every band bit unchanged on the integral fast path: all bit rules
+    compare cells within one image, and uniform scaling cannot flip a
+    comparison."""
+    from df_spark.multimodal import perceptual_hash_bands
+
+    rows = _rand_rows(18, 16, seed=5)
+    d0, a0 = perceptual_hash_bands(18, 16, rows)
+    rows2 = [[px for px in r for _ in range(2)] for r in rows for _ in range(2)]
+    d2, a2 = perceptual_hash_bands(36, 32, rows2)
+    assert (d2, a2) == (d0, a0)
+
+
+def test_phash_general_path_agrees_with_fast_path():
+    """Cross-path exactness proof for the area-weighted resampler:
+    15x8 takes the GENERAL path (15 % 9 != 0) while its exact
+    3x-pixel-replication 45x24 takes the integral FAST path (45 = 9*5,
+    24 = 8*3) over identical image content — any rounding or
+    mis-weighted overlap in the general path flips a bit here. 20x20
+    (non-integral on both axes) additionally smoke-tests pure
+    general-path hashing."""
+    from df_spark.multimodal import perceptual_hash_bands
+
+    d, a = perceptual_hash_bands(20, 20, _rand_rows(20, 20, seed=9))
+    assert all(0 <= b < (1 << 16) for b in d + a)
+    rows = _rand_rows(15, 8, seed=11)
+    d0, a0 = perceptual_hash_bands(15, 8, rows)
+    rows3 = [[px for px in r for _ in range(3)] for r in rows for _ in range(3)]
+    d3, a3 = perceptual_hash_bands(45, 24, rows3)
+    assert (d3, a3) == (d0, a0)
+
+
+def test_phash_too_small_raises():
+    import pytest
+
+    from df_spark.multimodal import perceptual_hash_bands
+
+    with pytest.raises(NotImplementedError):
+        perceptual_hash_bands(8, 8, _rand_rows(8, 8, seed=1))
+
+
+def test_phash_real_bmp_roundtrip_nonintegral(spark):
+    """End-to-end through the REAL BMP container at a non-grid size:
+    encode a 20x12 BMP, decode, hash — the full codec chain must
+    serve arbitrary dimensions now."""
+    from df_spark.multimodal import (
+        _decode_bmp_pixels, _encode_bmp, perceptual_hash_bands)
+
+    rows = _rand_rows(20, 12, seed=3)
+    payload = _encode_bmp(20, 12, rows)
+    w, h, got = _decode_bmp_pixels(payload)
+    assert (w, h) == (20, 12) and got == rows
+    d, a = perceptual_hash_bands(w, h, got)
+    assert len(d) == len(a) == 4
