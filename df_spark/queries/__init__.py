@@ -240,33 +240,57 @@ def register(name: str, sql: str | None = None):
 # monitors, events_rolling, wav_energy_windows, bucketed_join,
 # grouping_sets_agg, triangle_counts, hard_negatives,
 # llm_data_pipeline, mad_outliers, chunk_dedup.
+# Round-13 rotation (judge r12 directive #4): the THREE r13 operators
+# (ann_incremental, ann_drift_audit, multimodal_dedup_report) get
+# first-round slots per standing policy. Every row whose CODE changed
+# this round keeps/gets a slot so the driver hash row proves the
+# change: the three modality rows (MEDIA_MEMO feature-frame refactor;
+# video_frame_dedup also gained the empty-payload guard, media_near_dup
+# the area-weighted resampler), the PQ trio (_lloyd_train refactor
+# shared with the new incremental trainer), and the two graph rows
+# (triangle_counts rewritten as edge-iterator intersection +
+# _build_graph memo reuse; pagerank's checkpoint-order fix). The
+# remaining 29 slots rotate in the OLDEST rows on the board — ALL last
+# driver-checked <= r10 (directive asks >= 15): the full r4 cohort
+# (approx_distinct, minhash_signatures, rollup_agg), the full r5
+# cohort (ann_ivf_topk, decontaminate, events_tumbling,
+# explode_arrays, join_anti_semi, minhash_lsh_pairs, pivot_status,
+# semdedup), the full r6 cohort (agg_global, cube_agg,
+# events_sessions, join_3way_agg, lang_id, nullsafe_join, percentiles,
+# pii_redact, sample_stratified, snapshot_diff, text_stats,
+# window_topk), and six r7 rows (cohort_retention, copurchase_pairs —
+# also the graph family's unchanged-member sanity row next to the
+# triangle rewrite — embed_near_dup, events_gapfill, json_agg,
+# jsonl_roundtrip). Rotated out, all r12-green with families still
+# represented: dedup_incremental, bpe_learn_merges, bpe_tokenize,
+# minhash_est_audit, tfidf_top_terms, containment_join,
+# prefix_sim_join, bloom_semi_join, bigram_lm_score,
+# lm_quality_buckets, ann_ivf_kmeans + doc_compression (their local
+# gates are now quantitative okT tolerance checks — see
+# tools/check_oracle.py — and their r12 driver rows-only slots closed
+# the census), the scalar/SQL/window trio, the seven TPC-H variants,
+# and the r4 similarity/text/events/sources representatives.
 PRIORITY = [
     "q1_pricing_summary",
     "filter_predicates", "select_arith", "orderby_limit", "group_collect",
     "join_inner",
     "union_distinct", "csv_roundtrip", "inmem_source_join",
-    # first-round r12 operators:
-    "media_near_dup", "dedup_incremental", "audio_fp_near_dup",
-    "video_frame_dedup",
-    # rows-only census closers (driver runs the rows/err check):
-    "ann_ivf_kmeans", "doc_compression",
-    # r12 code/oracle changes needing fresh driver proof:
-    "bpe_learn_merges", "bpe_tokenize",
+    # first-round r13 operators:
+    "ann_incremental", "ann_drift_audit", "multimodal_dedup_report",
+    # r13 code changes needing fresh driver proof:
+    "media_near_dup", "audio_fp_near_dup", "video_frame_dedup",
     "pq_quantize", "pq_adc_topk", "adc_recall_audit",
-    "minhash_est_audit", "tfidf_top_terms",
-    # judge-directive #1/#5 cost monitors (warm-cost rows after the
-    # bench build pinning; results must be unchanged):
-    "containment_join", "prefix_sim_join", "bloom_semi_join",
-    "bigram_lm_score", "lm_quality_buckets",
-    # staleness rotation — every name below last driver-checked r2/r4:
-    "scalar_funcs", "scalar_funcs2", "sql_surface",
-    "window_lag_lead", "window_running",
-    "q3_shipping_priority", "q4_order_priority", "q5_supplier_volume",
-    "q6_revenue_forecast", "q12_priority_class", "q14_promo_revenue",
-    "q18_large_orders", "q19_brand_quantity",
-    "ann_multi_lsh", "cosine_topk", "doc_fingerprint", "embed_norms",
-    "events_sliding", "events_type_stats", "join_left_outer",
-    "json_extract", "lang_quality_rollup", "media_meta",
+    "triangle_counts", "pagerank_parts",
+    # staleness rotation — every name below last driver-checked <= r10
+    # (r4 cohort, r5 cohort, r6 cohort, then six r7 rows):
+    "approx_distinct", "minhash_signatures", "rollup_agg",
+    "ann_ivf_topk", "decontaminate", "events_tumbling", "explode_arrays",
+    "join_anti_semi", "minhash_lsh_pairs", "pivot_status", "semdedup",
+    "agg_global", "cube_agg", "events_sessions", "join_3way_agg",
+    "lang_id", "nullsafe_join", "percentiles", "pii_redact",
+    "sample_stratified", "snapshot_diff", "text_stats", "window_topk",
+    "cohort_retention", "copurchase_pairs", "embed_near_dup",
+    "events_gapfill", "json_agg", "jsonl_roundtrip",
 ]
 
 
