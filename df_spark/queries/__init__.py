@@ -291,6 +291,8 @@ PRIORITY = [
     "sample_stratified", "snapshot_diff", "text_stats", "window_topk",
     "cohort_retention", "copurchase_pairs", "embed_near_dup",
     "events_gapfill", "json_agg", "jsonl_roundtrip",
+    # r8-stale AND the rollup's text-modality input:
+    "minhash_near_dups",
 ]
 
 
