@@ -444,3 +444,52 @@ def test_video_frame_dedup_no_udf_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "MapInPandas" not in plan
     assert "ExistingRDD" in plan
+
+
+def test_ann_incremental_broadcast_codebook_no_cartesian(spark):
+    # the new-generation assignment is ONE broadcast join against the
+    # bounded codebook + one hash aggregate off the memoized points
+    # checkpoint — no all-pairs step, no corpus re-scan per consumer
+    plan = plan_of(spark, "ann_incremental")
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan
+
+
+def test_ann_drift_audit_bounded_joins_no_cartesian(spark):
+    # ADC probe = broadcast LUT equi-join off the memoized incremental
+    # codes; the exact side broadcasts the bounded query sample (its
+    # crossJoin is queries x corpus with the tiny side broadcast —
+    # BroadcastNestedLoop over a 5-row build, never a shuffled
+    # cartesian of two large sides)
+    plan = plan_of(spark, "ann_drift_audit")
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_multimodal_report_rides_checkpoints_no_cartesian(spark):
+    # the four pair sets come from their memoized feature checkpoints
+    # (ExistingRDD); no blob/decode stage and no all-pairs join appears
+    # anywhere in the rollup plan
+    from df_spark.queries.multimodal import (
+        _audio_bands, _phash_feats, _video_frames)
+
+    _phash_feats(spark, SF_DIR)
+    _audio_bands(spark, SF_DIR)
+    _video_frames(spark, SF_DIR)
+    plan = plan_of(spark, "multimodal_dedup_report")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ExistingRDD" in plan
+    assert "MapInPandas" not in plan
+
+
+def test_triangle_counts_edge_iterator_shape(spark):
+    # adjacency dims join the edge fact as broadcasts at this scale;
+    # no wedge materialization means no shuffle carrying a ~E^1.5-row
+    # stream — the only exchanges left are the edge distinct, the
+    # degree/adjacency aggregates, and the final per-node rollup
+    plan = plan_of(spark, "triangle_counts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ExistingRDD" in plan  # checkpointed directed edges + adj
