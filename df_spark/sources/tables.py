@@ -111,6 +111,68 @@ def table_stats(
     )
 
 
+# --- scan spread (guide §2.5: "input skew — one huge unsplittable
+# file … repartition immediately after the read") -------------------
+#
+# The driver's testdata writes each table as ONE parquet file with ONE
+# row group, and a row group is parquet's unit of split parallelism —
+# so every scan, and every map-side operator fused above it (partial
+# aggregation, Expand, regex normalization, per-row hashing), runs as
+# a SINGLE task no matter how many cores the session has. Measured at
+# sf0.1 on local[32]: the flagship Q1 aggregate runs 3.4 s with the
+# single-task scan vs 1.35 s behind a repartition (the partial
+# aggregate was ~90 % of the query and strictly serial).
+#
+# The spread is SCALE-ADAPTIVE, not a local tuning: it fires only when
+# the scan's split count is BELOW the cluster's default parallelism —
+# at production scale a table's scan has thousands of splits and this
+# is a no-op (no exchange is added). Partitioning is HASH on the
+# table's primary access key (deterministic — immune to the
+# rand-repartition retry hazard of SPARK-38388 — and skips the local
+# sort a round-robin repartition pays per SPARK-23207; the key also
+# lets later exchanges on the same key be reused). Tiny dimension
+# tables stay un-spread: below _SPREAD_MIN_BYTES the exchange costs
+# more than the serial scan.
+_SPREAD_KEYS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "events": "user_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+_SPREAD_MIN_BYTES = 200 << 10
+# (sf_dir, name) → scan partition count; scans of an immutable table
+# split identically for the whole session, so .rdd is touched once
+_SCAN_PARTS: dict[tuple[str, str], int] = {}
+
+
+def _spread_scan(
+    spark: SparkSession, sdf: DataFrame, sf_dir: str, name: str
+) -> DataFrame:
+    import os
+
+    if os.environ.get("SPARK_GRAFT_SPREAD_SCAN", "1") != "1":
+        return sdf
+    key = _SPREAD_KEYS.get(name)
+    if key is None:
+        return sdf
+    try:
+        if os.path.getsize(f"{sf_dir}/{name}.parquet") < _SPREAD_MIN_BYTES:
+            return sdf
+    except OSError:
+        return sdf
+    par = spark.sparkContext.defaultParallelism
+    mk = (sf_dir, name)
+    if mk not in _SCAN_PARTS:
+        # scan-level frame: .rdd finalizes the plan without running a
+        # job (the barrier_width precedent)
+        _SCAN_PARTS[mk] = sdf.rdd.getNumPartitions()
+    if _SCAN_PARTS[mk] >= par:
+        return sdf  # input already splits across the cluster — no-op
+    return sdf.repartition(par, F.col(key))
+
+
 def load_sdf(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_ntz_conf(spark)
     sdf = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -127,7 +189,7 @@ def load_sdf(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             sdf = sdf.withColumn(
                 col, F.from_utc_timestamp(F.col(col).cast("timestamp"), tz)
             )
-    return sdf
+    return _spread_scan(spark, sdf, sf_dir, name)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> Df:
