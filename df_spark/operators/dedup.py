@@ -38,6 +38,7 @@ from ..plans.memo import FrameMemo, frame_key
 from .partitioning import (
     BROADCAST_BYTES_CAP,
     barrier_width,
+    checkpoint_spread,
     pandas_stage_width,
     size_hinted,
 )
@@ -326,7 +327,12 @@ def _shared_build(
         norm = docs.select(
             F.col(id_col), normalized(F.col(text_col)).alias("__t")
         ).filter(F.length("__t") >= k)
-        norm = norm.repartition(barrier_width(norm)).localCheckpoint(eager=True)
+        # the eager checkpoint IS the materialization barrier; only
+        # spread when the input would materialize narrow (r13 — the
+        # load-time scan spread already fans the corpus out, making the
+        # old unconditional round-robin barrier a redundant shuffle of
+        # the whole normalized corpus)
+        norm = checkpoint_spread(norm).localCheckpoint(eager=True)
         toks = norm.select(
             F.col(id_col),
             F.explode(F.sequence(F.lit(1), F.length("__t") - (k - 1))).alias("__p"),

@@ -29,6 +29,34 @@ def _has_wide_node(df: DataFrame) -> bool:
     )
 
 
+def checkpoint_spread(df: DataFrame) -> DataFrame:
+    """Pre-``localCheckpoint`` spread: repartition only when the frame
+    would otherwise MATERIALIZE narrower than the cluster's default
+    parallelism. Call only immediately below a checkpoint — the
+    checkpoint itself is the materialization barrier that keeps
+    expensive aliases (regex normalization) from being inlined into
+    consumer HOF lambdas, so unlike :func:`barrier_width` call sites no
+    exchange is needed for plan-shape reasons. When the input already
+    executes wide (the load-time scan spread, or any upstream
+    exchange at the session's shuffle width), the extra round-robin
+    shuffle the r2-r12 barrier paid here is pure cost — measured at
+    sf0.1 it re-shuffled the whole normalized corpus once per build."""
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    if _has_wide_node(df):
+        tree = df._jdf.queryExecution().optimizedPlan().toString()
+        widths = [int(m) for m in re.findall(r"Repartition (\d+)", tree)]
+        widths += [int(m) for m in re.findall(r"RepartitionByExpression .*?, (\d+)\n", tree)]
+        if widths and max(widths) >= par:
+            return df  # an explicit upstream spread already covers it
+        # other wide nodes (Aggregate, Join, Window) materialize at the
+        # session shuffle width == defaultParallelism in this engine;
+        # keep the historical barrier for plans we can't prove wide
+        return df.repartition(max([par, *widths]))
+    n = df.rdd.getNumPartitions()
+    return df if n >= par else df.repartition(par)
+
+
 def barrier_width(df: DataFrame) -> int:
     """Width for a materialization barrier.
 

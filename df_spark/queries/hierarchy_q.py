@@ -63,7 +63,17 @@ def tree_depths(spark, sf_dir):
     # (Keeping settled rows in a separate lazily-unioned accumulator
     # re-executes all prior rounds every round — Θ(2^rounds) plan
     # growth, caught by a plan probe showing 16 scans for 4 rounds.)
-    state = par
+    #
+    # Loop-state partitioning is sized to the STATE (~48 B/node), not
+    # the input scan (r13): the checkpoint freezes its partition count
+    # into every later round, and a ceil(log2 D)-round loop of
+    # per-round jobs pays task-scheduling overhead × partitions ×
+    # rounds on near-empty tasks when the state rides the scan's
+    # spread width. coalesce (no shuffle) caps it at one partition per
+    # ~32 MB of state — 1 locally, wide again when the hierarchy is
+    # actually large.
+    state_parts = max(1, state_bytes // (32 << 20))
+    state = par.coalesce(state_parts)
     while True:
         state = state.localCheckpoint(eager=True)
         if state.filter(F.col("anc") != 0).count() == 0:
