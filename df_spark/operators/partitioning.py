@@ -29,7 +29,7 @@ def _has_wide_node(df: DataFrame) -> bool:
     )
 
 
-def checkpoint_spread(df: DataFrame) -> DataFrame:
+def checkpoint_spread(df: DataFrame, width: int | None = None) -> DataFrame:
     """Pre-``localCheckpoint`` spread: repartition only when the frame
     would otherwise MATERIALIZE narrower than the cluster's default
     parallelism. Call only immediately below a checkpoint — the
@@ -42,17 +42,14 @@ def checkpoint_spread(df: DataFrame) -> DataFrame:
     shuffle the r2-r12 barrier paid here is pure cost — measured at
     sf0.1 it re-shuffled the whole normalized corpus once per build."""
     sc = df.sparkSession.sparkContext
-    par = sc.defaultParallelism
+    par = width or sc.defaultParallelism
     if _has_wide_node(df):
-        tree = df._jdf.queryExecution().optimizedPlan().toString()
-        widths = [int(m) for m in re.findall(r"Repartition (\d+)", tree)]
-        widths += [int(m) for m in re.findall(r"RepartitionByExpression .*?, (\d+)\n", tree)]
-        if widths and max(widths) >= par:
-            return df  # an explicit upstream spread already covers it
-        # other wide nodes (Aggregate, Join, Window) materialize at the
-        # session shuffle width == defaultParallelism in this engine;
-        # keep the historical barrier for plans we can't prove wide
-        return df.repartition(max([par, *widths]))
+        # an upstream exchange already set a deliberate width: the
+        # load-time scan spread picked its width from estimated work
+        # (sources.tables._spread_scan), and Aggregate/Join/Window
+        # nodes materialize at the session shuffle width. Re-spreading
+        # here would just re-shuffle the same rows.
+        return df
     n = df.rdd.getNumPartitions()
     return df if n >= par else df.repartition(par)
 

@@ -454,23 +454,32 @@ def ngram_novelty(spark, sf_dir):
     then doc id) plus one data-sized join — no windows, no arrays
     crossing shuffles, map-side partials collapse the hot shingles."""
     from ..functions.text import normalized
-    from ..operators.partitioning import barrier_width
+    from ..operators.partitioning import checkpoint_spread
 
     k = 5
     docs = load_sdf(spark, sf_dir, "documents")
     norm = docs.select(
         "doc_id", normalized(F.col("text")).alias("__t")
     ).filter(F.length("__t") >= k)
-    norm = norm.repartition(barrier_width(norm))
+    # the shingle stream feeds TWO aggregates (per-doc counts + the
+    # shingle→min-doc election); without a cut the whole
+    # normalize+explode tree executed twice (r13 — measured as ~2× this
+    # row's CPU). Checkpoint the ~input-sized normalized frame once
+    # (the _shared_build materialization policy) so both passes read
+    # materialized text; the checkpoint doubles as the HOF barrier.
+    norm = checkpoint_spread(norm).localCheckpoint(eager=True)
     idx = F.sequence(F.lit(1), F.length("__t") - (k - 1))
+    shingle_arr = F.array_distinct(
+        F.transform(idx, lambda i: F.substring(F.col("__t"), i, k)))
     sh = norm.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(idx, lambda i: F.substring(F.col("__t"), i, k)))
-        ).alias("__s"),
+        F.explode(shingle_arr).alias("__s"),
     ).select("doc_id", F.xxhash64("__s").alias("h"))
-    per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # n_sh = |distinct shingle set| is a map-side array size off the
+    # checkpoint — no explode, no aggregate, no exchange (the old
+    # groupBy(doc_id) count over the exploded stream re-ran the whole
+    # shingle tree through a second shuffle)
+    per_doc = norm.select("doc_id", F.size(shingle_arr).alias("n_sh"))
     firsts = (
         sh.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_first"))

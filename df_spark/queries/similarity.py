@@ -655,20 +655,41 @@ PQ_SCALARS = ScalarMemo()
 
 def _pq_pts(spark, sf_dir):
     """Dim-exploded, 6-decimal-quantized points frame, memoized (the
-    training AND every consumer read the same checkpoint)."""
+    training AND every consumer read the same checkpoint).
+
+    The spread lives HERE, not on the embeddings scan (r13): the Lloyd
+    loop's assignment jobs re-execute their input plan once per
+    collect, so an un-checkpointed scan exchange would be re-paid
+    every round — spreading the ONE materialization all rounds read
+    gives the parallelism without the per-job tax."""
     emb = load_sdf(spark, sf_dir, "embeddings")
 
     def build():
-        return (
+        import os
+
+        from ..operators.partitioning import checkpoint_spread
+
+        # width from estimated exploded size (~10x the packed file:
+        # one 30-byte row per dimension), ~1 MB per partition, floor 2
+        # — the Lloyd loop runs ~4 assignment jobs over this
+        # checkpoint, and each job pays per-task overhead x width, so
+        # over-spreading a few-MB frame costs more than it buys
+        try:
+            est = os.path.getsize(f"{sf_dir}/embeddings.parquet") * 10
+        except OSError:
+            est = 0
+        sc = spark.sparkContext
+        w = min(sc.defaultParallelism, max(2, est // (1 << 20)))
+        return checkpoint_spread(
             emb.select("vec_id", F.posexplode("embedding").alias("pos", "xf"))
             .select(
                 F.col("vec_id").cast("long").alias("vec_id"),
                 F.expr(f"pos div {_PQ_SUBDIM}").cast("long").alias("sub"),
                 (F.col("pos") % _PQ_SUBDIM).cast("long").alias("j"),
                 F.round(F.col("xf").cast("double"), 6).alias("x"),
-            )
-            .localCheckpoint(eager=True)
-        )
+            ),
+            width=w,
+        ).localCheckpoint(eager=True)
 
     return PQ_MEMO.get_or_build(("pq_pts", frame_key(emb)), build)
 

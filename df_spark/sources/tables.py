@@ -136,12 +136,30 @@ def table_stats(
 _SPREAD_KEYS = {
     "lineitem": "l_orderkey",
     "orders": "o_orderkey",
-    "customer": "c_custkey",
     "events": "user_id",
     "documents": "doc_id",
-    "embeddings": "vec_id",
 }
-_SPREAD_MIN_BYTES = 200 << 10
+# Width is sized to estimated WORK, not raw file bytes: zstd-packed
+# text is ~10-20x denser in per-byte CPU than numeric columns (regex
+# normalization, per-char shingling/hashing run over the DECOMPRESSED
+# chars), so `documents` carries an expansion factor. Measured at
+# sf0.1 on local[32], interleaved A/B over widths {0, 4, 8, 32}: width
+# 8 keeps essentially the whole wall win of 32 (q1 1.3 vs 1.1-1.7 s;
+# boilerplate_segments 1.3 vs 1.1 s — against 2.3-5.9 / 3.8-7.8 s
+# unspread) at a FRACTION of the per-stage fixed CPU (set_ops 6-7 vs
+# 9-21 CPU-s; cdc_scd2 4-5 vs 12-15; q15 1.4-3.0 vs 8-9), because
+# every task carries scheduling/serde overhead that tiny partitions
+# can't amortize. Tables whose work estimate is under _SPREAD_MIN
+# (customer, part, embeddings at sf0.1) stay un-spread: their serial
+# scan is cheaper than any exchange, and the embeddings consumers are
+# ITERATIVE (kmeans loops re-run the plan per collect job, so an
+# un-checkpointed exchange is re-paid per job — measured
+# ann_ivf_kmeans 6 -> 82 CPU-s with a blanket spread; heavy embedding
+# pipelines spread at their checkpoint instead, see _pq_pts).
+_SPREAD_WORK_FACTOR = {"documents": 16}
+_SPREAD_MIN = 1 << 20       # est. work bytes below which serial wins
+_SPREAD_PART_BYTES = 1 << 20  # est. work bytes per spread partition
+_SPREAD_FLOOR = 8           # min useful width once spreading at all
 # (sf_dir, name) → scan partition count; scans of an immutable table
 # split identically for the whole session, so .rdd is touched once
 _SCAN_PARTS: dict[tuple[str, str], int] = {}
@@ -158,19 +176,22 @@ def _spread_scan(
     if key is None:
         return sdf
     try:
-        if os.path.getsize(f"{sf_dir}/{name}.parquet") < _SPREAD_MIN_BYTES:
-            return sdf
+        work = os.path.getsize(f"{sf_dir}/{name}.parquet") * \
+            _SPREAD_WORK_FACTOR.get(name, 1)
     except OSError:
         return sdf
+    if work < _SPREAD_MIN:
+        return sdf
     par = spark.sparkContext.defaultParallelism
+    width = min(par, max(_SPREAD_FLOOR, int(work // _SPREAD_PART_BYTES)))
     mk = (sf_dir, name)
     if mk not in _SCAN_PARTS:
         # scan-level frame: .rdd finalizes the plan without running a
         # job (the barrier_width precedent)
         _SCAN_PARTS[mk] = sdf.rdd.getNumPartitions()
-    if _SCAN_PARTS[mk] >= par:
+    if _SCAN_PARTS[mk] >= width:
         return sdf  # input already splits across the cluster — no-op
-    return sdf.repartition(par, F.col(key))
+    return sdf.repartition(width, F.col(key))
 
 
 def load_sdf(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
