@@ -514,6 +514,21 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     )
 
 
+def _codec_input(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) sized for an Arrow codec stage: python task count
+    follows data volume (``pandas_stage_width``), never the scan's
+    spread width — the load-time spread (r13) would otherwise hand a
+    few-MB corpus to one near-empty codec worker per scan partition,
+    each paying worker spawn + imports + Arrow handshake (measured:
+    wav_energy_windows 1.0 -> 12.4 CPU-s at sf0.1 with 9 spread
+    partitions vs one right-sized task). Chained codec passes stay
+    fused above this single exchange, so blobs still never move."""
+    from .operators.partitioning import pandas_stage_width
+
+    sel = docs.select("doc_id", "text")
+    return sel.repartition(pandas_stage_width(sel))
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat the documents table's text as binary payloads so
     the multimodal path has real data to run on in this environment.
@@ -675,7 +690,7 @@ def documents_as_bmp(docs: DataFrame, width: int = _BMP_W, height: int = _BMP_H)
         T.StructField("media_id", T.LongType()),
         T.StructField("payload", T.BinaryType()),
     ])
-    return docs.select("doc_id", "text").mapInPandas(run, schema=schema)
+    return _codec_input(docs).mapInPandas(run, schema=schema)
 
 
 def perceptual_hash_bands(
@@ -804,4 +819,4 @@ def documents_as_wav(docs: DataFrame, rate: int = 8000) -> DataFrame:
         T.StructField("media_id", T.LongType()),
         T.StructField("payload", T.BinaryType()),
     ])
-    return docs.select("doc_id", "text").mapInPandas(run, schema=schema)
+    return _codec_input(docs).mapInPandas(run, schema=schema)

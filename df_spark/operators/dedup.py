@@ -1113,10 +1113,22 @@ def incremental_band_dedup(
         F.col(id_col), mins_arr.alias("mins"), F.col("n_sh"),
         *(words if words else ["sh"]),
     )
-    a_side = side.select(
-        F.col(id_col).alias("id_a"), F.col("mins").alias("mins_a"), *sided("_a"))
-    b_side = side.select(
-        F.col(id_col).alias("id_b"), F.col("mins").alias("mins_b"), *sided("_b"))
+    # size-gated broadcast of the per-doc payload sides (r13, the
+    # minhash_est_audit pattern): the checkpointed build carries no
+    # Catalyst stats, so without the hint AQE assumes the sides are
+    # huge and plans a sort-merge join per verify — two per generation.
+    # In the bitmap regime a side is n_docs·(mins + words + n_sh)
+    # bytes; past the cap this degrades back to the shuffle join.
+    if words:
+        side_bytes = combined.count() * (16 * 8 + (len(words) + 1) * 8 + 24)
+    else:
+        side_bytes = None  # array regime: unbounded payload, no hint
+    def hinted(df: DataFrame) -> DataFrame:
+        return size_hinted(df, side_bytes) if side_bytes else df
+    a_side = hinted(side.select(
+        F.col(id_col).alias("id_a"), F.col("mins").alias("mins_a"), *sided("_a")))
+    b_side = hinted(side.select(
+        F.col(id_col).alias("id_b"), F.col("mins").alias("mins_b"), *sided("_b")))
     est = minhash_est("mins_a", "mins_b")
 
     def verify(cand: DataFrame) -> DataFrame:

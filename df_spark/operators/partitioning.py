@@ -44,11 +44,21 @@ def checkpoint_spread(df: DataFrame, width: int | None = None) -> DataFrame:
     sc = df.sparkSession.sparkContext
     par = width or sc.defaultParallelism
     if _has_wide_node(df):
-        # an upstream exchange already set a deliberate width: the
-        # load-time scan spread picked its width from estimated work
-        # (sources.tables._spread_scan), and Aggregate/Join/Window
-        # nodes materialize at the session shuffle width. Re-spreading
-        # here would just re-shuffle the same rows.
+        # An explicit upstream repartition narrower than the target
+        # width gets re-widened: the load-time scan spread sizes its
+        # width for LIGHT per-row work (~1 MB of work per partition),
+        # but a checkpoint feeding the dedup family's shingle explode +
+        # per-shingle hashing wants the full width — materializing the
+        # dedup corpus at the 9-wide sf0.1 docs spread measured
+        # _build_dedup_minhash at 5.7 s wall vs 2.6 s at full width.
+        # Aggregate/Join/Window nodes already materialize at the
+        # session shuffle width — no re-spread for those.
+        tree = df._jdf.queryExecution().optimizedPlan().toString()
+        widths = [int(m) for m in re.findall(r"Repartition (\d+)", tree)]
+        widths += [int(m) for m in re.findall(
+            r"RepartitionByExpression .*?, (\d+)\n", tree)]
+        if widths and max(widths) < par:
+            return df.repartition(par)
         return df
     n = df.rdd.getNumPartitions()
     return df if n >= par else df.repartition(par)

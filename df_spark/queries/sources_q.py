@@ -550,10 +550,19 @@ def bucketed_join(spark, sf_dir):
     ):
         orders = load_sdf(spark, sf_dir, "orders")
         li = load_sdf(spark, sf_dir, "lineitem")
-        (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+        # repartition BY THE BUCKET KEY before a bucketed write (r13):
+        # a bucketed write emits one file per (input partition x
+        # bucket), so a multi-partition input (the load-time scan
+        # spread) would write N x 8 small files and every subsequent
+        # read of the layout would pay the per-file overhead — the
+        # standard recipe is to route rows to their bucket first, one
+        # file per bucket (same Murmur3 hash as the bucket layout).
+        (orders.repartition(8, F.col("o_orderkey"))
+         .write.mode("overwrite").bucketBy(8, "o_orderkey")
          .sortBy("o_orderkey").option("path", os.path.join(wh, "orders_b"))
          .format("parquet").saveAsTable(tables[0]))
-        (li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+        (li.repartition(8, F.col("l_orderkey"))
+         .write.mode("overwrite").bucketBy(8, "l_orderkey")
          .sortBy("l_orderkey").option("path", os.path.join(wh, "lineitem_b"))
          .format("parquet").saveAsTable(tables[1]))
         # at most ONE fingerprint may ever vouch for these tables: a

@@ -139,10 +139,14 @@ _SPREAD_KEYS = {
     "events": "user_id",
     "documents": "doc_id",
 }
-# Width is sized to estimated WORK, not raw file bytes: zstd-packed
-# text is ~10-20x denser in per-byte CPU than numeric columns (regex
-# normalization, per-char shingling/hashing run over the DECOMPRESSED
-# chars), so `documents` carries an expansion factor. Measured at
+# Width is sized to estimated WORK, not raw file bytes: compressed
+# text is far denser in per-byte CPU than numeric columns (regex
+# normalization, per-char shingling and per-shingle hashing run over
+# the DECOMPRESSED chars — measured on the r13 full-bench matrix: the
+# documents family rows uniformly preferred FULL width while numeric
+# tables preferred ~8-10, e.g. simhash 1.28 s at 32 vs 1.91 s at 9,
+# _build_dedup_minhash 2.6 vs 5.7), so `documents` carries a x64
+# expansion factor. Measured at
 # sf0.1 on local[32], interleaved A/B over widths {0, 4, 8, 32}: width
 # 8 keeps essentially the whole wall win of 32 (q1 1.3 vs 1.1-1.7 s;
 # boilerplate_segments 1.3 vs 1.1 s — against 2.3-5.9 / 3.8-7.8 s
@@ -156,8 +160,9 @@ _SPREAD_KEYS = {
 # un-checkpointed exchange is re-paid per job — measured
 # ann_ivf_kmeans 6 -> 82 CPU-s with a blanket spread; heavy embedding
 # pipelines spread at their checkpoint instead, see _pq_pts).
-_SPREAD_WORK_FACTOR = {"documents": 16}
+_SPREAD_WORK_FACTOR = {"documents": 64}
 _SPREAD_MIN = 1 << 20       # est. work bytes below which serial wins
+_SPREAD_MIN_RAW = 200 << 10  # raw file bytes floor for any spread
 _SPREAD_PART_BYTES = 1 << 20  # est. work bytes per spread partition
 _SPREAD_FLOOR = 8           # min useful width once spreading at all
 # (sf_dir, name) → scan partition count; scans of an immutable table
@@ -176,11 +181,15 @@ def _spread_scan(
     if key is None:
         return sdf
     try:
-        work = os.path.getsize(f"{sf_dir}/{name}.parquet") * \
-            _SPREAD_WORK_FACTOR.get(name, 1)
+        raw = os.path.getsize(f"{sf_dir}/{name}.parquet")
     except OSError:
         return sdf
-    if work < _SPREAD_MIN:
+    work = raw * _SPREAD_WORK_FACTOR.get(name, 1)
+    # both gates must pass: estimated work high enough for an exchange
+    # to pay, AND enough raw bytes that a spread is meaningful at all
+    # (the work factor models per-byte CPU, not row count — a tens-of-
+    # KB file never benefits, whatever its factor)
+    if work < _SPREAD_MIN or raw < _SPREAD_MIN_RAW:
         return sdf
     par = spark.sparkContext.defaultParallelism
     width = min(par, max(_SPREAD_FLOOR, int(work // _SPREAD_PART_BYTES)))
