@@ -79,7 +79,16 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             os.environ.get(
                 "SPARK_GRAFT_JIT",
-                "-XX:TieredStopAtLevel=1 -XX:ReservedCodeCacheSize=512m"
+                # 1g (r13, was 512m): the scan-spread exchanges add
+                # whole-stage-codegen units to most queries, and a
+                # 200-row x 3-pass C1-only session now churns past
+                # 512m into code-cache flush storms — measured on
+                # byte-identical code: suite 334.3 -> 312.5 s, the
+                # pinned _build_* rows 55.0 -> 36.8 s with per-row
+                # spreads collapsing (e.g. _build_pq_inc [3.4, 10.2]
+                # -> [3.8, 4.1], doc_compression [1.1, 6.5] ->
+                # [1.1, 1.3]).
+                "-XX:TieredStopAtLevel=1 -XX:ReservedCodeCacheSize=1g"
                 if short_lived
                 else "-XX:ReservedCodeCacheSize=512m",
             ),
