@@ -45,21 +45,26 @@ def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
 def bloom_build(keys: DataFrame, key_col: str,
                 n_words: int = DEFAULT_WORDS, k: int = DEFAULT_HASHES) -> list[int]:
     """The m-bit bloom filter of the key set as ``n_words`` longs. The
-    explode is (keys x k) rows; the aggregate's map-side partials
-    collapse to one wide row per partition and ONE bounded row reaches
-    the driver."""
+    explode is (keys x k) rows, folded by a GROUP BY on the word index
+    (map-side partials collapse to ≤ ``n_words`` rows per task, one
+    bounded ≤ ``n_words``-row result reaches the driver). An earlier
+    cut expressed the fold as ``n_words`` parallel ``bit_or(CASE …)``
+    aggregates over one row — same arithmetic, but Catalyst analysis +
+    codegen of the 256-expression tree cost 2-9 s of driver time per
+    call against ~0.3 s for this 2-expression plan (measured sf0.1,
+    r13; the data itself is KBs either way)."""
     m_bits = n_words * 64
     bits = keys.select(
         F.explode(F.array(*_positions(F.col(key_col), m_bits, k))).alias("__bit"))
-    aggs = [
-        F.expr(
-            f"bit_or(CASE WHEN __bit div 64 = {w} "
-            f"THEN shiftleft(1L, __bit % 64) ELSE 0L END)"
-        ).alias(f"w{w}")
-        for w in range(n_words)
-    ]
-    row = bits.agg(*aggs).collect()[0]
-    return [row[f"w{w}"] or 0 for w in range(n_words)]
+    rows = (
+        bits.groupBy(F.expr("__bit div 64").alias("__w"))
+        .agg(F.expr("bit_or(shiftleft(1L, __bit % 64))").alias("__word"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in rows:
+        words[int(r["__w"])] = r["__word"]
+    return words
 
 
 def bloom_might_contain(key: Column, words: list[int],

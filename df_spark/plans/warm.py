@@ -24,8 +24,27 @@ fail there.
 from __future__ import annotations
 
 from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import SparkSession
+
+
+def _overlapped(*thunks: Callable[[], object]) -> tuple:
+    """Run INDEPENDENT sub-builds of one ``_build_*`` row as
+    overlapping Spark jobs (optimization-guide §2.6): Spark's scheduler
+    happily runs several jobs at once inside one application — the
+    sub-builds were only sequential because the driver called them
+    sequentially, and each build's tail (the checkpoint's last
+    straggler task, a single-partition ``toPandas``) left the other
+    cores idle. FIFO scheduling backfills one build's tail with the
+    next build's tasks; total CPU is unchanged, only the row's wall
+    shrinks. Memo coordination is already thread-safe (per-key
+    in-flight events, ``plans/memo.py``), and the callers below only
+    overlap thunks with NO shared un-memoized state beyond builds that
+    ran earlier in the dependency order."""
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return tuple(f.result() for f in futures)
 
 
 def family_warm_builds(
@@ -53,8 +72,9 @@ def family_warm_builds(
         # regime derives its candidates inside the numpy pass and never
         # builds it, so force it explicitly)
         ("_build_dedup_neardups",
-         lambda: (D.lsh_candidate_pairs(D.minhash_signatures(docs)),
-                  D.minhash_near_dups(docs, 0.6))),
+         lambda: _overlapped(
+             lambda: D.lsh_candidate_pairs(D.minhash_signatures(docs)),
+             lambda: D.minhash_near_dups(docs, 0.6))),
         # xxhash shingle sets + rarity-sorted arrays: shared by
         # prefix_sim_join, containment_join (their verify stages stay
         # on their own rows)
@@ -63,6 +83,9 @@ def family_warm_builds(
         # token checkpoint + the bigram scoring frame (judge r11
         # directive #5: lm_quality_buckets' ride must not bill
         # bigram_lm_score)
+        # NOT overlapped: both token sub-builds are CPU-wide per-char
+        # passes — measured r13: overlap left wall flat (2.9 vs 3.0 s)
+        # and cost +3 CPU-s to contention, so they stay sequential
         ("_build_tokens",
          lambda: (TQ._tokens_sdf(spark, sf_dir),
                   TQ._bigram_scored(spark, sf_dir))),
@@ -79,7 +102,8 @@ def family_warm_builds(
         # bands, video frame hashes): each shared by its near-dup query
         # AND multimodal_dedup_report (r13)
         ("_build_media",
-         lambda: (MQ._phash_feats(spark, sf_dir),
-                  MQ._audio_bands(spark, sf_dir),
-                  MQ._video_frames(spark, sf_dir))),
+         lambda: _overlapped(
+             lambda: MQ._phash_feats(spark, sf_dir),
+             lambda: MQ._audio_bands(spark, sf_dir),
+             lambda: MQ._video_frames(spark, sf_dir))),
     ]
