@@ -99,11 +99,15 @@ def family_warm_builds(
         # family's shared base
         ("_build_graph", lambda: GQ._order_parts(spark, sf_dir)),
         # modality feature frames (image phash bands, audio fingerprint
-        # bands, video frame hashes): each shared by its near-dup query
-        # AND multimodal_dedup_report (r13)
+        # bands, video frame hashes) AND their verified pair sets: each
+        # shared by its near-dup query AND multimodal_dedup_report
+        # (r13; the pair memos stop the rollup re-running every
+        # modality's band join + verify). Each _*_pairs build forces
+        # its feature frame first, so one thunk per modality keeps the
+        # dependency order while the three modalities overlap.
         ("_build_media",
          lambda: _overlapped(
-             lambda: MQ._phash_feats(spark, sf_dir),
-             lambda: MQ._audio_bands(spark, sf_dir),
-             lambda: MQ._video_frames(spark, sf_dir))),
+             lambda: MQ._phash_pairs(spark, sf_dir),
+             lambda: MQ._audio_pairs(spark, sf_dir),
+             lambda: MQ._video_pairs(spark, sf_dir))),
     ]

@@ -17,7 +17,7 @@ from . import register
 # consumed by its own near-dup query AND by multimodal_dedup_report,
 # so the blobs are scanned once per session. bench.py pins the cold
 # builds on the `_build_media` row.
-MEDIA_MEMO = FrameMemo(capacity=4)
+MEDIA_MEMO = FrameMemo(capacity=8)  # 3 feature frames + 3 pair sets
 
 
 @register(
@@ -149,6 +149,63 @@ def _media_near_dup_sql() -> str:
     """
 
 
+def _phash_pairs(spark, sf_dir):
+    """Verified image near-dup pairs (band join + Hamming verify over
+    :func:`_phash_feats`), memoized + checkpointed once per session —
+    shared by ``media_near_dup`` AND ``multimodal_dedup_report`` (the
+    same pair-set-sharing contract as the text family's near-dups
+    memo; r13 — the rollup previously re-ran every modality's band
+    join + verify)."""
+    docs = load_sdf(spark, sf_dir, "documents")
+
+    def build():
+        feats = _phash_feats(spark, sf_dir)
+        dcols = [f"d{i}" for i in range(4)]
+        acols = [f"a{i}" for i in range(4)]
+        bands = feats.select(
+            "media_id", *dcols, *acols,
+            F.posexplode(F.array(*[F.col(c) for c in dcols])).alias(
+                "band_idx", "bucket"
+            ),
+        ).filter(F.col("bucket") != 0)  # degenerate-bucket guard (see SQL)
+
+        def side(tag: str) -> DataFrame:
+            return bands.select(
+                F.col("media_id").alias(f"id_{tag}"), "band_idx", "bucket",
+                *[F.col(c).alias(f"{c}{tag}") for c in dcols + acols],
+            )
+
+        pairs = (
+            side("a").join(side("b"), ["band_idx", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b",
+                *[f"{c}a" for c in dcols + acols],
+                *[f"{c}b" for c in dcols + acols],
+            )
+            .distinct()
+        )
+        dham = sum(
+            F.bit_count(F.col(f"d{i}a").bitwiseXOR(F.col(f"d{i}b")))
+            for i in range(4)
+        )
+        aham = sum(
+            F.bit_count(F.col(f"a{i}a").bitwiseXOR(F.col(f"a{i}b")))
+            for i in range(4)
+        )
+        return (
+            pairs.select(
+                "id_a", "id_b",
+                dham.cast("long").alias("hamming_dhash"),
+                aham.cast("long").alias("hamming_ahash"),
+            )
+            .filter(F.col("hamming_dhash") <= _HAM_MAX)
+            .localCheckpoint(eager=True)
+        )
+
+    return MEDIA_MEMO.get_or_build(("phash_pairs", frame_key(docs)), build)
+
+
 @register("media_near_dup", sql=_media_near_dup_sql())
 def media_near_dup(spark, sf_dir):
     """Image-corpus perceptual-hash near-dedup end-to-end — the
@@ -177,49 +234,10 @@ def media_near_dup(spark, sf_dir):
     problem — cap or salt oversized buckets, same playbook as
     ``lsh_candidate_pairs``. At 100 TB the synthetic encode pass is
     replaced by reading real image blobs; the hash, band join, and
-    verify are unchanged."""
-    feats = _phash_feats(spark, sf_dir)
-    dcols = [f"d{i}" for i in range(4)]
-    acols = [f"a{i}" for i in range(4)]
-    bands = feats.select(
-        "media_id", *dcols, *acols,
-        F.posexplode(F.array(*[F.col(c) for c in dcols])).alias(
-            "band_idx", "bucket"
-        ),
-    ).filter(F.col("bucket") != 0)  # degenerate-bucket guard (see SQL)
-
-    def side(tag: str) -> DataFrame:
-        return bands.select(
-            F.col("media_id").alias(f"id_{tag}"), "band_idx", "bucket",
-            *[F.col(c).alias(f"{c}{tag}") for c in dcols + acols],
-        )
-
-    pairs = (
-        side("a").join(side("b"), ["band_idx", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b",
-            *[f"{c}a" for c in dcols + acols],
-            *[f"{c}b" for c in dcols + acols],
-        )
-        .distinct()
-    )
-    dham = sum(
-        F.bit_count(F.col(f"d{i}a").bitwiseXOR(F.col(f"d{i}b")))
-        for i in range(4)
-    )
-    aham = sum(
-        F.bit_count(F.col(f"a{i}a").bitwiseXOR(F.col(f"a{i}b")))
-        for i in range(4)
-    )
-    return (
-        pairs.select(
-            "id_a", "id_b",
-            dham.cast("long").alias("hamming_dhash"),
-            aham.cast("long").alias("hamming_ahash"),
-        )
-        .filter(F.col("hamming_dhash") <= _HAM_MAX)
-    )
+    verify are unchanged. The verified pair set itself is session-
+    memoized (:func:`_phash_pairs` — also consumed by
+    ``multimodal_dedup_report``)."""
+    return _phash_pairs(spark, sf_dir)
 
 
 _VFD_STRIDE = 64     # bytes per sampled frame
@@ -282,6 +300,49 @@ def _video_frame_sql() -> str:
     """
 
 
+def _video_pairs(spark, sf_dir):
+    """Verified video containment pairs (df-capped inverted-index join
+    over :func:`_video_frames`), memoized + checkpointed once per
+    session — shared by ``video_frame_dedup`` AND
+    ``multimodal_dedup_report`` (r13; the rollup previously re-ran the
+    frame join + containment verify, the most expensive modality)."""
+    docs = load_sdf(spark, sf_dir, "documents")
+
+    def build():
+        frames = _video_frames(spark, sf_dir)
+        sizes = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("nf"))
+        dfreq = frames.groupBy("fh").agg(
+            F.count_distinct("media_id").alias("d"))
+        rare = frames.join(
+            dfreq.filter(F.col("d") <= _VFD_DF_CAP).select("fh"), "fh")
+        shared = (
+            rare.select(F.col("media_id").alias("id_a"), "fh")
+            .join(rare.select(F.col("media_id").alias("id_b"), "fh"), "fh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count_distinct("fh").cast("long").alias("n_shared"))
+        )
+        return (
+            shared.join(
+                sizes.select(F.col("media_id").alias("id_a"),
+                             F.col("nf").alias("na")), "id_a")
+            .join(
+                sizes.select(F.col("media_id").alias("id_b"),
+                             F.col("nf").alias("nb")), "id_b")
+            .filter(
+                1000 * F.col("n_shared")
+                >= _VFD_MIN_PERMILLE * F.least("na", "nb"))
+            .select(
+                "id_a", "id_b", "n_shared",
+                F.expr("(1000 * n_shared) div least(na, nb)")
+                .cast("long").alias("containment_permille"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return MEDIA_MEMO.get_or_build(("video_pairs", frame_key(docs)), build)
+
+
 @register("video_frame_dedup", sql=_video_frame_sql())
 def video_frame_dedup(spark, sf_dir):
     """Video-style frame-sequence dedup — the third multimodal dedup
@@ -305,36 +366,10 @@ def video_frame_dedup(spark, sf_dir):
     is checkpointed once (consumed by the size aggregate, the df guard,
     and both join sides). At 100 TB the frame-hash table is the
     persisted video index; the crawl-vs-index regime of
-    ``dedup_incremental`` applies to it verbatim."""
-    frames = _video_frames(spark, sf_dir)
-    sizes = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("nf"))
-    dfreq = frames.groupBy("fh").agg(
-        F.count_distinct("media_id").alias("d"))
-    rare = frames.join(
-        dfreq.filter(F.col("d") <= _VFD_DF_CAP).select("fh"), "fh")
-    shared = (
-        rare.select(F.col("media_id").alias("id_a"), "fh")
-        .join(rare.select(F.col("media_id").alias("id_b"), "fh"), "fh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count_distinct("fh").cast("long").alias("n_shared"))
-    )
-    return (
-        shared.join(
-            sizes.select(F.col("media_id").alias("id_a"),
-                         F.col("nf").alias("na")), "id_a")
-        .join(
-            sizes.select(F.col("media_id").alias("id_b"),
-                         F.col("nf").alias("nb")), "id_b")
-        .filter(
-            1000 * F.col("n_shared")
-            >= _VFD_MIN_PERMILLE * F.least("na", "nb"))
-        .select(
-            "id_a", "id_b", "n_shared",
-            F.expr("(1000 * n_shared) div least(na, nb)")
-            .cast("long").alias("containment_permille"),
-        )
-    )
+    ``dedup_incremental`` applies to it verbatim. The verified pair
+    set itself is session-memoized (:func:`_video_pairs` — also
+    consumed by ``multimodal_dedup_report``)."""
+    return _video_pairs(spark, sf_dir)
 
 
 _AFP_WINDOW = 10   # samples per energy window (fingerprint resolution)
@@ -441,6 +476,49 @@ def _audio_bands(spark, sf_dir):
     return MEDIA_MEMO.get_or_build(("audio_bands", frame_key(docs)), build)
 
 
+def _audio_pairs(spark, sf_dir):
+    """Verified audio fingerprint near-dup pairs (band join +
+    per-common-band Hamming verify over :func:`_audio_bands`), memoized
+    + checkpointed once per session — shared by ``audio_fp_near_dup``
+    AND ``multimodal_dedup_report`` (r13)."""
+    docs = load_sdf(spark, sf_dir, "documents")
+
+    def build():
+        bands = _audio_bands(spark, sf_dir)
+        cand = (
+            bands.filter(F.col("value") != 0)
+            .select(F.col("media_id").alias("id_a"), "band_idx", "value")
+            .join(
+                bands.filter(F.col("value") != 0).select(
+                    F.col("media_id").alias("id_b"), "band_idx", "value"),
+                ["band_idx", "value"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        ba = bands.select(
+            F.col("media_id").alias("id_a"), "band_idx",
+            F.col("value").alias("va"))
+        bb = bands.select(
+            F.col("media_id").alias("id_b"), "band_idx",
+            F.col("value").alias("vb"))
+        return (
+            cand.join(ba, "id_a")
+            .join(bb, ["id_b", "band_idx"])
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_common_bands"),
+                F.sum(F.bit_count(F.col("va").bitwiseXOR(F.col("vb"))))
+                .cast("long").alias("hamming"),
+            )
+            .filter(F.col("hamming") <= F.col("n_common_bands"))
+            .localCheckpoint(eager=True)
+        )
+
+    return MEDIA_MEMO.get_or_build(("audio_pairs", frame_key(docs)), build)
+
+
 @register("audio_fp_near_dup", sql=_audio_fp_sql())
 def audio_fp_near_dup(spark, sf_dir):
     """Audio-corpus fingerprint near-dedup — the audio counterpart of
@@ -464,37 +542,11 @@ def audio_fp_near_dup(spark, sf_dir):
     (band_idx, value), never all-pairs; the verify re-joins only the
     candidates against the checkpointed band table. At 100 TB the
     fingerprint table is the persisted index — the incremental
-    crawl-vs-index regime of ``dedup_incremental`` applies verbatim."""
-    bands = _audio_bands(spark, sf_dir)
-    cand = (
-        bands.filter(F.col("value") != 0)
-        .select(F.col("media_id").alias("id_a"), "band_idx", "value")
-        .join(
-            bands.filter(F.col("value") != 0).select(
-                F.col("media_id").alias("id_b"), "band_idx", "value"),
-            ["band_idx", "value"],
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    ba = bands.select(
-        F.col("media_id").alias("id_a"), "band_idx",
-        F.col("value").alias("va"))
-    bb = bands.select(
-        F.col("media_id").alias("id_b"), "band_idx",
-        F.col("value").alias("vb"))
-    return (
-        cand.join(ba, "id_a")
-        .join(bb, ["id_b", "band_idx"])
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_common_bands"),
-            F.sum(F.bit_count(F.col("va").bitwiseXOR(F.col("vb"))))
-            .cast("long").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= F.col("n_common_bands"))
-    )
+    crawl-vs-index regime of ``dedup_incremental`` applies verbatim.
+    The verified pair set itself is session-memoized
+    (:func:`_audio_pairs` — also consumed by
+    ``multimodal_dedup_report``)."""
+    return _audio_pairs(spark, sf_dir)
 
 
 @register(
