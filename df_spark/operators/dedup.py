@@ -1085,6 +1085,198 @@ def incremental_band_dedup(
     """
     combined = _shared_build(docs, id_col, text_col, memo=memo)
     words = _build_words(combined)
+    all_ids = docs.select(
+        F.col(id_col), (F.col(id_col) % gens).cast("long").alias("gen"))
+
+    if words:
+        n_docs = combined.count()
+        mins_bytes = n_docs * (NUM_HASHES * 8 + 24)
+        pay_bytes = n_docs * (len(words) + 1) * 8 + n_docs * 24
+    else:
+        n_docs = mins_bytes = pay_bytes = None
+
+    if words and pay_bytes + mins_bytes < BROADCAST_BYTES_CAP:
+        # FUSED ALL-GENERATIONS VERIFY (r13, bitmap regime - the
+        # minhash_near_dups fused template applied to the incremental
+        # chain): the per-generation JVM chain below serializes two
+        # (band join -> distinct -> screen+verify joins -> agg ->
+        # checkpoint) rounds, ~2.5-3.5 s each at sf0.1 for 523 k+
+        # candidates/gen, almost all of it exchange + AQE latency.
+        # Every cross-generation candidate is instead derived and
+        # verified in ONE mapInArrow pass over the broadcast minima
+        # (pair oriented so id_a is the HIGHER generation - the batch
+        # doc probing the index; same-generation pairs are never
+        # emitted, preserving the batch-vs-index contract), and the
+        # "removed docs never join the index" rule moves to an
+        # anti-join on the VERIFIED pair table: per-pair verification
+        # is deterministic, so filtering removed partners after the
+        # verify yields exactly the pair set the per-generation probe
+        # would have produced (the excluded pairs' numpy popcounts are
+        # wasted work bounded by the dup rate - microseconds against
+        # two saved exchange rounds). Exactness is the fused
+        # near-dups argument verbatim: the UDF emits exact integers
+        # screened by the exact estimate floor and a conservative
+        # raw-ratio screen; the authoritative round-then-threshold
+        # runs JVM-side. Past the broadcast cap the per-generation
+        # probe below is unchanged - the 100 TB crawl-vs-persisted-
+        # index regime.
+        import numpy as np
+
+        mcols = [f"m{i}" for i in range(NUM_HASHES)]
+        pside = (
+            combined.select(F.col(id_col), F.col("n_sh"), *words, *mcols)
+            .toPandas()
+            .sort_values(id_col)
+        )
+        ids_np = np.ascontiguousarray(pside[id_col].to_numpy(np.int64))
+        n_np = np.ascontiguousarray(pside["n_sh"].to_numpy(np.int64))
+        words_np = np.ascontiguousarray(
+            pside[list(words)].to_numpy(np.int64)
+        ).view(np.uint64)
+        mins_np = np.ascontiguousarray(pside[mcols].to_numpy(np.int64))
+        bc = docs.sparkSession.sparkContext.broadcast(
+            (ids_np, n_np, words_np, mins_np)
+        )
+        raw_floor = float(min_jaccard) - 1e-6
+        est_floor = int(min_est_matches)
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        n_parts = max(1, min(par, n_docs // 600 + 1))
+        bands, rpb = 4, NUM_HASHES // 4
+        n_gens = int(gens)
+
+        def gen_fn(batches):
+            import numpy as np
+            import pyarrow as pa
+
+            ids, nsz, wbits, mins = bc.value
+            gen_of = (ids % n_gens).astype(np.int64)
+            pop8 = np.unpackbits(
+                np.arange(256, dtype=np.uint8)[:, None], axis=1
+            ).sum(axis=1).astype(np.int64)
+            CHUNK = 1 << 19
+
+            def band_pairs(pid):
+                if len(mins) < 2:
+                    return
+                for band in range(bands):
+                    sub = mins[:, band * rpb:(band + 1) * rpb]
+                    order = np.lexsort(sub.T[::-1])
+                    srt = sub[order]
+                    brk = np.flatnonzero(
+                        np.any(srt[1:] != srt[:-1], axis=1)) + 1
+                    starts = np.concatenate(([0], brk))
+                    sizes = np.diff(np.concatenate((starts, [len(srt)])))
+                    key = srt[starts].astype(np.uint64)
+                    hsh = np.full(len(starts), 0xcbf29ce484222325,
+                                  np.uint64)
+                    for j in range(rpb):
+                        hsh = (hsh ^ key[:, j]) * np.uint64(0x100000001b3)
+                    sel = ((hsh % np.uint64(n_parts)).astype(np.int64)
+                           == pid) & (sizes >= 2)
+                    sel_starts, sel_sizes = starts[sel], sizes[sel]
+                    for sz in np.unique(sel_sizes):
+                        gs = sel_starts[sel_sizes == sz]
+                        mat = order[gs[:, None] + np.arange(sz)[None, :]]
+                        iu0, iu1 = np.triu_indices(sz, 1)
+                        gpc = max(1, CHUNK // len(iu0))
+                        for g0 in range(0, len(gs), gpc):
+                            m = mat[g0:g0 + gpc]
+                            A = m[:, iu0].ravel()
+                            B = m[:, iu1].ravel()
+                            # cross-generation pairs only; orient so
+                            # id_a carries the HIGHER generation (the
+                            # probing batch doc)
+                            cross = gen_of[A] != gen_of[B]
+                            A, B = A[cross], B[cross]
+                            if not len(A):
+                                continue
+                            swap = gen_of[A] < gen_of[B]
+                            A, B = (np.where(swap, B, A),
+                                    np.where(swap, A, B))
+                            if band:
+                                # min-band dedup: an earlier shared
+                                # band already emitted this pair
+                                dup = np.zeros(len(A), bool)
+                                for j in range(band):
+                                    dup |= (
+                                        mins[A, j * rpb:(j + 1) * rpb]
+                                        == mins[B, j * rpb:(j + 1) * rpb]
+                                    ).all(axis=1)
+                                A, B = A[~dup], B[~dup]
+                            if not len(A):
+                                continue
+                            est_np = (mins[A] == mins[B]).sum(axis=1)
+                            ok = est_np >= est_floor
+                            A, B = A[ok], B[ok]
+                            if not len(A):
+                                continue
+                            inter = (
+                                pop8[(wbits[A] & wbits[B]).view(np.uint8)]
+                                .reshape(len(A), -1)
+                                .sum(axis=1, dtype=np.int64)
+                            )
+                            tot = nsz[A] + nsz[B]
+                            keep = inter >= raw_floor * (tot - inter)
+                            if keep.any():
+                                yield (ids[A[keep]], ids[B[keep]],
+                                       inter[keep], tot[keep])
+
+            for batch in batches:
+                for pid in batch.column(0).to_numpy(zero_copy_only=False):
+                    for ia, ib, ii, tt in band_pairs(int(pid)):
+                        yield pa.RecordBatch.from_arrays(
+                            [pa.array(ia), pa.array(ib),
+                             pa.array(ii), pa.array(tt)],
+                            names=["id_a", "id_b", "__i", "__t"],
+                        )
+
+        pre = docs.sparkSession.range(
+            0, n_parts, 1, numPartitions=n_parts
+        ).mapInArrow(gen_fn, schema="id_a long, id_b long, __i long, __t long")
+        jac = F.round(
+            F.col("__i").cast("double")
+            / (F.col("__t").cast("double") - F.col("__i").cast("double")),
+            6,
+        )
+        # the verified cross-gen pair table is bounded by the dup rate;
+        # checkpointed once, every generation's election reads it
+        verified = (
+            pre.select("id_a", "id_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= min_jaccard)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+        outs_f: list[DataFrame] = []
+        removed_f: DataFrame | None = None
+        for g in range(1, gens):
+            vg = verified.filter(F.col("id_a") % gens == g)
+            if removed_f is not None:
+                vg = vg.join(
+                    removed_f.select(F.col(id_col).alias("id_b")),
+                    ["id_b"], "left_anti")
+            dups = vg.groupBy("id_a").agg(
+                F.count(F.lit(1)).cast("long").alias("n_dup_partners"))
+            outs_f.append(
+                all_ids.filter(F.col("gen") == g)
+                .join(dups.withColumnRenamed("id_a", id_col),
+                      [id_col], "left")
+                .select(
+                    id_col,
+                    F.col("gen"),
+                    F.when(F.col("n_dup_partners").isNull(), F.lit(1))
+                    .otherwise(F.lit(0)).cast("long").alias("is_novel"),
+                    F.coalesce(F.col("n_dup_partners"), F.lit(0))
+                    .cast("long").alias("n_dup_partners"),
+                )
+            )
+            newly = dups.select(F.col("id_a").alias(id_col))
+            removed_f = (newly if removed_f is None
+                         else removed_f.unionByName(newly))
+        out_f = outs_f[0]
+        for o in outs_f[1:]:
+            out_f = out_f.unionByName(o)
+        return out_f
+
     prof = combined.select(id_col, *[f"m{i}" for i in range(NUM_HASHES)])
     sigs = minhash_signatures(id_col=id_col, profile=prof)
     # narrow (id, band_idx, bucket, gen) rows, checkpointed once: every
@@ -1120,7 +1312,7 @@ def incremental_band_dedup(
     # In the bitmap regime a side is n_docs·(mins + words + n_sh)
     # bytes; past the cap this degrades back to the shuffle join.
     if words:
-        side_bytes = combined.count() * (16 * 8 + (len(words) + 1) * 8 + 24)
+        side_bytes = n_docs * (16 * 8 + (len(words) + 1) * 8 + 24)
     else:
         side_bytes = None  # array regime: unbounded payload, no hint
     def hinted(df: DataFrame) -> DataFrame:
@@ -1142,8 +1334,6 @@ def incremental_band_dedup(
         return jaccard_projection(
             pairs, "id_a", "id_b", "sh_a", "sh_b", min_jaccard)
 
-    all_ids = docs.select(
-        F.col(id_col), (F.col(id_col) % gens).cast("long").alias("gen"))
     outs: list[DataFrame] = []
     removed: DataFrame | None = None  # dup ids never appended to the index
     for g in range(1, gens):
