@@ -128,3 +128,88 @@ def test_bucketed_layout_one_file_per_bucket(spark, sf_dir):
     # 8 buckets, bucket-key-routed write: at most one parquet file per
     # bucket (empty buckets may write none)
     assert 0 < len(files) <= 8, files
+
+
+# --- r13 continuation: bloom group-by build ---------------------------
+
+
+def test_bloom_build_matches_position_reference(spark, sf_dir):
+    """The GROUP-BY word fold must reproduce the filter the old
+    256-parallel-aggregate plan built: set bits computed driver-side
+    from the same xxhash positions."""
+    from df_spark.operators.bloom import (
+        DEFAULT_HASHES, DEFAULT_WORDS, _positions, bloom_build)
+    from df_spark.sources.tables import load_sdf
+
+    dim = load_sdf(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 9000).select("c_custkey")
+    words = bloom_build(dim, "c_custkey")
+    m_bits = DEFAULT_WORDS * 64
+    pos_rows = dim.select(
+        *[p.alias(f"p{i}") for i, p in enumerate(
+            _positions(F.col("c_custkey"), m_bits, DEFAULT_HASHES))]
+    ).collect()
+    ref = [0] * DEFAULT_WORDS
+    for r in pos_rows:
+        for i in range(DEFAULT_HASHES):
+            bit = r[f"p{i}"]
+            ref[bit // 64] |= 1 << (bit % 64)
+    # bloom words are int64 (bit_or of shiftleft) — compare as uint64
+    assert [w & (2**64 - 1) for w in words] == ref
+
+
+# --- r13 continuation: fused incremental == per-generation probe ------
+
+
+def test_incremental_fused_matches_per_generation(spark, sf_dir):
+    import df_spark.operators.dedup as dd
+    from df_spark.sources.tables import load_sdf
+
+    docs = load_sdf(spark, sf_dir, "documents")
+    fused = sorted(
+        tuple(r) for r in dd.incremental_band_dedup(docs).collect())
+    orig_cap = dd.BROADCAST_BYTES_CAP
+    dd.BROADCAST_BYTES_CAP = 0  # force the per-generation JVM branch
+    try:
+        pergen = sorted(
+            tuple(r) for r in dd.incremental_band_dedup(docs).collect())
+    finally:
+        dd.BROADCAST_BYTES_CAP = orig_cap
+    assert fused and fused == pergen
+
+
+# --- r13 continuation: semdedup grouped-matrix == distributed join ----
+
+
+def test_semdedup_grouped_matches_join_path(spark, sf_dir):
+    import df_spark.operators.similarity as S
+    from df_spark.sources.tables import load_sdf
+
+    emb = load_sdf(spark, sf_dir, "embeddings")
+    grouped = sorted(
+        tuple(r) for r in S.semdedup(emb, n_cells=8, tau=0.3).collect())
+    orig = S.SEMDEDUP_GROUPED_MAX_ROWS
+    S.SEMDEDUP_GROUPED_MAX_ROWS = 0  # force the distributed join path
+    try:
+        joined = sorted(
+            tuple(r) for r in S.semdedup(emb, n_cells=8, tau=0.3).collect())
+    finally:
+        S.SEMDEDUP_GROUPED_MAX_ROWS = orig
+    assert grouped and grouped == joined
+
+
+# --- r13 continuation: modality pair sets are session-memoized --------
+
+
+def test_modality_pair_memos_hit(spark, sf_dir):
+    from df_spark.queries import multimodal as MQ
+
+    a = MQ._phash_pairs(spark, sf_dir)
+    b = MQ._phash_pairs(spark, sf_dir)
+    assert a is b  # second call returns the memoized checkpoint
+    va = MQ._video_pairs(spark, sf_dir)
+    vb = MQ._video_pairs(spark, sf_dir)
+    assert va is vb
+    aa = MQ._audio_pairs(spark, sf_dir)
+    ab = MQ._audio_pairs(spark, sf_dir)
+    assert aa is ab
