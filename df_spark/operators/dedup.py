@@ -2754,6 +2754,18 @@ def containment_pairs(
             (F.col("__pos") + 1).alias("rk_b"),
             F.col("__e.h").alias("h"),
         )
+        # r14: broadcast the PREFIX side when its runtime-measured size
+        # fits the cap. The prefix stream is ~(1-t)·n_sh + n_docs rows
+        # (~1/5 of the inverted index at t=0.8), so hashing IT and
+        # streaming the big index beats shuffling both sides into a
+        # sort-merge join — interleaved A/B at sf0.1, 3 reps:
+        # candidate subplan 1.6-2.1 s / 12.6-15.0 CPU-s (SMJ) →
+        # 1.2-1.3 s / 5.6-8.0 CPU-s (BHJ, build = prefix). Estimate:
+        # n_sh·14 B ≈ 0.25 fraction × 56 B/row; past the cap the hint
+        # degrades to the planner's choice (the 100 TB regime).
+        n_sh_rows = sh.count()
+        prefix_a = size_hinted(prefix_a, n_sh_rows * 14,
+                               cap=BROADCAST_BYTES_CAP)
         cand = (
             # partition columns are part of the JOIN KEY — equality as
             # a post-join filter would still enumerate every cross-
@@ -2788,7 +2800,6 @@ def containment_pairs(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        n_sh_rows = sh.count()
         gathered = None
         if n_sh_rows * 8 < BROADCAST_BYTES_CAP:
             # ARROW GATHER VERIFY (same move as the MinHash bitmap
@@ -2834,26 +2845,35 @@ def containment_pairs(
                     (ids_np, lens, wbits))
                 par = cand.sparkSession.sparkContext.defaultParallelism
                 n_cand = cand.count()  # cheap: cand is checkpointed
-                # ~50k pairs/task (each ~6 µs of numpy), capped at the
+                # ~100k pairs/task (each ~6 µs of numpy), capped at the
                 # session's width; no max(par, ...) floor — a fresh
-                # python worker costs ~2 CPU-s of pandas import, so
-                # fanning a 390k-pair stage to 32 tasks burns more on
-                # worker spin-up than the popcounts themselves when
-                # the pool isn't already warm
-                width = max(1, min(n_cand // 50_000 + 1, 8 * par))
+                # python worker costs ~0.5-2 CPU-s of interpreter +
+                # import spin-up, so fanning a 390k-pair stage to 32
+                # tasks burns more on worker spin-up than the popcounts
+                # themselves when the pool isn't already warm (r14: was
+                # 50k/task; the wider stage paid 8 workers of spin-up
+                # per bench pass for ~0.3 s of compute each)
+                width = max(1, min(n_cand // 100_000 + 1, 8 * par))
 
                 def gen(batches):
+                    # mapInArrow, not mapInPandas (r14): the worker
+                    # then imports only pyarrow + numpy — pandas is
+                    # ~1.5-2 CPU-s of the spin-up this stage pays
+                    # whenever the worker pool is cold (each bench
+                    # pass, after 190 other rows churned the pool)
                     import numpy as np
-                    import pandas as pd
+                    import pyarrow as pa
 
                     ids, nsz, words = bc.value
                     pop8 = np.unpackbits(
                         np.arange(256, dtype=np.uint8)[:, None], axis=1
                     ).sum(axis=1).astype(np.int64)
                     n_ids = len(ids)
-                    for pdf in batches:
-                        ia = pdf["id_a"].to_numpy(np.int64)
-                        ib = pdf["id_b"].to_numpy(np.int64)
+                    for batch in batches:
+                        ia = batch.column(0).to_numpy(
+                            zero_copy_only=False).astype(np.int64)
+                        ib = batch.column(1).to_numpy(
+                            zero_copy_only=False).astype(np.int64)
                         a = np.searchsorted(ids, ia)
                         b = np.searchsorted(ids, ib)
                         if (
@@ -2873,18 +2893,19 @@ def containment_pairs(
                         )
                         sa = nsz[a]
                         keep = 20 * inter >= t20 * sa  # integer-exact
-                        yield pd.DataFrame(
-                            {
-                                "id_a": ia[keep],
-                                "id_b": ib[keep],
-                                "sa": sa[keep],
-                                "c": inter[keep],
-                            }
+                        yield pa.RecordBatch.from_arrays(
+                            [
+                                pa.array(ia[keep], type=pa.int64()),
+                                pa.array(ib[keep], type=pa.int64()),
+                                pa.array(sa[keep], type=pa.int64()),
+                                pa.array(inter[keep], type=pa.int64()),
+                            ],
+                            names=["id_a", "id_b", "sa", "c"],
                         )
 
                 gathered = cand.select("id_a", "id_b").repartition(
                     width
-                ).mapInPandas(
+                ).mapInArrow(
                     gen, schema="id_a long, id_b long, sa long, c long"
                 )
             if gathered is not None:
